@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query.
+  *
+  * @param name   registry key (also the output dir name in Verify)
+  * @param run    the Spark program; `sfDir` points at a TESTDATA.md scale dir
+  * @param oracle equivalent ANSI SQL for DuckDB over the same parquet tables
+  *               (None → the driver records a weaker rows-only check)
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Q {
+  /** Numeric-parity helpers.
+    *
+    * The driver hash-compares our parquet output against DuckDB's result, so
+    * floating-point aggregation order must not leak into outputs. Strategy:
+    * the synthetic money-ish doubles carry exactly 2 decimals, so cast to
+    * DECIMAL(18,2) at the scan, aggregate exactly in decimal, and convert to
+    * DOUBLE only for a final, fixed-order arithmetic step (decimal→double is
+    * correctly rounded and identical in both engines; a single IEEE division
+    * on identical operands is bit-deterministic).
+    */
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  val Dec: DecimalType = DecimalType(18, 2)
+  def dec2(c: Column): Column = c.cast(Dec)
+  /** Exact sum of a 2-decimal double column, emitted as double. */
+  def sumExact(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Exact-numerator average, deterministic double result. */
+  def avgExact(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
+}
