@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's synthetic tables (TESTDATA.md).
   *
@@ -24,7 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = df(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = df(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = df(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = df(s, d, "events")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. With spark.sql.legacy.parquet.nanosAsLong
+    * (set in [[Sessions.builder]]) the column arrives as LongType nanos;
+    * every value in the driver's data is microsecond-aligned, so the
+    * truncation to TIMESTAMP_NTZ micros is lossless and matches what the
+    * DuckDB oracle sees. */
+  def events(s: SparkSession, d: String): DataFrame =
+    df(s, d, "events").withColumn(
+      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
 

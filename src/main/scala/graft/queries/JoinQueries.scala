@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{TopK, Upsert}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join / set-op / generator suite: distinct aggregates, per-group top-k,
+  * rollup, semi/anti joins, set operations, date-spine generation, upsert,
+  * and a multi-way star join (SURVEY.md §2.E coverage rows; reference
+  * citations inline).
+  */
+object JoinQueries {
+  import graft.Q._
+
+  val defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q09: left-join enrich + distinct & conditional aggregates per nation
+    // (reference merge at EDA.ipynb cell 20 / F6; conditional agg family
+    // §2.E). nation is tiny -> broadcast; single shuffle for the agg.
+    Q(
+      "q09_nation_order_profile",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val n = Tables.nation(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            countDistinct(col("c_custkey")).as("n_customers"),
+            count(col("o_orderkey")).as("n_orders"),
+            sum(when(col("o_orderpriority") === "1-URGENT", dec2(col("o_totalprice")))
+              .otherwise(lit(null))).cast(DoubleType).as("urgent_total"))
+          .orderBy("nation")
+      },
+      Some("""
+        SELECT n_name AS nation,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q10: per-group top-k via rank window (generalizes DISTINCT ON,
+    // reference sql/analysis_queries.sql:72-80). WindowGroupLimit pushes
+    // the k-limit below the exchange at scale.
+    Q(
+      "q10_topk_orders_per_priority",
+      (s, dir) => {
+        TopK.topKPerGroup(
+          Tables.orders(s, dir), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+          .select(
+            col("o_orderpriority").as("priority"),
+            col("rank_in_group"),
+            col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("totalprice"))
+          .orderBy("priority", "rank_in_group")
+      },
+      Some("""
+        SELECT o_orderpriority AS priority,
+               CAST(rn AS INT) AS rank_in_group,
+               o_orderkey AS orderkey,
+               o_totalprice AS totalprice
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) WHERE rn <= 3 ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q11: ROLLUP subtotal hierarchy (beyond the reference's flat aggs —
+    // §2.E notes it has no grouping sets; the engine supplies them).
+    // Spark plans a single Expand + hash agg, one shuffle.
+    Q(
+      "q11_rollup_pricing",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+          .agg(
+            sumExact(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("returnflag").asc_nulls_first, col("linestatus").asc_nulls_first)
+      },
+      Some("""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+      """)),
+
+    // ----------------------------------------------------------------
+    // q12: left-semi join — customers that have at least one URGENT order
+    // (the reference's upsert existence check is morally a semi join,
+    // SURVEY.md O6/§2.E).
+    Q(
+      "q12_semi_join_urgent_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT c_custkey AS custkey, c_name AS name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q13: left-anti join — customers with no order at all.
+    Q(
+      "q13_anti_join_orderless_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT c_custkey AS custkey, c_mktsegment AS segment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q14: set operations — INTERSECT / EXCEPT with labels (reference has
+    // none, §2.E; the engine supplies distinct-set semantics).
+    Q(
+      "q14_setops_user_cohorts",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def users(t: String) =
+          ev.where(col("event_type") === t).select("user_id").distinct()
+        val clicks = users("click")
+        val purchases = users("purchase")
+        clicks.intersect(purchases).withColumn("cohort", lit("both"))
+          .unionByName(clicks.except(purchases).withColumn("cohort", lit("click_only")))
+          .unionByName(purchases.except(clicks).withColumn("cohort", lit("purchase_only")))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'click_only' FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q15: date-spine generation via sequence + explode (reference rrule
+    // date driver, cli.py:156 / O12) left-joined to daily order counts —
+    // zero-fill days with no orders. The spine is generated, not scanned.
+    Q(
+      "q15_date_spine_daily_orders",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("d"))
+        val bounds = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        val daily = o.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+        spine.join(daily, spine("day") === daily("d"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+          FROM orders
+        ), spine AS (
+          SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        ), daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+          FROM orders GROUP BY 1
+        )
+        SELECT day, COALESCE(cnt, 0) AS n_orders
+        FROM spine LEFT JOIN daily ON day = d
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q16: key-based upsert (reference check-then-write, db.py:113-133).
+    // Deterministic update set: every 5th order re-arrives 30 days later
+    // with a higher price; latest version wins per key.
+    Q(
+      "q16_upsert_orders",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+        val updates = base
+          .where(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        Upsert.upsert(base, updates, Seq("o_orderkey"), "o_orderdate")
+          .select(
+            col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("totalprice"),
+            col("o_orderdate").as("orderdate"))
+          .orderBy("orderkey")
+      },
+      Some("""
+        WITH updates AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice,
+                 o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 5 = 0
+        ), tagged AS (
+          SELECT *, 0 AS src FROM orders
+          UNION ALL
+          SELECT *, 1 AS src FROM updates
+        )
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice,
+               o_orderdate AS orderdate
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY o_orderdate DESC, src DESC) AS rn
+          FROM tagged
+        ) WHERE rn = 1 ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q17: multi-way star join — revenue per nation where the customer's
+    // and the lineitem supplier's nation agree, TPC-H Q5 shape. Dimension
+    // sides (region, nation, supplier) broadcast; the orders-lineitem join
+    // is the only large shuffle and AQE handles its sizing.
+    Q(
+      "q17_regional_supplier_volume",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        val disc = dec2(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec2(col("l_discount")))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .where(col("r_name").isin("ASIA", "EUROPE"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(disc).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("region", "nation")
+      },
+      Some("""
+        SELECT r_name AS region, n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """))
+  )
+}
