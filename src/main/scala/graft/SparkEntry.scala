@@ -1,14 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{JoinQueries, RelationalQueries, WindowQueries}
+import graft.queries.{JoinQueries, RelationalQueries, TimeSeriesQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All registered queries, one per implemented operator (SURVEY.md §2). */
   private def registry: Vector[Q] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ JoinQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ JoinQueries.defs ++
+      TimeSeriesQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
