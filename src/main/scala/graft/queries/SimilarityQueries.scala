@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-dup detection and similarity search — the north-star LLM-pipeline
+  * operators (SURVEY.md §7 phase H): n-gram Jaccard, MinHash+LSH banding,
+  * SimHash + Hamming banding, brute-force cosine top-k, and a
+  * hyperplane-LSH bucketed ANN variant.
+  *
+  * Determinism strategy: all hashes are md5 (identical across engines);
+  * MinHash minimizes md5 *strings* lexicographically so no numeric hash
+  * conversion is needed; SimHash converts 15 md5 hex chars to a 60-bit
+  * int; cosine similarities are computed as sequential fold dot products
+  * (bit-identical in Spark `aggregate` and DuckDB `list_reduce`) and
+  * quantized to 1e-6 before ranking.
+  *
+  * Scale notes: every pipeline here is shuffle-shaped like its 100 TB
+  * production form — shingle explode -> hash-partition on shingle/band/
+  * bucket key -> per-key joins. Nothing does an unbucketed cross join
+  * except the brute-force baseline, which restricts the query side (the
+  * point of the ANN variant is exactly to kill that cross join).
+  */
+object SimilarityQueries {
+
+  private val toksExpr = "split(trim(text), ' +')"
+  private val toksSql = "STRING_SPLIT_REGEX(TRIM(text), ' +')"
+
+  /** Word-trigram set, Spark and oracle spellings. */
+  private val trisExpr =
+    s"array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+  private val trisSql =
+    "LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2), " +
+      "i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
+
+  /** Sequential-fold dot product of two double-cast float vectors. */
+  private def dotExpr(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+  private def dotSql(a: String, b: String) =
+    s"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), " +
+      "(x, y) -> x + y)"
+
+  val defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q33: n-gram Jaccard near-dup pairs — shingle explode, hash join on
+    // the shingle, per-pair intersection counts, |A∩B|/(|A|+|B|-|A∩B|).
+    Q(
+      "q33_ngram_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("tris", expr(trisExpr))
+          .select(col("doc_id"), size(col("tris")).as("sz"), col("tris"))
+        val ex = d.select(col("doc_id"), col("sz"), explode(col("tris")).as("tri"))
+        val a = ex.as("a")
+        val b = ex.as("b")
+        a.join(b, col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sza"), col("b.sz").as("szb"))
+          .agg(count(lit(1)).as("inter"))
+          .select(
+            col("doc_a"), col("doc_b"), col("inter"),
+            (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.01)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $trisSql AS tris
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        ), e AS (
+          SELECT doc_id, LEN(tris) AS sz, UNNEST(tris) AS tri FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sz AS sza, b.sz AS szb, COUNT(*) AS inter
+          FROM e a JOIN e b ON a.tri = b.tri AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, inter,
+               inter / (sza + szb - inter) AS jaccard
+        FROM pairs WHERE inter / (sza + szb - inter) >= 0.01
+        ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q34: MinHash signatures + LSH band keys — 12 seeded min-md5-string
+    // hashes per doc, banded 4-wide into 3 bucket keys. Lexicographic min
+    // over md5 strings needs no numeric hash and is engine-identical.
+    Q(
+      "q34_minhash_bands",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        val seeded = toks
+          .withColumn("seed", explode(expr("sequence(0, 11)")))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("tok")))).as("mh"))
+        val piv = seeded.groupBy("doc_id")
+          .pivot("seed", 0 to 11).agg(first(col("mh")))
+        piv.select(
+          col("doc_id"),
+          md5(concat(col("0"), col("1"), col("2"), col("3"))).as("band0"),
+          md5(concat(col("4"), col("5"), col("6"), col("7"))).as("band1"),
+          md5(concat(col("8"), col("9"), col("10"), col("11"))).as("band2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+        ), s AS (
+          SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
+          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT doc_id,
+                 ${(0 to 11).map(i => s"MIN(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(", ")}
+          FROM s GROUP BY 1
+        )
+        SELECT doc_id,
+               MD5(CONCAT(m0, m1, m2, m3)) AS band0,
+               MD5(CONCAT(m4, m5, m6, m7)) AS band1,
+               MD5(CONCAT(m8, m9, m10, m11)) AS band2
+        FROM p ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q35: MinHash-LSH candidate pairs verified with true token Jaccard —
+    // docs sharing any band bucket become candidates (three per-band hash
+    // joins, the scalable alternative to all-pairs), then the exact
+    // set-intersection check.
+    Q(
+      "q35_lsh_dedup_candidates",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        val bands = toks
+          .withColumn("seed", explode(expr("sequence(0, 11)")))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("tok")))).as("mh"))
+          .withColumn("band", expr("seed div 4"))
+          .groupBy("doc_id", "band")
+          // seed order within the band fixes the concat order
+          .agg(md5(concat_ws("", sort_array(collect_list(struct(col("seed"), col("mh")))).getField("mh"))).as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sets = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("ts"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("ta"), col("tb"))) /
+              (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb")))))
+              .as("token_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+        ), s AS (
+          SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
+          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
+          GROUP BY 1, 2
+        ), b AS (
+          SELECT doc_id, seed // 4 AS band,
+                 MD5(STRING_AGG(mh, '' ORDER BY seed)) AS bkey
+          FROM s GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+        ), sets AS (
+          SELECT doc_id, LIST_DISTINCT($toksSql) AS ts FROM documents
+        )
+        SELECT doc_a, doc_b,
+               LEN(LIST_INTERSECT(sa.ts, sb.ts))
+                 / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts))) AS token_jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+        ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q36: SimHash near-dup pairs — 16-bit simhash from 60-bit md5-derived
+    // token hashes, candidate generation by byte-band buckets (Hamming
+    // LSH), Hamming distance <= 4 filter. Banding keeps the join keyed at
+    // scale; like all LSH it trades recall for never doing all-pairs.
+    Q(
+      "q36_simhash_pairs",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+          .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+        val bits = toks
+          .withColumn("b", explode(expr("sequence(0, 15)")))
+          .withColumn("sign", expr("2 * cast(shiftright(h, b) & 1 as int) - 1"))
+          .groupBy("doc_id", "b")
+          .agg(sum(col("sign")).as("ss"))
+          .withColumn("bitval",
+            when(col("ss") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(lit(0L)))
+        val sh = bits.groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+          .withColumn("hi", expr("shiftright(simhash, 8)"))
+          .withColumn("lo", expr("simhash & 255"))
+        val byHi = sh.as("x").join(sh.as("y"),
+          col("x.hi") === col("y.hi") && col("x.doc_id") < col("y.doc_id"))
+        val byLo = sh.as("x").join(sh.as("y"),
+          col("x.lo") === col("y.lo") && col("x.doc_id") < col("y.doc_id"))
+        def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("hamming"))
+        proj(byHi).unionByName(proj(byLo)).distinct()
+          .where(col("hamming") <= 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+        ), th AS (
+          SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h FROM t
+        ), bits AS (
+          SELECT doc_id, b, SUM(2 * CAST((h >> b) & 1 AS INT) - 1) AS ss
+          FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS b)
+          GROUP BY 1, 2
+        ), sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN ss > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+          FROM bits GROUP BY 1
+        ), keyed AS (
+          SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM sh
+        ), cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
+          FROM keyed x JOIN keyed y ON x.hi = y.hi AND x.doc_id < y.doc_id
+          UNION
+          SELECT x.doc_id, y.doc_id, BIT_COUNT(XOR(x.simhash, y.simhash))
+          FROM keyed x JOIN keyed y ON x.lo = y.lo AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 4 ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q37: brute-force cosine top-k — the exactness baseline for ANN.
+    // Query side restricted (vec_id % 100 = 0) and broadcast; similarity
+    // quantized to 1e-6 before ranking so fold-order ulps can't flip
+    // ranks.
+    Q(
+      "q37_knn_bruteforce_cosine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("n2", expr(dotExpr("embedding", "embedding")))
+        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+        val cs = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+        val dot = expr(dotExpr("qe", "ce"))
+        val cos = dot / (sqrt(col("qn2")) * sqrt(col("cn2")))
+        val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
+        val scored = broadcast(qs).join(cs, col("query_id") =!= col("cand_id"))
+          .select(col("query_id"), col("cand_id"), simq.as("sim_q"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"),
+            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 ${dotSql("embedding", "embedding")} AS n2
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(FLOOR(${dotSql("q.embedding", "c.embedding")}
+                   / (SQRT(q.n2) * SQRT(c.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim_q DESC, cand_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q38: hyperplane-LSH bucketed ANN — 8 deterministic integer
+    // hyperplanes give a 256-bucket sign key; search only same-bucket
+    // candidates. This is the scale path: the cross join of q37 becomes
+    // an equi-join on the bucket key.
+    Q(
+      "q38_ann_hyperplane_lsh",
+      (s, dir) => {
+        def planeDot(j: Int) =
+          s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> " +
+            s"acc + cast(element_at(embedding, d + 1) as double) * cast((($j * 67 + d * 31) % 19) - 9 as double))"
+        val keyExpr = (0 to 7)
+          .map(j => s"(case when ${planeDot(j)} > 0 then ${1 << j} else 0 end)")
+          .mkString(" + ")
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("n2", expr(dotExpr("embedding", "embedding")))
+          .withColumn("bucket", expr(keyExpr))
+        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("n2").as("qn2"), col("bucket"))
+        val cs = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("n2").as("cn2"), col("bucket"))
+        val dot = expr(dotExpr("qe", "ce"))
+        val cos = dot / (sqrt(col("qn2")) * sqrt(col("cn2")))
+        val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
+        val scored = broadcast(qs).join(cs, Seq("bucket"))
+          .where(col("query_id") =!= col("cand_id"))
+          .select(col("query_id"), col("cand_id"), simq.as("sim_q"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"),
+            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def planeDotSql(j: Int) =
+          s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
+            s"CAST(embedding[d + 1] AS DOUBLE) * CAST((($j * 67 + d * 31) % 19) - 9 AS DOUBLE)), (x, y) -> x + y)"
+        val keySql = (0 to 7)
+          .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 ${dotSql("embedding", "embedding")} AS n2,
+                 $keySql AS bucket
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(FLOOR(${dotSql("q.embedding", "c.embedding")}
+                   / (SQRT(q.n2) * SQRT(c.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM e q JOIN e c ON q.bucket = c.bucket
+                           AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim_q DESC, cand_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3 ORDER BY 1, 2
+      """
+      })
+  )
+}

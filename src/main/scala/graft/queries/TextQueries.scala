@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis suite over the `documents` table — the LLM-training-data
+  * operators the driver's north star requires (SURVEY.md §7 phase H):
+  * token statistics, language-ID heuristic, quality scoring, content
+  * fingerprinting, exact dedup. All pure column algebra / higher-order
+  * array functions — zero UDFs, fully codegen-friendly.
+  *
+  * Scale notes: these are embarrassingly parallel per-row maps except the
+  * dedup groupBy (one shuffle on the fingerprint — at 100 TB that's the
+  * canonical hash-dedup shuffle and is unavoidable by definition).
+  */
+object TextQueries {
+
+  /** Tokenizer shared by all text queries: whitespace split after trim. */
+  private val toksExpr = "split(trim(text), ' +')"
+  private val toksSql = "STRING_SPLIT_REGEX(TRIM(text), ' +')"
+
+  private def stop(lang: String): Seq[String] = lang match {
+    case "en" => Seq("the", "a", "and", "of")
+    case "es" => Seq("el", "la", "de", "y")
+    case "de" => Seq("der", "die", "und", "das")
+    case "fr" => Seq("le", "la", "et", "de")
+    case "zh" => Seq("de", "le", "he", "shi")
+    case _    => Seq()
+  }
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q28: token counting — whitespace tokens, distinct tokens, average
+    // token length (BPE-ish regex tokenization per the north star; the
+    // reference's only "text ops" are plot-label string mangling, so this
+    // is engine-added surface).
+    Q(
+      "q28_token_counts",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars_actual"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+            (length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) /
+              size(col("toks"))).as("avg_token_len"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INT) AS n_chars_actual,
+               CAST(LEN($toksSql) AS INT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT($toksSql)) AS INT) AS n_distinct_tokens,
+               CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE)
+                 / LEN($toksSql) AS avg_token_len
+        FROM documents
+      """)),
+
+    // ----------------------------------------------------------------
+    // q29: language-ID via stopword-set scoring — n-gram-heuristic
+    // classifier shape: per-language marker hits over the token list,
+    // argmax with a fixed tie order.
+    Q(
+      "q29_language_id",
+      (s, dir) => {
+        def score(lang: String) =
+          expr(s"size(filter($toksExpr, t -> t IN ${inList(stop(lang))}))")
+        val (en, es, de, fr, zh) = (score("en"), score("es"), score("de"), score("fr"), score("zh"))
+        Tables.documents(s, dir).select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"), zh.as("s_zh"),
+          when(en >= es && en >= de && en >= fr && en >= zh, "en")
+            .when(es >= de && es >= fr && es >= zh, "es")
+            .when(de >= fr && de >= zh, "de")
+            .when(fr >= zh, "fr")
+            .otherwise("zh").as("predicted_lang"))
+      },
+      Some {
+        def sc(lang: String, xs: Seq[String]) =
+          s"CAST(LEN(LIST_FILTER($toksSql, t -> t IN ${inList(xs)})) AS INT)"
+        val (en, es, de, fr, zh) =
+          (sc("en", stop("en")), sc("es", stop("es")), sc("de", stop("de")),
+            sc("fr", stop("fr")), sc("zh", stop("zh")))
+        Some(s"""
+        SELECT doc_id, lang AS labeled_lang,
+               $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr, $zh AS s_zh,
+               CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+                    WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+                    WHEN $de >= $fr AND $de >= $zh THEN 'de'
+                    WHEN $fr >= $zh THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM documents
+      """)
+      }.get),
+
+    // ----------------------------------------------------------------
+    // q30: document quality scoring — alpha ratio, stopword ratio,
+    // average word length band, composite score. Fixed-order double
+    // arithmetic; regexp_replace is global in Spark, 'g'-flagged in the
+    // oracle.
+    Q(
+      "q30_quality_score",
+      (s, dir) => {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = expr(s"size($toksExpr)").cast(DoubleType)
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+          length(col("text"))
+        val stopRatio = expr(s"size(filter($toksExpr, t -> t IN ${inList(allStops)}))")
+          .cast(DoubleType) / nToks
+        val awl = length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) / nToks
+        val score = lit(0.4) * alpha +
+          lit(0.3) * (lit(1.0) - abs(awl - lit(5.0)) / lit(10.0)) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+        Tables.documents(s, dir).select(
+          col("doc_id"), alpha.as("alpha_ratio"), stopRatio.as("stopword_ratio"),
+          awl.as("avg_word_len"), score.as("quality_score"))
+      },
+      Some {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = s"CAST(LEN($toksSql) AS DOUBLE)"
+        val alpha = s"(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text))"
+        val stopR = s"(CAST(LEN(LIST_FILTER($toksSql, t -> t IN ${inList(allStops)})) AS DOUBLE) / $nToks)"
+        val awl = s"(CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) / $nToks)"
+        s"""
+        SELECT doc_id,
+               $alpha AS alpha_ratio,
+               $stopR AS stopword_ratio,
+               $awl AS avg_word_len,
+               0.4 * $alpha + 0.3 * (1.0 - ABS($awl - 5.0) / 10.0)
+                 + 0.3 * LEAST($stopR * 5.0, 1.0) AS quality_score
+        FROM documents
+      """
+      }),
+
+    // ----------------------------------------------------------------
+    // q31: content fingerprinting — exact md5 plus an order-insensitive
+    // bag fingerprint (sorted distinct tokens re-joined then hashed) and
+    // a min-token-hash (1-seed minhash), the building block of the LSH
+    // dedup family.
+    Q(
+      "q31_fingerprints",
+      (s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          md5(col("text")).as("fp_exact"),
+          md5(expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')")).as("fp_bag"),
+          expr(s"array_min(transform($toksExpr, t -> md5(t)))").as("fp_minhash1"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               MD5(text) AS fp_exact,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($toksSql)), ' ')) AS fp_bag,
+               LIST_MIN(LIST_TRANSFORM($toksSql, t -> MD5(t))) AS fp_minhash1
+        FROM documents
+      """)),
+
+    // ----------------------------------------------------------------
+    // q32: exact deduplication — hash-groupBy on the content fingerprint,
+    // keep the lowest doc_id per group (the canonical 100 TB exact-dedup
+    // shuffle; north-star requirement).
+    Q(
+      "q32_exact_dedup",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(
+            min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("keeper_doc_id")
+      },
+      Some("""
+        SELECT MD5(text) AS fp,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY 2
+      """))
+  )
+}
