@@ -45,22 +45,24 @@ object Rolling {
     when(nn === full, s1(c, w) / nn)
   }
 
-  /** Bias-corrected sample skewness G1 (pandas rolling(...).skew()),
-    * null unless the frame is full. G1 = g1 * sqrt(n(n-1))/(n-2) with
-    * g1 = m3 / m2^1.5 from central moments. */
-  def skewG1(c: Column, w: WindowSpec, full: Int): Column = {
-    val nn = n(c, w).cast(DoubleType)
-    val a = s1(c, w)
-    val b = s2(c, w)
-    val cc = s3(c, w)
-    val mean = a / nn
-    val m2 = b / nn - mean * mean
-    val m3 = cc / nn - lit(3.0) * mean * (b / nn) + lit(2.0) * mean * mean * mean
+  /** Bias-corrected sample skewness G1 (pandas rolling(...).skew()) from
+    * already-materialized power-sum columns — compute the sums ONCE with
+    * [[s1]]/[[s2]]/[[s3]]/[[n]] into named columns first, then apply this
+    * per-row formula. (Inlining the window sums into the formula tree
+    * makes Spark evaluate every occurrence as its own window aggregate —
+    * a 15x window-buffer blowup measured at sf0.1.)
+    * G1 = g1 * sqrt(n(n-1))/(n-2) with g1 = m3 / m2^1.5. */
+  def skewG1FromSums(nC: Column, aC: Column, bC: Column, cC: Column,
+                     full: Int): Column = {
+    val nn = nC.cast(DoubleType)
+    val mean = aC / nn
+    val m2 = bC / nn - mean * mean
+    val m3 = cC / nn - lit(3.0) * mean * (bC / nn) + lit(2.0) * mean * mean * mean
     // m2*sqrt(m2) instead of pow(m2, 1.5): sqrt/mul are correctly-rounded
     // IEEE ops, pow is not (libm vs Math.pow differ by ulps).
     val g1 = m3 / (m2 * sqrt(m2))
     val corr = sqrt(nn * (nn - lit(1.0))) / (nn - lit(2.0))
-    when(n(c, w) === full && m2 > 0, g1 * corr)
+    when(nC === full && m2 > 0, g1 * corr)
   }
 
   /** The ANSI spellings of the same formulas for oracle SQL. `frame` is

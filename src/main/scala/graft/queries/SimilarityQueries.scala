@@ -36,6 +36,18 @@ object SimilarityQueries {
     "LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2), " +
       "i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
 
+  /** documents scan with the token array materialized BEFORE a
+    * repartition boundary. Two reasons: (a) documents.parquet arrives as
+    * a single input split, so without the exchange every per-row
+    * shingle/md5 pipeline runs on one core; (b) the exchange stops
+    * CollapseProject from inlining the split() into every element_at of
+    * the trigram lambda — inlined, the regex split re-executes ~3x per
+    * shingle position (~300x per row, measured via thread dump). */
+  private def docsParallel(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .repartition(col("doc_id"))
+
   /** Sequential-fold dot product of two double-cast float vectors. */
   private def dotExpr(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
@@ -51,18 +63,21 @@ object SimilarityQueries {
     Q(
       "q33_ngram_jaccard_pairs",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .withColumn("toks", expr(toksExpr))
+        // Join carries only (doc_id, tri); the per-doc shingle sizes come
+        // back via two broadcast joins AFTER the pair aggregation — at
+        // scale that keeps the wide shuffle to the minimum bytes/row.
+        val d = docsParallel(s, dir)
           .withColumn("tris", expr(trisExpr))
           .select(col("doc_id"), size(col("tris")).as("sz"), col("tris"))
-        val ex = d.select(col("doc_id"), col("sz"), explode(col("tris")).as("tri"))
-        val a = ex.as("a")
-        val b = ex.as("b")
-        a.join(b, col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sz").as("sza"), col("b.sz").as("szb"))
+        val ex = d.select(col("doc_id"), explode(col("tris")).as("tri"))
+        val sizes = d.select(col("doc_id"), col("sz"))
+        val pairs = ex.as("a")
+          .join(ex.as("b"), col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), Seq("doc_a"))
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), Seq("doc_b"))
           .select(
             col("doc_a"), col("doc_b"), col("inter"),
             (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
@@ -89,13 +104,18 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // q34: MinHash signatures + LSH band keys — 12 seeded min-md5-string
-    // hashes per doc, banded 4-wide into 3 bucket keys. Lexicographic min
-    // over md5 strings needs no numeric hash and is engine-identical.
+    // hashes per doc over word-TRIGRAM shingles, banded 4-wide into 3
+    // bucket keys. Shingles, not unigrams: the corpus vocabulary is tiny,
+    // so unigram token sets collide massively (hundreds of docs share one
+    // set at sf0.1) and band buckets degenerate into quadratic cliques;
+    // trigram sets are order-sensitive and nearly unique, which is also
+    // the textbook-correct MinHash input. Lexicographic min over md5
+    // strings needs no numeric hash and is engine-identical.
     Q(
       "q34_minhash_bands",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        val toks = docsParallel(s, dir)
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
         val seeded = toks
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
@@ -111,7 +131,8 @@ object SimilarityQueries {
       },
       Some(s"""
         WITH t AS (
-          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+          SELECT doc_id, UNNEST($trisSql) AS tok
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         ), s AS (
           SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
@@ -129,15 +150,16 @@ object SimilarityQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q35: MinHash-LSH candidate pairs verified with true token Jaccard —
-    // docs sharing any band bucket become candidates (three per-band hash
-    // joins, the scalable alternative to all-pairs), then the exact
-    // set-intersection check.
+    // q35: MinHash-LSH candidate pairs verified with true shingle Jaccard
+    // — docs sharing any band bucket become candidates (per-band hash
+    // joins on the bucket key, the scalable alternative to all-pairs),
+    // then the exact set-intersection check. Trigram shingles throughout
+    // (see q34 — unigram sets degenerate on this corpus).
     Q(
       "q35_lsh_dedup_candidates",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        val toks = docsParallel(s, dir)
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
         val bands = toks
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
@@ -151,8 +173,8 @@ object SimilarityQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sets = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("ts"))
+        val sets = docsParallel(s, dir)
+          .select(col("doc_id"), expr(trisExpr).as("ts"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
@@ -160,12 +182,13 @@ object SimilarityQueries {
             col("doc_a"), col("doc_b"),
             (size(array_intersect(col("ta"), col("tb"))) /
               (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb")))))
-              .as("token_jaccard"))
+              .as("shingle_jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
         WITH t AS (
-          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+          SELECT doc_id, UNNEST($trisSql) AS tok
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         ), s AS (
           SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
@@ -179,11 +202,12 @@ object SimilarityQueries {
           FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
                            AND x.doc_id < y.doc_id
         ), sets AS (
-          SELECT doc_id, LIST_DISTINCT($toksSql) AS ts FROM documents
+          SELECT doc_id, $trisSql AS ts
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         )
         SELECT doc_a, doc_b,
                LEN(LIST_INTERSECT(sa.ts, sb.ts))
-                 / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts))) AS token_jaccard
+                 / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts))) AS shingle_jaccard
         FROM cand
         JOIN sets sa ON sa.doc_id = doc_a
         JOIN sets sb ON sb.doc_id = doc_b
@@ -192,14 +216,15 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // q36: SimHash near-dup pairs — 16-bit simhash from 60-bit md5-derived
-    // token hashes, candidate generation by byte-band buckets (Hamming
-    // LSH), Hamming distance <= 4 filter. Banding keeps the join keyed at
+    // trigram-shingle hashes (unigrams degenerate on this corpus, see
+    // q34), candidate generation by byte-band buckets (Hamming LSH),
+    // Hamming distance <= 4 filter. Banding keeps the join keyed at
     // scale; like all LSH it trades recall for never doing all-pairs.
     Q(
       "q36_simhash_pairs",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        val toks = docsParallel(s, dir)
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
           .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
         val bits = toks
           .withColumn("b", explode(expr("sequence(0, 15)")))
@@ -224,7 +249,8 @@ object SimilarityQueries {
       },
       Some(s"""
         WITH t AS (
-          SELECT doc_id, UNNEST(LIST_DISTINCT($toksSql)) AS tok FROM documents
+          SELECT doc_id, UNNEST($trisSql) AS tok
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         ), th AS (
           SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h FROM t
         ), bits AS (

@@ -335,9 +335,17 @@ object TimeSeriesQueries {
       "q27_rolling_skew",
       (s, dir) => {
         val w7 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-6, 0)
-        Tables.events(s, dir).select(
-          col("event_id"), col("user_id"), col("ts"), col("value"),
-          Rolling.skewG1(col("value"), w7, 7).as("skew_7"))
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"), col("ts"), col("value"),
+            Rolling.n(col("value"), w7).as("_n"),
+            Rolling.s1(col("value"), w7).as("_s1"),
+            Rolling.s2(col("value"), w7).as("_s2"),
+            Rolling.s3(col("value"), w7).as("_s3"))
+          .select(
+            col("event_id"), col("user_id"), col("ts"), col("value"),
+            Rolling.skewG1FromSums(col("_n"), col("_s1"), col("_s2"), col("_s3"), 7)
+              .as("skew_7"))
       },
       Some(s"""
         SELECT event_id, user_id, ts, value,
