@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.DotProductF
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -284,11 +285,11 @@ object SimilarityQueries {
       "q37_knn_bruteforce_cosine",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-          .withColumn("n2", expr(dotExpr("embedding", "embedding")))
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
         val cs = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-        val dot = expr(dotExpr("qe", "ce"))
+        val dot = DotProductF.dot(col("qe"), col("ce"))
         val cos = dot / (sqrt(col("qn2")) * sqrt(col("cn2")))
         val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
         val scored = broadcast(qs).join(cs, col("query_id") =!= col("cand_id"))
@@ -335,14 +336,14 @@ object SimilarityQueries {
           .map(j => s"(case when ${planeDot(j)} > 0 then ${1 << j} else 0 end)")
           .mkString(" + ")
         val emb = Tables.embeddings(s, dir)
-          .withColumn("n2", expr(dotExpr("embedding", "embedding")))
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
           .withColumn("bucket", expr(keyExpr))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"), col("bucket"))
         val cs = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
           col("n2").as("cn2"), col("bucket"))
-        val dot = expr(dotExpr("qe", "ce"))
+        val dot = DotProductF.dot(col("qe"), col("ce"))
         val cos = dot / (sqrt(col("qn2")) * sqrt(col("cn2")))
         val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
         val scored = broadcast(qs).join(cs, Seq("bucket"))
