@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star requirement): image/audio/video
+  * travel as opaque BINARY columns with typed metadata; decode /
+  * feature-extract / resize / frame-sample are per-partition batch
+  * transforms.
+  *
+  * The DECODE step is a clearly-marked STUB — no image/audio codecs exist
+  * in this container — producing a deterministic fake feature vector from
+  * the payload bytes. Everything around it is the real Spark shape a
+  * production pipeline needs: fixed schema, per-partition batching (one
+  * decoder init per partition, not per row — the JVM analog of
+  * mapInPandas batch semantics), size-aware repartitioning, and generated
+  * frame indices for video sampling.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  final case class MediaFeatures(media_id: Long, kind: String, dim: Int,
+                                 features: Array[Float])
+
+  /** Binary payloads are large: rebalance by size so no task gets all the
+    * videos. `targetBytes` is the max payload volume per partition. */
+  def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
+    val totalBytes = df.select(sum(length(col("payload")))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts, col("media_id"))
+  }
+
+  /** Decode + feature-extract, batched per partition. The inner loop is
+    * where a real decoder (JPEG/PNG/PCM) would run once per row with the
+    * expensive codec initialized once per PARTITION — the pattern that
+    * matters at scale. STUB: features are a deterministic rolling hash of
+    * the bytes, dim 8 for image, 4 for audio, 16 for video. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // >>> real pipeline: val decoder = Codec.open(...)  (once/partition)
+        rows.map { case (id, kind, bytes) =>
+          val dim = kind match {
+            case "image" => 8
+            case "audio" => 4
+            case _       => 16
+          }
+          // >>> STUB decode: deterministic bytes -> features
+          val feats = Array.tabulate(dim) { d =>
+            var h = 1125899906842597L + d
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+            ((h % 1000003L).toFloat) / 1000003f
+          }
+          MediaFeatures(id, kind, dim, feats)
+        }
+      }
+  }
+
+  /** Video frame sampling: every `stride`-th frame index from metadata —
+    * pure generated plumbing (the decode of each sampled frame would go
+    * through [[extractFeatures]]' partition loop). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .where(col("kind") === "video" && col("meta.n_frames").isNotNull)
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1,
+          lit(stride))).as("frame_idx"))
+
+  /** Resize planning: pure metadata math (target box, preserve aspect) —
+    * the physical resize belongs in the partition loop next to decode. */
+  def planResize(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast(DoubleType)
+    val h = col("meta.height").cast(DoubleType)
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    media
+      .where(col("kind") === "image")
+      .select(
+        col("media_id"),
+        floor(w * scale).cast(IntegerType).as("target_width"),
+        floor(h * scale).cast(IntegerType).as("target_height"))
+  }
+}

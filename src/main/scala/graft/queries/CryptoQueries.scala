@@ -129,4 +129,94 @@ object CryptoQueries {
         col("coin_id") === col("r_coin") && col("year_month") === col("r_ym"), "left")
       .drop("r_coin", "r_ym", "two_day")
   }
+
+  /** The transform_data.ipynb prediction frame (reference cells 4-7 /
+    * SURVEY.md F8-F22): 33 columns, one row per (coin, date) that
+    * survives the lag-induced dropna — golden shapes 234/237/244 x 33.
+    * All rolling stats keep pandas min_periods semantics; the scalers are
+    * deliberately fit on the full series like the reference. */
+  def predictionFrame(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("coin_id").orderBy("fetch_date")
+    val w8 = w.rowsBetween(-7, 0)
+    val w7 = w.rowsBetween(-6, 0)
+    val wAll = Window.partitionBy("coin_id")
+
+    val base = processedFrame(history)
+      .withColumn("price_usd", col("price_double"))
+      .drop("price_double", "response_data", "prev_value")
+
+    val prev7 = lag(col("price_usd"), 7).over(w)
+    val dowMon0 = (dayofweek(col("fetch_date")) + 5) % 7
+    val dayName = Seq("Lunes", "Martes", "Miércoles", "Jueves", "Viernes",
+      "Sábado", "Domingo").zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (nm, i)) =>
+        when(dowMon0 === i, nm).otherwise(acc)
+      }
+
+    val us = Holidays.us2024 ++ Seq("2025-01-01", "2025-01-20", "2025-02-17",
+      "2025-05-26", "2025-06-19", "2025-07-04", "2025-09-01", "2025-10-13",
+      "2025-11-11", "2025-11-27", "2025-12-25")
+    val cn = Holidays.cn2024 ++ Seq("2025-01-01", "2025-01-28", "2025-01-29",
+      "2025-01-30", "2025-01-31", "2025-02-01", "2025-02-02", "2025-02-03",
+      "2025-02-04", "2025-04-04", "2025-04-05", "2025-04-06", "2025-05-01",
+      "2025-05-02", "2025-05-03", "2025-05-04", "2025-05-05", "2025-05-31",
+      "2025-06-01", "2025-06-02", "2025-10-01", "2025-10-02", "2025-10-03",
+      "2025-10-04", "2025-10-05", "2025-10-06", "2025-10-07", "2025-10-08")
+    def inSet(dates: Seq[String], c: org.apache.spark.sql.Column) =
+      c.cast("string").isin(dates: _*).cast("int")
+
+    val absRet = abs(col("pct_change"))
+    val nAbs = count(col("return_abs")).over(w7)
+
+    val enriched = base
+      .withColumn("rolling_7d_trend",
+        when(prev7.isNotNull, (col("price_usd") / prev7 - 1) * 100))
+      // full-float rolling moments here (np.var ddof=0; pandas G1 skew via
+      // the algebraic correction over Spark's population skewness) — the
+      // decimal-sum Rolling variants are for oracle bit-parity on
+      // 2-decimal data, which crypto prices are not
+      .withColumn("rolling_7d_variance",
+        when(count(col("price_usd")).over(w8) === 8,
+          var_pop(col("price_usd")).over(w8)))
+      .withColumns(
+        (1 to 7).map(i => s"price_lag_$i" ->
+          lag(col("price_usd"), i).over(w)).toMap)
+      .withColumn("next_day_price", lead(col("price_usd"), 1).over(w))
+      .withColumn("price_skew_7d",
+        when(count(col("price_usd")).over(w7) === 7,
+          skewness(col("price_usd")).over(w7) *
+            lit(math.sqrt(7.0 * 6.0) / 5.0)))
+      .withColumn("day_of_week", dowMon0)
+      .withColumn("day_name", dayName)
+      .withColumn("is_weekend", dowMon0.isin(5, 6).cast("int"))
+      .withColumn("week_of_year", weekofyear(col("fetch_date")))
+      .withColumn("day_of_month", dayofmonth(col("fetch_date")))
+      .withColumn("quarter", quarter(col("fetch_date")))
+      .withColumn("day_of_year", dayofyear(col("fetch_date")))
+      .withColumn("return_abs", absRet)
+      .withColumn("return_rolling_mean_7d",
+        when(nAbs === 7, avg(col("return_abs")).over(w7)))
+      .withColumn("is_us_holiday", inSet(us, col("fetch_date")))
+      .withColumn("is_china_holiday", inSet(cn, col("fetch_date")))
+      .withColumn("is_pre_us_holiday", inSet(us, date_add(col("fetch_date"), 1)))
+      .withColumn("price_normalized",
+        (col("price_usd") - min(col("price_usd")).over(wAll)) /
+          (max(col("price_usd")).over(wAll) - min(col("price_usd")).over(wAll)))
+      .withColumn("price_standardized",
+        (col("price_usd") - avg(col("price_usd")).over(wAll)) /
+          stddev_pop(col("price_usd")).over(wAll))
+
+    enriched
+      .select(
+        "coin_id", "price_usd", "fetch_date", "pct_change", "year", "month",
+        "year_month", "risk_level", "rolling_7d_trend", "rolling_7d_variance",
+        "price_lag_1", "price_lag_2", "price_lag_3", "price_lag_4",
+        "price_lag_5", "price_lag_6", "price_lag_7", "next_day_price",
+        "price_skew_7d", "day_of_week", "day_name", "is_weekend",
+        "week_of_year", "day_of_month", "quarter", "day_of_year",
+        "return_abs", "return_rolling_mean_7d", "is_us_holiday",
+        "is_china_holiday", "is_pre_us_holiday", "price_normalized",
+        "price_standardized")
+      .na.drop()
+  }
 }
