@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the payload of the
+  * latest right row with the same key and rightTime <= leftTime.
+  *
+  * Spark has no native as-of join. The naive rewrite is a theta join
+  * (t_r <= t_l) + per-left-row max — quadratic per key. This operator
+  * uses the scalable union+window formulation instead: tag both inputs,
+  * union them, sort each key's timeline once, and carry the last-seen
+  * right payload forward with last(_, ignoreNulls) — one shuffle, one
+  * sort, linear in |L|+|R| per key, spill-safe. This is the shape that
+  * survives a 100 TB trade/quote-style workload.
+  *
+  * Tie rule: right rows sort BEFORE left rows at equal timestamps, so
+  * `<=` (not `<`) semantics apply; duplicate right rows per (key, time)
+  * must be pre-deduplicated by the caller to keep results deterministic.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry (must not collide with
+    *                left column names). */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def typedNull(df: DataFrame, c: String) =
+      lit(null).cast(df.schema(c).dataType).as(c)
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(col) ++ payload.map(c => typedNull(right, c)): _*)
+    val taggedRight = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isLeft", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(c => typedNull(left, c)) ++ payload.map(col): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__isLeft") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

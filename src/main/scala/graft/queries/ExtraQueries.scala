@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage extensions beyond the reference surface: as-of join, CUBE
+  * grouping sets, global top-k, and approximate sketches (SURVEY.md §2.E
+  * gaps the engine fills as a "complete" library).
+  */
+object ExtraQueries {
+  import graft.Q._
+
+  val defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q41: backward as-of join — each event picks up the latest order of
+    // the same customer at or before the event time, via the scalable
+    // union+window formulation (one shuffle+sort per key, no theta join).
+    // Right side pre-deduplicated per (key, time) with max(o_orderkey) so
+    // tie behavior is deterministic; the oracle mirrors that rule with a
+    // correlated max.
+    Q(
+      "q41_asof_join_latest_order",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        AsOfJoin.asofBackward(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("asof_orderkey", "asof_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q42: CUBE grouping sets — all four aggregation levels in one Expand
+    // + hash-agg pass (the reference has no grouping sets, §2.E).
+    Q(
+      "q42_cube_pricing",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+          .agg(sumExact(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("returnflag").asc_nulls_first, col("linestatus").asc_nulls_first)
+      },
+      Some("""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+      """)),
+
+    // ----------------------------------------------------------------
+    // q43: global top-k — orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition heap + single merge, never a full global sort).
+    Q(
+      "q43_global_topk_orders",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select(col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+      """)),
+
+    // ----------------------------------------------------------------
+    // q44: approximate sketches — HLL++ distinct counts and quantile
+    // sketches, the constant-memory scale path where exact would shuffle
+    // every value. No SQL oracle (engine-specific sketch internals);
+    // the driver records the weaker rows-check, and q08/q09 pin the exact
+    // counterparts.
+    Q(
+      "q44_approx_sketches",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+            percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+          .orderBy("event_type")
+      },
+      None)
+  )
+}
