@@ -11,6 +11,11 @@ object Explain {
     val fn = SparkEntry.queries(name)
     val df = fn(spark, sfDir)
     df.explain("formatted")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"/tmp/graft_plan_$name.txt"),
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    catch { case _: Throwable => () }
     val lines = (1 to nRuns).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -57,6 +57,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(rollup).count() == 1)
   }
 
+  test("watermarked tumbling-window aggregation drops too-late rows") {
+    // The optional bounded-state mode (SURVEY.md §2.F): 10-minute windows,
+    // 20-minute watermark, append mode — a row later than watermark past
+    // its window's end is dropped instead of resurrecting closed state.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("n"))
+    val out = tmp()
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_agg")
+      .option("checkpointLocation", out + "/ckpt").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 00:01:00"), 1.0), (t("2024-01-01 00:05:00"), 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first window, closing it
+    mem.addData((t("2024-01-01 01:00:00"), 3.0))
+    q.processAllAvailable()
+    // too-late row for the long-closed 00:00 window: must be dropped
+    mem.addData((t("2024-01-01 00:02:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 02:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_agg")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.get("2024-01-01 00:00:00") == Some(2L),
+      s"closed window must not include the late row; got $rows")
+  }
+
   test("file-source stream with AvailableNow drains the landing dir once") {
     val in = tmp() + "/in"
     val (table, rollup, ckpt) = (tmp() + "/hist", tmp() + "/roll", tmp() + "/ckpt")
