@@ -1,0 +1,25 @@
+package graft
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's custom Catalyst
+  * expressions available to plain SQL users
+  * (`spark.sql.extensions=graft.GraftExtensions` or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  *   SELECT dot_product_f(a.embedding, b.embedding) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product_f(arrayA, arrayB)")
+        DotProductF(children.head, children(1))
+      }))
+  }
+}
