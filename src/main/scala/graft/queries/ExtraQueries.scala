@@ -111,6 +111,56 @@ object ExtraQueries {
             percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // q45: scalar JSON path extraction + cast over the events props
+    // column (reference JSONB -> ->> '::numeric' access, SURVEY Q2h/O5)
+    // plus string-function family coverage (concat/upper/substring).
+    Q(
+      "q45_json_props_extract",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), k.as("k"))
+          .where(col("k").isNotNull && col("k") >= 50)
+          .select(
+            col("event_id"), col("k"),
+            concat(upper(substring(col("event_type"), 1, 2)), lit(":"),
+              col("k").cast(StringType)).as("tag"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, k,
+               CONCAT(UPPER(SUBSTRING(event_type, 1, 2)), ':', CAST(k AS VARCHAR)) AS tag
+        FROM (
+          SELECT event_id, event_type,
+                 CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+          FROM events
+        ) WHERE k IS NOT NULL AND k >= 50
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q46: batch tumbling window aggregation — the same window() operator
+    // the streaming path uses (SURVEY §2.F), here as a daily rollup with
+    // exact decimal sums.
+    Q(
+      "q46_tumbling_daily_totals",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(
+            sumExact(col("value")).as("total_value"),
+            count(lit(1)).as("n"))
+          .select(col("w.start").as("day_start"), col("total_value"), col("n"))
+          .orderBy("day_start")
+      },
+      Some("""
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+      """))
   )
 }
