@@ -156,12 +156,12 @@ object CryptoQueries {
     val us = Holidays.us2024 ++ Seq("2025-01-01", "2025-01-20", "2025-02-17",
       "2025-05-26", "2025-06-19", "2025-07-04", "2025-09-01", "2025-10-13",
       "2025-11-11", "2025-11-27", "2025-12-25")
+    // holidays.China() 2025 (statutory + weekday in-lieu; Jan-May window
+    // pinned exactly by the reference's committed prediction CSVs)
     val cn = Holidays.cn2024 ++ Seq("2025-01-01", "2025-01-28", "2025-01-29",
-      "2025-01-30", "2025-01-31", "2025-02-01", "2025-02-02", "2025-02-03",
-      "2025-02-04", "2025-04-04", "2025-04-05", "2025-04-06", "2025-05-01",
-      "2025-05-02", "2025-05-03", "2025-05-04", "2025-05-05", "2025-05-31",
-      "2025-06-01", "2025-06-02", "2025-10-01", "2025-10-02", "2025-10-03",
-      "2025-10-04", "2025-10-05", "2025-10-06", "2025-10-07", "2025-10-08")
+      "2025-01-30", "2025-01-31", "2025-02-03", "2025-02-04", "2025-04-04",
+      "2025-05-01", "2025-05-02", "2025-05-05", "2025-06-02", "2025-10-01",
+      "2025-10-02", "2025-10-03", "2025-10-06", "2025-10-07", "2025-10-08")
     def inSet(dates: Seq[String], c: org.apache.spark.sql.Column) =
       c.cast("string").isin(dates: _*).cast("int")
 

@@ -364,11 +364,13 @@ object Holidays {
     "2024-01-01", "2024-01-15", "2024-02-19", "2024-05-27", "2024-06-19",
     "2024-07-04", "2024-09-02", "2024-10-14", "2024-11-11", "2024-11-28",
     "2024-12-25")
+  /** Matches the Python `holidays.China()` calendar the reference used
+    * (statutory days plus weekday in-lieu observances, weekends excluded)
+    * — the Sep-Dec window is pinned exactly by the reference's committed
+    * prediction CSVs (PredictionValuesSpec). */
   val cn2024: Seq[String] = Seq(
-    "2024-01-01", "2024-02-10", "2024-02-11", "2024-02-12", "2024-02-13",
-    "2024-02-14", "2024-02-15", "2024-02-16", "2024-02-17", "2024-04-04",
-    "2024-04-05", "2024-04-06", "2024-05-01", "2024-05-02", "2024-05-03",
-    "2024-05-04", "2024-05-05", "2024-06-10", "2024-09-15", "2024-09-16",
-    "2024-09-17", "2024-10-01", "2024-10-02", "2024-10-03", "2024-10-04",
-    "2024-10-05", "2024-10-06", "2024-10-07")
+    "2024-01-01", "2024-02-10", "2024-02-12", "2024-02-13", "2024-02-14",
+    "2024-02-15", "2024-02-16", "2024-02-17", "2024-04-04", "2024-05-01",
+    "2024-05-02", "2024-05-03", "2024-06-10", "2024-09-16", "2024-09-17",
+    "2024-10-01", "2024-10-02", "2024-10-03", "2024-10-04", "2024-10-07")
 }
