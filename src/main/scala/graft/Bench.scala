@@ -9,10 +9,12 @@ object Bench {
     // absorb session startup.
     try {
       Tables.all.foreach(t => Tables.df(spark, sfDir, t).count())
-      // q02 warms scan+hash-agg codegen; q34 warms the interpreted
-      // higher-order-function path (trigram lambdas + md5) whose first
-      // C2-compilation storm otherwise lands on one measured query.
-      Seq("q02_pricing_summary", "q34_minhash_bands").foreach(n =>
+      // q02 warms scan+hash-agg codegen; q34 the interpreted higher-order-
+      // function path (trigram lambdas + md5); q35 the multi-join +
+      // string_agg band pipeline — each first C2-compilation storm
+      // otherwise lands on one measured query.
+      Seq("q02_pricing_summary", "q34_minhash_bands",
+        "q35_lsh_dedup_candidates").foreach(n =>
         SparkEntry.queries.get(n)
           .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save()))
     } catch { case _: Throwable => () }
