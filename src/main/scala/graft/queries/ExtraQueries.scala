@@ -161,6 +161,61 @@ object ExtraQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
                COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q47: FULL OUTER join — per-user click vs purchase counts, keeping
+    // users present on either side only (§2.E: reference has no full
+    // joins; the engine completes the join family).
+    Q(
+      "q47_full_outer_click_purchase",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def per(t: String, out: String) =
+          ev.where(col("event_type") === t)
+            .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+        val c = per("click", "n_clicks")
+        val p = per("purchase", "n_purchases")
+        c.withColumnRenamed("user_id", "cu")
+          .join(p.withColumnRenamed("user_id", "pu"),
+            col("cu") === col("pu"), "full_outer")
+          .select(
+            coalesce(col("cu"), col("pu")).as("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' GROUP BY 1),
+             p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q48: deterministic collect aggregation — distinct user set per
+    // event type, sorted then joined to a string (collect_set order is
+    // nondeterministic; the sort makes it comparable and reproducible).
+    Q(
+      "q48_collect_sorted_users",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .where(col("user_id") < 30)
+          .groupBy(col("event_type"))
+          .agg(concat_ws(",",
+            sort_array(collect_set(col("user_id")))).as("users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT user_id)), ',') AS users
+        FROM events WHERE user_id < 30
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }
