@@ -216,6 +216,22 @@ object ExtraQueries {
                ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT user_id)), ',') AS users
         FROM events WHERE user_id < 30
         GROUP BY 1 ORDER BY 1
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q49: IVF approximate nearest neighbor — k-means coarse quantizer,
+    // search restricted to the query's own cell (equi-join on cell_id).
+    // Engine-specific (MLlib k-means) so no SQL oracle; IvfSpec pins
+    // recall against the exact brute-force baseline instead.
+    Q(
+      "q49_ann_ivf",
+      (s, dir) => {
+        val (cells, centroids) = graft.ml.IvfIndex.buildIndex(
+          s, Tables.embeddings(s, dir), nlist = 16)
+        graft.ml.IvfIndex.searchTopK(
+          cells, centroids, pmod(col("vec_id"), lit(100)) === 0,
+          k = 3, nprobe = 3)
+      },
+      None)
   )
 }

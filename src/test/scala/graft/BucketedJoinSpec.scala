@@ -11,7 +11,21 @@ class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a fresh JVM starts a fresh in-memory metastore, but the warehouse
+    // directory persists across runs — clear it or CREATE TABLE refuses
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   test("join of co-bucketed tables plans no shuffle exchange") {
+    dropTable("bkt_left")
+    dropTable("bkt_right")
     val left = (1L to 1000L).map(i => (i % 50, s"l$i")).toDF("k", "lv")
     val right = (1L to 500L).map(i => (i % 50, s"r$i")).toDF("k", "rv")
     left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
