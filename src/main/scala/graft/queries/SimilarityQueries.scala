@@ -57,21 +57,57 @@ object SimilarityQueries {
     s"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), " +
       "(x, y) -> x + y)"
 
+  /** Document-frequency cap for shingles. A shingle appearing in more than
+    * `dfCap` documents carries no near-dup signal (it is corpus boilerplate)
+    * but makes every join keyed on it quadratic in df — the one way a
+    * shingle-keyed pipeline can blow up at 100 TB. All three Jaccard-family
+    * queries (q33/q34/q35) drop hot shingles before any self-join, which
+    * bounds per-key join work at dfCap² regardless of corpus size. The
+    * oracle SQL applies the identical cap so results stay hash-exact. */
+  private val dfCap = 20
+
+  /** (doc_id, tri) word-trigram shingle pairs with hot shingles removed.
+    * The df filter is a keyed equi-join on the shingle (the shingle
+    * vocabulary is unbounded at scale, so no broadcast) — the same key the
+    * downstream self-join shuffles on, so the exchange is reusable. */
+  private def cappedShingles(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ex = docsParallel(s, dir)
+      .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+    // tris is array_distinct per doc, so count(*) per shingle == document frequency
+    val keep = ex.groupBy("tri").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .select("tri")
+    ex.join(keep, Seq("tri"))
+  }
+
+  /** Oracle CTE fragments mirroring [[cappedShingles]]: `e0` is the raw
+    * shingle explode, `dfc` the kept shingles, `e` the capped explode. */
+  private val cappedSql =
+    s"""e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        ), dfc AS (
+          SELECT tri FROM e0 GROUP BY tri HAVING COUNT(*) <= $dfCap
+        ), e AS (
+          SELECT doc_id, tri FROM e0 JOIN dfc USING (tri)
+        )"""
+
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
-    // q33: n-gram Jaccard near-dup pairs — shingle explode, hash join on
-    // the shingle, per-pair intersection counts, |A∩B|/(|A|+|B|-|A∩B|).
+    // q33: n-gram Jaccard near-dup pairs — df-capped shingle explode, hash
+    // join on the shingle, per-pair intersection counts,
+    // |A∩B|/(|A|+|B|-|A∩B|) over the capped sets. The df cap (see
+    // [[cappedShingles]]) is what keeps this self-join linear at scale:
+    // without it one corpus-wide boilerplate shingle makes the pair count
+    // quadratic in corpus size.
     Q(
       "q33_ngram_jaccard_pairs",
       (s, dir) => {
-        // Join carries only (doc_id, tri); the per-doc shingle sizes come
-        // back via two broadcast joins AFTER the pair aggregation — at
-        // scale that keeps the wide shuffle to the minimum bytes/row.
-        val d = docsParallel(s, dir)
-          .withColumn("tris", expr(trisExpr))
-          .select(col("doc_id"), size(col("tris")).as("sz"), col("tris"))
-        val ex = d.select(col("doc_id"), explode(col("tris")).as("tri"))
-        val sizes = d.select(col("doc_id"), col("sz"))
+        // Join carries only (doc_id, tri); the per-doc capped-set sizes
+        // come back via two broadcast joins AFTER the pair aggregation —
+        // at scale that keeps the wide shuffle to the minimum bytes/row.
+        val ex = cappedShingles(s, dir)
+        val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val pairs = ex.as("a")
           .join(ex.as("b"), col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -86,20 +122,19 @@ object SimilarityQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
-        WITH d AS (
-          SELECT doc_id, $trisSql AS tris
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-        ), e AS (
-          SELECT doc_id, LEN(tris) AS sz, UNNEST(tris) AS tri FROM d
+        WITH $cappedSql, sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY 1
         ), pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.sz AS sza, b.sz AS szb, COUNT(*) AS inter
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
           FROM e a JOIN e b ON a.tri = b.tri AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4
+          GROUP BY 1, 2
         )
         SELECT doc_a, doc_b, inter,
-               inter / (sza + szb - inter) AS jaccard
-        FROM pairs WHERE inter / (sza + szb - inter) >= 0.01
+               inter / (sa.sz + sb.sz - inter) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.01
         ORDER BY 1, 2
       """)),
 
@@ -115,8 +150,7 @@ object SimilarityQueries {
     Q(
       "q34_minhash_bands",
       (s, dir) => {
-        val toks = docsParallel(s, dir)
-          .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
+        val toks = cappedShingles(s, dir).withColumnRenamed("tri", "tok")
         val seeded = toks
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
@@ -131,9 +165,8 @@ object SimilarityQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, UNNEST($trisSql) AS tok
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        WITH $cappedSql, t AS (
+          SELECT doc_id, tri AS tok FROM e
         ), s AS (
           SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
@@ -159,8 +192,8 @@ object SimilarityQueries {
     Q(
       "q35_lsh_dedup_candidates",
       (s, dir) => {
-        val toks = docsParallel(s, dir)
-          .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
+        val ex = cappedShingles(s, dir)
+        val toks = ex.withColumnRenamed("tri", "tok")
         val bands = toks
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
@@ -174,8 +207,9 @@ object SimilarityQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sets = docsParallel(s, dir)
-          .select(col("doc_id"), expr(trisExpr).as("ts"))
+        // Exact verify over the SAME capped sets the candidates came from
+        // (capped Jaccard, consistent with q33).
+        val sets = ex.groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
@@ -187,9 +221,8 @@ object SimilarityQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id, UNNEST($trisSql) AS tok
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        WITH $cappedSql, t AS (
+          SELECT doc_id, tri AS tok FROM e
         ), s AS (
           SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
@@ -203,8 +236,7 @@ object SimilarityQueries {
           FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
                            AND x.doc_id < y.doc_id
         ), sets AS (
-          SELECT doc_id, $trisSql AS ts
-          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, LIST(tri) AS ts FROM e GROUP BY 1
         )
         SELECT doc_a, doc_b,
                LEN(LIST_INTERSECT(sa.ts, sb.ts))
