@@ -4,32 +4,40 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    // Warm-up (uncounted): touch every table's footer/pages and JIT the
-    // scan+agg+window codepaths once, so the first measured query doesn't
-    // absorb session startup.
-    try {
-      Tables.all.foreach(t => Tables.df(spark, sfDir, t).count())
-      // q02 warms scan+hash-agg codegen; q34 the interpreted higher-order-
-      // function path (trigram lambdas + md5); q35 the multi-join +
-      // string_agg band pipeline — each first C2-compilation storm
-      // otherwise lands on one measured query.
-      Seq("q02_pricing_summary", "q34_minhash_bands",
-        "q35_lsh_dedup_candidates").foreach(n =>
-        SparkEntry.queries.get(n)
-          .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save()))
-    } catch { case _: Throwable => () }
+    // Warm-up (uncounted): touch every table's footer/pages, then run the
+    // ENTIRE suite once so every codepath gets its C2 JIT compilation
+    // before measurement. Warming everything (rather than a hand-picked
+    // subset) keeps the measured numbers defensible: no query is
+    // advantaged over another.
+    try Tables.all.foreach(t => Tables.df(spark, sfDir, t).count())
+    catch { case e: Throwable => System.err.println(s"[bench] table warm-up failed: $e") }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up $name failed: $e") }
+    }
+    var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every operator (a bare count()
       // would let Catalyst prune windows/projections out of the plan).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            errors ::= name
+            false
+        }
+      // A failed query must be distinguishable from a fast one: -1, and
+      // it is excluded from the total.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Side-channel copy for local tooling (driver reads stdout).
     try java.nio.file.Files.writeString(

@@ -1,11 +1,10 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Typed Dataset facade (SURVEY.md §1.4 / §4.3): a case-class view of the
   * coin_history table for callers that want compile-time safety, plus the
-  * optional Aggregator form of the risk classifier — the window-algebra
+  * typed-fold form of the risk classifier — the window-algebra
   * version in CryptoQueries remains the primary, golden-tested one; this
   * is the Dataset-API showcase with identical threshold semantics.
   */
@@ -19,15 +18,21 @@ object TypedSeries {
     * reference (EDA.ipynb:1192-1226). */
   final case class RiskInput(key: String, bucket: String, steps: Seq[Double])
 
-  /** Aggregator over the per-bucket step sequence: buffers the ordered
-    * pct-change steps... except it doesn't buffer at all — because the
-    * classifier only needs adjacent PAIRS, the reduce keeps (prevStep,
-    * runningMin), O(1) state per group. This is the point of the typed
-    * Aggregator form: custom state shape that no built-in agg has. */
-  class TwoDayMin extends Aggregator[Double, (Option[Double], Option[Double]), Option[Double]] {
+  /** Sequential fold over the per-bucket step sequence: because the
+    * classifier only needs adjacent PAIRS, the fold keeps (prevStep,
+    * runningMin) — O(1) state per group instead of buffering the series.
+    *
+    * Deliberately NOT a Spark `Aggregator`: adjacent-pair semantics are
+    * order-dependent, so the shuffle-time `merge` an Aggregator must
+    * provide has no sound implementation (partial buffers from different
+    * partitions lose the pair that straddles the boundary). Exposing it
+    * through `.toColumn` would therefore produce silently wrong results;
+    * the only sound execution is a sequential per-group fold, which is
+    * exactly how [[classifyRisk]] drives it inside mapGroups. */
+  class TwoDayMin {
     type Buf = (Option[Double], Option[Double]) // (prev step, min two-day)
-    override def zero: Buf = (None, None)
-    override def reduce(b: Buf, step: Double): Buf = {
+    def zero: Buf = (None, None)
+    def reduce(b: Buf, step: Double): Buf = {
       val (prev, mn) = b
       val two = prev match {
         case Some(p) if p < 0 && step < 0 =>
@@ -36,14 +41,7 @@ object TypedSeries {
       }
       (Some(step), (mn ++ two).reduceOption((a, b) => math.min(a, b)))
     }
-    // Merge is only sound for sequential per-group folds (mapGroups
-    // path); the pairwise semantics are order-dependent by definition.
-    override def merge(a: Buf, b: Buf): Buf =
-      (b._1.orElse(a._1), (a._2 ++ b._2).reduceOption((x, y) => math.min(x, y)))
-    override def finish(r: Buf): Option[Double] = r._2
-    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-    override def outputEncoder: Encoder[Option[Double]] =
-      Encoders.product[Tuple1[Option[Double]]].asInstanceOf[Encoder[Option[Double]]]
+    def finish(r: Buf): Option[Double] = r._2
   }
 
   def riskLabel(minTwoDay: Option[Double]): String = minTwoDay match {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for every left row, attach the payload of the
   * latest right row with the same key and rightTime <= leftTime.
@@ -30,28 +31,33 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     def typedNull(df: DataFrame, c: String) =
       lit(null).cast(df.schema(c).dataType).as(c)
+    // The payload travels as ONE struct column carried by a single
+    // last(ignoreNulls) — carrying each column independently would, when
+    // a right row holds a genuine NULL in one payload field, back-fill
+    // that field from an OLDER right row and emit a composite row mixing
+    // fields of different right rows. The struct is all-or-nothing.
+    val payloadType = StructType(payload.map(c => right.schema(c)))
     val taggedLeft = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
-        leftCols.map(col) ++ payload.map(c => typedNull(right, c)): _*)
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("__p"): _*)
     val taggedRight = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__isLeft", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
-        leftCols.map(c => typedNull(left, c)) ++ payload.map(col): _*)
+        leftCols.map(c => typedNull(left, c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
 
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__isLeft") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

@@ -29,25 +29,43 @@ object ConnectedComponents {
       .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
+    var prev: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("comp", "bcomp"), Seq("b"))
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("bcomp")).as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // Carry the previous label through the SAME pass so the convergence
+      // check is a filter over this round's result — not a second join
+      // against the previous iteration (halves the jobs per round).
+      val step0 = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev_comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .where(col("u.comp") =!= col("l.comp"))
-        .limit(1).count() > 0
-      labels = updated
+      // cache() does NOT truncate lineage: after k rounds the logical plan
+      // nests k joins deep and optimizer time grows superlinearly (driver
+      // OOM on deep graphs). localCheckpoint every 3 rounds materializes
+      // to block storage and cuts the plan back to a leaf. (On a cluster
+      // where executor loss matters, swap for checkpoint() + checkpointDir
+      // — localCheckpoint blocks are lost with their executor.)
+      val step = if (i % 3 == 2) step0.localCheckpoint() else step0.cache()
+      val changed = step.where(col("comp") =!= col("prev_comp")).limit(1).count() > 0
+      // step is materialized by the count above; the previous round's
+      // cache is now superseded and can go.
+      if (prev != null) prev.unpersist(false)
+      prev = step
+      labels = step.select("id", "comp")
       converged = !changed
       i += 1
     }
+    if (!converged)
+      // Silently returning partial labels would hand the caller a dedup
+      // plan that merges too little; make the truncation loud.
+      System.err.println(
+        s"[graft] ConnectedComponents: maxIter=$maxIter reached before convergence; " +
+          "labels are NOT final (cluster diameter exceeds maxIter)")
+    edges.unpersist(false)
     labels
   }
 

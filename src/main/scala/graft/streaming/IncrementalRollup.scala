@@ -76,15 +76,34 @@ object IncrementalRollup {
   }
 
   private def readOrEmpty(spark: SparkSession, dir: String,
-                          schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists())
+                          schema: StructType): DataFrame = {
+    // Recover from a crash inside overwrite()'s rename pair: if the
+    // table dir is gone but its .old sibling survives, the swap died
+    // between rename 1 and rename 2 — restore the pre-batch table.
+    val target = new java.io.File(dir)
+    val old = new java.io.File(dir + ".old")
+    if (!target.exists() && old.exists() && !old.renameTo(target))
+      throw new java.io.IOException(s"cannot restore $dir from ${old.getPath}")
+    if (target.exists())
       spark.read.parquet(dir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Parquet has no in-place update: stage the new table contents, then
-    * atomically swap directories (the transaction boundary of db.py:139
-    * becomes a rename). */
+    * swap directories via a rename pair (the transaction boundary of
+    * db.py:139 becomes renames). NOT atomic: a crash between the two
+    * renames leaves `.old` but no table — [[readOrEmpty]] detects that
+    * state and restores `.old`, so the pre-batch table is never lost
+    * (the batch re-runs from the stream checkpoint).
+    *
+    * Local-filesystem assumption (stated, per the 100 TB design): the
+    * staging dir lives in the same parent so File.renameTo is a real
+    * rename. Object stores (S3/GCS) have NO rename — deploying there
+    * means swapping this method for a manifest-pointer commit (write
+    * files under a new prefix, then atomically update a small pointer
+    * object/metastore entry), which is exactly the commit protocol
+    * Delta/Iceberg implement. This method is the single seam to replace. */
   private def overwrite(df: DataFrame, dir: String): Unit = {
     val staged = dir + ".staging"
     df.write.mode("overwrite").parquet(staged)

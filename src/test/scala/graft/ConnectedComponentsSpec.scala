@@ -19,6 +19,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("deep chain (diameter 19) converges with a bounded plan") {
+    // A 20-node path: label 0 must propagate 19 hops, so this runs ~20
+    // iterations — without localCheckpoint the logical plan nests 20 joins
+    // deep and the optimizer blows up; with it this finishes quickly.
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.components(pairs, maxIter = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 20)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("dedupPlan lists every non-keeper exactly once") {
     val pairs = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
     val got = ConnectedComponents.dedupPlan(pairs)
