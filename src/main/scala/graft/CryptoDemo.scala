@@ -13,7 +13,11 @@ object CryptoDemo {
     val out = if (args.length > 1) Some(args(1)) else None
     val spark = Sessions.local()
     val history = CoinGecko.coinHistory(spark, landing).cache()
-    out.foreach(dir => CoinGecko.writeCoinHistory(history, s"$dir/coin_history"))
+    out.foreach { dir =>
+      CoinGecko.writeCoinHistory(history, s"$dir/coin_history")
+      graft.sources.CsvArtifacts.writeAll(history, dir)
+        .foreach(f => println(s"wrote $dir/$f"))
+    }
 
     println(s"rows=${history.count()}")
     println("== Query 1: monthly averages")

@@ -130,6 +130,28 @@ object CryptoQueries {
       .drop("r_coin", "r_ym", "two_day")
   }
 
+  /** The processed_crypto_data.csv artifact frame (reference
+    * EDA.ipynb:1739): [[processedFrame]] plus the 7-day rolling trend /
+    * variance, in the committed CSV's exact 10-column order, one row per
+    * non-null (coin, date) — no dropna, so early-window rolling cells are
+    * empty like pandas NaN. */
+  def processedArtifact(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("coin_id").orderBy("fetch_date")
+    val w8 = w.rowsBetween(-7, 0)
+    val prev7 = lag(col("price_usd"), 7).over(w)
+    processedFrame(history)
+      .withColumn("price_usd", col("price_double"))
+      .withColumn("rolling_7d_trend",
+        when(prev7.isNotNull, (col("price_usd") / prev7 - 1) * 100))
+      .withColumn("rolling_7d_variance",
+        when(count(col("price_usd")).over(w8) === 8,
+          var_pop(col("price_usd")).over(w8)))
+      .select(
+        "coin_id", "price_usd", "fetch_date", "pct_change", "year", "month",
+        "year_month", "risk_level", "rolling_7d_trend", "rolling_7d_variance")
+      .orderBy("coin_id", "fetch_date")
+  }
+
   /** The transform_data.ipynb prediction frame (reference cells 4-7 /
     * SURVEY.md F8-F22): 33 columns, one row per (coin, date) that
     * survives the lag-induced dropna — golden shapes 234/237/244 x 33.

@@ -232,6 +232,36 @@ object ExtraQueries {
           cells, centroids, pmod(col("vec_id"), lit(100)) === 0,
           k = 3, nprobe = 3)
       },
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // q52: catalog/metadata profile (SURVEY Q3) — the reference's
+    // information_schema.tables/columns + per-table counts EDA
+    // (notebooks/EDA.ipynb cell 7) through Spark's catalog API:
+    // listTables enumerates, listColumns gives the column count, and one
+    // union of single-row count aggregates profiles every table in a
+    // single parallel job. The listing is filtered to the TESTDATA names
+    // so foreign temp views in a shared session can't perturb results.
+    Q(
+      "q52_catalog_profile",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val names = s.catalog.listTables().collect()
+          .map(_.name).filter(Tables.all.contains).sorted
+        names.map { n =>
+            val nCols = s.catalog.listColumns(n).count()
+            s.table(n).agg(count(lit(1)).as("n_rows"))
+              .select(lit(n).as("table_name"), lit(nCols).as("n_cols"), col("n_rows"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("table_name")
+      },
+      Some {
+        val per = Tables.all.sorted.map(n =>
+          s"""SELECT '$n' AS table_name,
+                     (SELECT COUNT(*) FROM (DESCRIBE $n)) AS n_cols,
+                     (SELECT COUNT(*) FROM $n) AS n_rows""")
+        per.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+      })
   )
 }

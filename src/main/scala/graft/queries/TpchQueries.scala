@@ -76,6 +76,82 @@ object TpchQueries {
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q53: TPC-H Q9 shape — product-type profit by nation and year. The
+    // synthetic schema has no partsupp, so supply cost is p_retailprice *
+    // quantity (same join/agg skeleton: 4 joins, name filter on part,
+    // year extraction, two-product decimal amount). Dimensions broadcast;
+    // the only shuffle is the final (nation, year) aggregate.
+    Q(
+      "q53_product_profit",
+      (s, dir) => {
+        val p = Tables.part(s, dir).where(col("p_name").like("%bolt%"))
+          .select("p_partkey", "p_retailprice")
+        val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        val amount =
+          dec2(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec2(col("l_discount"))) -
+            dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(amount).cast(DoubleType).as("profit"))
+          .orderBy(col("nation").asc, col("o_year").desc)
+      },
+      Some("""
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+        ORDER BY 1 ASC, 2 DESC
+      """)),
+
+    // ----------------------------------------------------------------
+    // q54: session windows — Spark's session_window() (merge events with
+    // < 6 h gaps per user) against a gaps-and-islands oracle (break when
+    // the gap is >= 6 h, running-sum island id). Session windows are
+    // [start, start+gap): an event exactly gap later opens a NEW session,
+    // hence the >= in the oracle's break condition. Same operator the
+    // streaming path uses; here batch with exact decimal sums.
+    Q(
+      "q54_session_windows",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+          .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("total_value"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), sess AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY 1, 2
       """))
   )
 }

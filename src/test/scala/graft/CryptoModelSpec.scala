@@ -32,10 +32,17 @@ class CryptoModelSpec extends AnyFunSuite {
     val bestR2 = rows.groupBy(_.getString(0)).map { case (coin, rs) =>
       coin -> rs.map(_.getDouble(4)).max
     }
-    // reference best R2: bitcoin 0.9197, ethereum 0.8718, cardano 0.8034;
-    // require the same "strong fit" regime without chasing decimals
-    Seq("bitcoin", "ethereum", "cardano").foreach { coin =>
-      assert(bestR2(coin) > 0.6, s"$coin best R2 ${bestR2(coin)} too weak")
+    // Metric parity with models.ipynb cell 6 (BASELINE.md rows 3-5):
+    // per-coin best R2 must land within 0.05 of the reference's sklearn
+    // numbers (or beat them — MLlib/sklearn optimizer and regularization-
+    // scaling differences are documented in PricePrediction.scala:9-14,
+    // so exceeding the reference is parity, not failure).
+    val ref = Map("bitcoin" -> 0.9197, "ethereum" -> 0.8718, "cardano" -> 0.8034)
+    ref.foreach { case (coin, r) =>
+      val got = bestR2(coin)
+      info(f"$coin best R2 $got%.4f vs reference $r%.4f (delta ${got - r}%+.4f)")
+      assert(got >= r - 0.05,
+        f"$coin best R2 $got%.4f more than 0.05 below reference $r%.4f")
     }
   }
 }
