@@ -92,6 +92,22 @@ object SimilarityQueries {
           SELECT doc_id, tri FROM e0 JOIN dfc USING (tri)
         )"""
 
+  /** Deterministic integer hyperplane j dotted with the embedding —
+    * shared by q38 (bucketed ANN) and q55 (banded near-dup pairs). */
+  private def planeDotExpr(j: Int) =
+    s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> " +
+      s"acc + cast(element_at(embedding, d + 1) as double) * cast((($j * 67 + d * 31) % 19) - 9 as double))"
+  private def planeDotSql(j: Int) =
+    s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
+      s"CAST(embedding[d + 1] AS DOUBLE) * CAST((($j * 67 + d * 31) % 19) - 9 AS DOUBLE)), (x, y) -> x + y)"
+  /** 8-bit sign key over the 8 hyperplanes (256 buckets). */
+  private val bucketExpr = (0 to 7)
+    .map(j => s"(case when ${planeDotExpr(j)} > 0 then ${1 << j} else 0 end)")
+    .mkString(" + ")
+  private val bucketSql = (0 to 7)
+    .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q33: n-gram Jaccard near-dup pairs — df-capped shingle explode, hash
@@ -361,15 +377,9 @@ object SimilarityQueries {
     Q(
       "q38_ann_hyperplane_lsh",
       (s, dir) => {
-        def planeDot(j: Int) =
-          s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> " +
-            s"acc + cast(element_at(embedding, d + 1) as double) * cast((($j * 67 + d * 31) % 19) - 9 as double))"
-        val keyExpr = (0 to 7)
-          .map(j => s"(case when ${planeDot(j)} > 0 then ${1 << j} else 0 end)")
-          .mkString(" + ")
         val emb = Tables.embeddings(s, dir)
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("bucket", expr(keyExpr))
+          .withColumn("bucket", expr(bucketExpr))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"), col("bucket"))
@@ -388,18 +398,11 @@ object SimilarityQueries {
             (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
           .orderBy("query_id", "rank")
       },
-      Some {
-        def planeDotSql(j: Int) =
-          s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
-            s"CAST(embedding[d + 1] AS DOUBLE) * CAST((($j * 67 + d * 31) % 19) - 9 AS DOUBLE)), (x, y) -> x + y)"
-        val keySql = (0 to 7)
-          .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""
+      Some(s"""
         WITH e AS (
           SELECT vec_id, embedding,
                  ${dotSql("embedding", "embedding")} AS n2,
-                 $keySql AS bucket
+                 $bucketSql AS bucket
           FROM embeddings
         ), scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -415,7 +418,68 @@ object SimilarityQueries {
                                        ORDER BY sim_q DESC, cand_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 3 ORDER BY 1, 2
-      """
-      })
+      """)),
+
+    // ----------------------------------------------------------------
+    // q55: embedding-cosine near-dup PAIRS — the dedup-flavored
+    // counterpart of q38: split the 8-bit hyperplane sign key into two
+    // 4-plane bands (the q36 byte-band trick, on vectors); docs sharing
+    // either band become candidates via keyed self-joins, then the exact
+    // cosine check keeps pairs >= 0.35. Banding doubles recall vs the
+    // full 8-plane bucket while both joins stay equi-keyed — no all-pairs
+    // cross join anywhere, which is what survives a billion-vector dedup.
+    // Cosine quantized to 1e-6 (sequential-fold dot product) so the
+    // threshold cannot flip on ulps across engines.
+    Q(
+      "q55_embedding_neardup_pairs",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
+          .withColumn("bucket", expr(bucketExpr))
+          .withColumn("hi", expr("bucket div 16"))
+          .withColumn("lo", expr("bucket % 16"))
+        def byBand(b: String) = emb.as("x").join(emb.as("y"),
+            col(s"x.$b") === col(s"y.$b") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        val cand = byBand("hi").unionByName(byBand("lo")).distinct()
+        val sides = emb.select(col("vec_id"), col("embedding"), col("n2"))
+        val dot = DotProductF.dot(col("ea"), col("eb"))
+        val simq = floor(dot / (sqrt(col("na")) * sqrt(col("nb"))) * lit(1000000.0) + lit(0.5))
+          .cast("bigint")
+        cand
+          .join(sides.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+            col("n2").as("na")), Seq("vec_a"))
+          .join(sides.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+            col("n2").as("nb")), Seq("vec_b"))
+          .select(col("vec_a"), col("vec_b"), simq.as("sim_q"))
+          .where(col("sim_q") >= 350000)
+          .select(col("vec_a"), col("vec_b"),
+            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 ${dotSql("embedding", "embedding")} AS n2,
+                 $bucketSql AS bucket
+          FROM embeddings
+        ), keyed AS (
+          SELECT vec_id, embedding, n2, bucket // 16 AS hi, bucket % 16 AS lo FROM e
+        ), cand AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM keyed x JOIN keyed y ON x.hi = y.hi AND x.vec_id < y.vec_id
+          UNION
+          SELECT x.vec_id, y.vec_id
+          FROM keyed x JOIN keyed y ON x.lo = y.lo AND x.vec_id < y.vec_id
+        ), scored AS (
+          SELECT vec_a, vec_b,
+                 CAST(FLOOR(${dotSql("a.embedding", "b.embedding")}
+                   / (SQRT(a.n2) * SQRT(b.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+        )
+        SELECT vec_a, vec_b, CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM scored WHERE sim_q >= 350000
+        ORDER BY 1, 2
+      """))
   )
 }
