@@ -1,0 +1,120 @@
+package graft.functions
+
+/** Dependency-free decoders for the two multimodal formats that are pure
+  * byte layout — BMP (24-bit uncompressed) and WAV (PCM16) — so the
+  * multimodal pipeline's decode step is REAL for these formats and falls
+  * back to the deterministic stub only for codec-requiring ones
+  * (JPEG/PNG/video), which this container cannot host.
+  *
+  * Both parsers are defensive: any structural violation returns None
+  * rather than throwing, because at 100 TB a corrupt payload must
+  * degrade to the fallback path, never kill the task.
+  */
+object MediaCodec {
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** 24-bit uncompressed BMP -> 8 features:
+    * [width, height, aspect, meanB, meanG, meanR, meanLuma, stdLuma]
+    * (channel means in 0-255, luma = (b+g+r)/3). Handles 4-byte row
+    * padding and both bottom-up (height > 0) and top-down (height < 0)
+    * pixel orders — order doesn't change channel statistics, but the
+    * parser must still walk the rows correctly to skip padding. */
+  def bmpFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowStride = ((width * 3 + 3) / 4) * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+      return None
+    var (sb, sg, sr) = (0.0, 0.0, 0.0)
+    var sl, sl2 = 0.0
+    var row = 0
+    while (row < height) {
+      var cx = 0
+      val base = dataOffset + row * rowStride
+      while (cx < width) {
+        val o = base + cx * 3
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        sb += b; sg += g; sr += r
+        val luma = (b + g + r) / 3.0
+        sl += luma; sl2 += luma * luma
+        cx += 1
+      }
+      row += 1
+    }
+    val n = width.toDouble * height
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    Some(Array(
+      width.toFloat, height.toFloat, (width.toDouble / height).toFloat,
+      (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
+      meanL.toFloat, math.sqrt(varL).toFloat))
+  }
+
+  /** RIFF/WAVE PCM16 -> 4 features:
+    * [sample_rate, duration_sec, rms (of full-scale), zero_cross_rate]
+    * over the interleaved sample stream (channel-agnostic statistics). */
+  def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val fmt = le16(bytes, off + 8)
+          if (fmt != 1) return None // PCM only
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    val nSamples = dataLen / 2
+    if (nSamples == 0) return None
+    var i = 0
+    var sum2 = 0.0
+    var crossings = 0
+    var prev = 0
+    while (i < nSamples) {
+      val s = le16(bytes, dataOff + i * 2).toShort.toInt
+      sum2 += s.toDouble * s
+      if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+      prev = s
+      i += 1
+    }
+    val framesPerChannel = nSamples.toDouble / channels
+    Some(Array(
+      sampleRate.toFloat,
+      (framesPerChannel / sampleRate).toFloat,
+      (math.sqrt(sum2 / nSamples) / 32768.0).toFloat,
+      if (nSamples > 1) crossings.toFloat / (nSamples - 1) else 0f))
+  }
+}

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample are per-partition batch
   * transforms.
   *
-  * The DECODE step is a clearly-marked STUB — no image/audio codecs exist
-  * in this container — producing a deterministic fake feature vector from
-  * the payload bytes. Everything around it is the real Spark shape a
-  * production pipeline needs: fixed schema, per-partition batching (one
-  * decoder init per partition, not per row — the JVM analog of
-  * mapInPandas batch semantics), size-aware repartitioning, and generated
-  * frame indices for video sampling.
+  * The DECODE step is real for byte-layout formats (24-bit BMP, PCM16
+  * WAV — parsed in pure JVM code, [[graft.functions.MediaCodec]]) and a
+  * clearly-marked deterministic STUB for codec-requiring formats
+  * (JPEG/PNG/video — no codec libraries exist in this container).
+  * Everything around it is the real Spark shape a production pipeline
+  * needs: fixed schema, per-partition batching (one decoder init per
+  * partition, not per row — the JVM analog of mapInPandas batch
+  * semantics), size-aware repartitioning, and generated frame indices
+  * for video sampling.
   */
 object Multimodal {
 
@@ -40,31 +42,41 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
-  /** Decode + feature-extract, batched per partition. The inner loop is
-    * where a real decoder (JPEG/PNG/PCM) would run once per row with the
-    * expensive codec initialized once per PARTITION — the pattern that
-    * matters at scale. STUB: features are a deterministic rolling hash of
-    * the bytes, dim 8 for image, 4 for audio, 16 for video. */
+  /** Decode + feature-extract, batched per partition (one decoder init
+    * per partition, not per row — the pattern that matters at scale).
+    *
+    * The decode is REAL for the byte-layout formats this JVM can parse
+    * without codec libraries: 24-bit BMP images and PCM16 WAV audio
+    * ([[graft.functions.MediaCodec]] — channel means/luma stats, RMS/
+    * zero-cross features). Payloads that are not in those formats
+    * (JPEG/PNG, compressed audio, all video — codecs absent from this
+    * container) fall back to a clearly-marked deterministic STUB feature
+    * (rolling hash of the bytes). Dim stays fixed per kind: 8 image,
+    * 4 audio, 16 video. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // >>> real pipeline: val decoder = Codec.open(...)  (once/partition)
+        // real pipeline: expensive codec init would go here, once/partition
         rows.map { case (id, kind, bytes) =>
           val dim = kind match {
             case "image" => 8
             case "audio" => 4
             case _       => 16
           }
-          // >>> STUB decode: deterministic bytes -> features
-          val feats = Array.tabulate(dim) { d =>
+          def stub = Array.tabulate(dim) { d =>
             var h = 1125899906842597L + d
             var i = 0
             while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
             ((h % 1000003L).toFloat) / 1000003f
           }
+          val feats = (kind match {
+            case "image" => graft.functions.MediaCodec.bmpFeatures(bytes)
+            case "audio" => graft.functions.MediaCodec.wavFeatures(bytes)
+            case _       => None // >>> STUB: video decode needs real codecs
+          }).getOrElse(stub)
           MediaFeatures(id, kind, dim, feats)
         }
       }
