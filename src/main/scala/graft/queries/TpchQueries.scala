@@ -152,6 +152,64 @@ object TpchQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, sid
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q56: TPC-H Q13 shape — customer order-count distribution: LEFT
+    // join so zero-order customers survive, per-customer count, then a
+    // histogram over the counts. Two aggregations, each one keyed
+    // shuffle; the left join keeps the 0 bucket honest (an inner join
+    // would silently drop it — the classic Q13 trap).
+    Q(
+      "q56_customer_order_distribution",
+      (s, dir) => {
+        val perCust = Tables.customer(s, dir).select(col("c_custkey"))
+          .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1
+        )
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+      """)),
+
+    // ----------------------------------------------------------------
+    // q57: TPC-H Q17 shape — revenue of small-quantity lineitems: per
+    // part, average quantity; keep lineitems with quantity < 0.2 * avg.
+    // The per-part aggregate joins back to the fact — the aggregate side
+    // is small (one row per part) so it broadcasts; never a correlated
+    // per-row subquery. Threshold arithmetic is exact-decimal sum /
+    // count then a single double multiply, bit-identical cross-engine.
+    Q(
+      "q57_small_quantity_revenue",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val avgQty = l.groupBy(col("l_partkey").as("p_key"))
+          .agg((sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"))
+        l.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+          .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+            .as("avg_yearly"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_partkey AS p_key,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN a ON l_partkey = p_key
+        WHERE l_quantity < 0.2 * avg_qty
       """))
   )
 }
