@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL users
   * (`spark.sql.extensions=graft.GraftExtensions` or
-  * `.withExtensions(new GraftExtensions)`).
+  * `.withExtensions(new GraftExtensions)`), and injects the optimizer
+  * rule that rewrites the equivalent interpreted HOF fold into the
+  * codegen'd expression automatically.
   *
   *   SELECT dot_product_f(a.embedding, b.embedding) FROM ...
   */
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_product_f(arrayA, arrayB)")
         DotProductF(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }
