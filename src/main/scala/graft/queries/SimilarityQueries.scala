@@ -480,6 +480,36 @@ object SimilarityQueries {
         SELECT vec_a, vec_b, CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
         FROM scored WHERE sim_q >= 350000
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q58: blocked fuzzy match — edit-distance pairing with a BLOCKING
+    // key, the classic entity-resolution / fuzzy-dedup pattern: exact
+    // dedup first (distinct names), block on a cheap key (the noun — the
+    // name's second token) so the quadratic levenshtein comparison runs
+    // only within blocks, never across the corpus. At 100 TB the block
+    // key is the shuffle key and per-block work is bounded by block size,
+    // same argument as the shingle df cap.
+    Q(
+      "q58_fuzzy_name_pairs",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part),
+        b AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS edit_dist
+        FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+                         AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ORDER BY 1, 2
       """))
   )
 }

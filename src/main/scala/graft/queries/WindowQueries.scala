@@ -227,6 +227,45 @@ object WindowQueries {
                QUANTILE_CONT(l_quantity, 0.75) AS p75,
                MAX(l_quantity) AS max_qty
         FROM lineitem GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q59: ranking-window family — ntile / percent_rank / cume_dist /
+    // first_value / nth_value in one pass. The orderBy includes the key
+    // as tiebreaker so every function is total-order deterministic
+    // (ntile on a tied order is undefined across engines). percent_rank
+    // and cume_dist are integer-count ratios: one IEEE division on
+    // identical operands, bit-identical cross-engine.
+    Q(
+      "q59_ranking_windows",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select(
+            col("o_orderkey").as("orderkey"),
+            col("o_orderpriority").as("priority"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first_value(col("o_orderkey")).over(w).as("cheapest_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("priority", "orderkey")
+      },
+      Some("""
+        SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+        ORDER BY 2, 1
       """))
   )
 }
