@@ -83,7 +83,17 @@ object PricePrediction {
   }
 
   /** Full per-key comparison: returns (key, model, rmse, mae, r2) rows
-    * mirroring models.ipynb cell 6's output shape. */
+    * mirroring models.ipynb cell 6's output shape.
+    *
+    * Scale bound (stated, not hidden): keys are collected and fitted in
+    * a DRIVER loop — one MLlib fit per key — because the reference shape
+    * is a handful of per-coin models and MLlib estimators are themselves
+    * distributed jobs. This is the right trade up to O(100) keys; at
+    * thousands of independent small series the inversion is to train
+    * per-group INSIDE the executors (groupByKey + per-group closed-form
+    * OLS / sequential solver over collected group rows), which removes
+    * the driver serialization at the cost of per-group single-node
+    * training. The library keeps the reference-faithful form. */
   def evaluatePerKey(spark: SparkSession, df: DataFrame, keyCol: String,
                      ordCol: String, label: String,
                      exclude: Seq[String] = Nil): DataFrame = {
