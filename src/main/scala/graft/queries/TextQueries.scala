@@ -176,6 +176,57 @@ object TextQueries {
                MIN(doc_id) AS keeper_doc_id,
                COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q60: term salience (tf-idf family, SURVEY §7-H) — per-document
+    // top-3 terms by tf weighted against document frequency. The idf
+    // factor is the RATIONAL surrogate 1/df rather than log(N/df):
+    // log() is libm-dependent and not bit-identical across engines,
+    // while tf/df is a single IEEE division on identical integers —
+    // deterministic by construction, same ranking monotonicity in df.
+    // Shuffle shape: tf groupBy on (doc, term), df groupBy on term
+    // joined back on the term key, rank window per doc — all keyed,
+    // nothing quadratic.
+    Q(
+      "q60_term_salience",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("salience").desc, col("term").asc)
+        tf.join(df, Seq("term"))
+          .withColumn("salience", col("tf").cast(DoubleType) / col("df"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("salience"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST($toksSql) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+          SELECT term, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+               CAST(tf AS DOUBLE) / df AS salience
+        FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / df.df AS sal,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                             tf.term ASC) AS rank
+          FROM tf JOIN df USING (term)
+        ) WHERE rank <= 3
+        ORDER BY 1, 2
       """))
   )
 }
