@@ -69,20 +69,10 @@ object SimilarityQueries {
   /** (doc_id, tri) word-trigram shingle pairs with hot shingles removed.
     * The df filter is a keyed equi-join on the shingle (the shingle
     * vocabulary is unbounded at scale, so no broadcast) — the same key the
-    * downstream self-join shuffles on, so the exchange is reusable.
-    *
-    * The raw explode is cached: without it each consumer (df computation,
-    * band pipeline, exact-verify sets, q33's sizes) re-runs the
-    * scan + regex split + trigram + md5 work — the q35 plan showed 16
-    * parquet scans of documents. Column pruning pushes differing
-    * projections below the exchanges, so Spark's ReuseExchange never
-    * fires on its own; an explicit materialization of the shingle table
-    * is what a production pipeline does at 100 TB too. Plan-based cache
-    * matching also shares this across q33/q34/q35 within one session. */
+    * downstream self-join shuffles on, so the exchange is reusable. */
   private def cappedShingles(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ex = docsParallel(s, dir)
       .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
-      .cache()
     // tris is array_distinct per doc, so count(*) per shingle == document frequency
     val keep = ex.groupBy("tri").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap)
