@@ -15,8 +15,16 @@ object RunSome {
       val name = SparkEntry.queries.keys.toSeq.sorted.find(_.startsWith(prefix))
         .getOrElse(sys.error(s"no query matches prefix $prefix"))
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // GRAFT_RUNSOME_PLANS=1 dumps the executed plan per run — the
+      // point of this tool is seeing how earlier queries change LATER
+      // queries' plans (cache substitution, AQE stats)
+      if (sys.env.get("GRAFT_RUNSOME_PLANS").contains("1"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/graft_runsome_${name}_${System.nanoTime()}.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      df.write.format("noop").mode("overwrite").save()
       println(f"[runsome] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
