@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.Q.dec2
 import graft.functions.Format
 import graft.operators.{Streaks, TopK}
 import org.apache.spark.sql.expressions.Window
@@ -266,6 +267,40 @@ object WindowQueries {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice ASC, o_orderkey ASC)
         ORDER BY 2, 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q61: TIME-range window frame — trailing 24 h sum/count per user by
+    // EVENT TIME, not row count (rangeBetween on epoch seconds; the
+    // row-based rolling family is F8/F9). Range frames are what sparse /
+    // irregular event streams need: a row frame of "last 7 rows" means
+    // nothing when events arrive unevenly. One Exchange on user_id, one
+    // sort, frames evaluated in a single pass; exact decimal sums.
+    Q(
+      "q61_time_range_window",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_sec"))
+          .rangeBetween(-86400L, 0L)
+        Tables.events(s, dir)
+          .where(col("user_id") < 30)
+          .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+          .select(
+            col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_24h"),
+            sum(dec2(col("value"))).over(w).cast(DoubleType).as("sum_24h"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_24h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
       """))
   )
 }
