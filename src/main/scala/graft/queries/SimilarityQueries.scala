@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
   * SimHash + Hamming banding, brute-force cosine top-k, and a
   * hyperplane-LSH bucketed ANN variant.
   *
-  * Determinism strategy: all hashes are md5 (identical across engines);
-  * MinHash minimizes md5 *strings* lexicographically so no numeric hash
-  * conversion is needed; SimHash converts 15 md5 hex chars to a 60-bit
+  * Determinism strategy: all base hashes are md5 (identical across
+  * engines); MinHash folds 15 md5 hex chars into Z_(2^31-1) and applies
+  * integer affine permutations (see [[mhP]]) — pure int64 arithmetic both
+  * engines agree on; SimHash converts 15 md5 hex chars to a 60-bit
   * int; cosine similarities are computed as sequential fold dot products
   * (bit-identical in Spark `aggregate` and DuckDB `list_reduce`) and
   * quantized to 1e-6 before ranking.
@@ -92,6 +93,28 @@ object SimilarityQueries {
           SELECT doc_id, tri FROM e0 JOIN dfc USING (tri)
         )"""
 
+  /** MinHash permutation family: ONE md5 per shingle (60 bits, folded into
+    * Z_p, p = 2^31-1), then each of the 12 "permutations" is an affine
+    * transform (a_i*h + b_i) mod p with seed-derived integer coefficients.
+    * vs the seeded-md5-per-permutation form this does 1/12th the hashing
+    * work — the dominant cost of the MinHash family at any scale — while
+    * every intermediate product stays below 2^63 (a, h < p), so the DuckDB
+    * oracle reproduces it bit-exactly in int64 arithmetic. Folding to 31
+    * bits admits rare shingle-hash collisions at billion-shingle
+    * vocabularies; MinHash tolerates them (they bias Jaccard estimates by
+    * O(1/p), far below the banding noise floor). */
+  private val mhP = 2147483647L // 2^31 - 1, prime
+  private val shingleHashExpr =
+    s"cast(conv(substring(md5(tri), 1, 15), 16, 10) as bigint) % $mhP"
+  private val shingleHashSql =
+    s"CAST('0x' || SUBSTR(MD5(tri), 1, 15) AS BIGINT) % $mhP"
+  // a_i nonzero for all seeds 0..11 (a_0 = 12345); h, a, b < p keeps a*h < 2^63.
+  // seed is int32 in Spark (sequence(0,11)) — cast before multiplying or ANSI
+  // mode raises ARITHMETIC_OVERFLOW; the cast is a no-op for DuckDB's int64.
+  private val affineExpr =
+    s"(((cast(seed as bigint) * 1103515245 + 12345) % $mhP) * h" +
+      s" + (cast(seed as bigint) * 69069 + 1) % $mhP) % $mhP"
+
   /** Deterministic integer hyperplane j dotted with the embedding —
     * shared by q38 (bucketed ANN) and q55 (banded near-dup pairs). */
   private def planeDotExpr(j: Int) =
@@ -155,36 +178,36 @@ object SimilarityQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q34: MinHash signatures + LSH band keys — 12 seeded min-md5-string
-    // hashes per doc over word-TRIGRAM shingles, banded 4-wide into 3
-    // bucket keys. Shingles, not unigrams: the corpus vocabulary is tiny,
-    // so unigram token sets collide massively (hundreds of docs share one
-    // set at sf0.1) and band buckets degenerate into quadratic cliques;
-    // trigram sets are order-sensitive and nearly unique, which is also
-    // the textbook-correct MinHash input. Lexicographic min over md5
-    // strings needs no numeric hash and is engine-identical.
+    // q34: MinHash signatures + LSH band keys — 12 affine-permutation min
+    // hashes per doc over word-TRIGRAM shingles (see the [[mhP]] family
+    // note: one md5 per shingle, 12 integer transforms), banded 4-wide
+    // into 3 bucket keys. Shingles, not unigrams: the corpus vocabulary is
+    // tiny, so unigram token sets collide massively (hundreds of docs
+    // share one set at sf0.1) and band buckets degenerate into quadratic
+    // cliques; trigram sets are order-sensitive and nearly unique, which
+    // is also the textbook-correct MinHash input.
     Q(
       "q34_minhash_bands",
       (s, dir) => {
-        val toks = cappedShingles(s, dir).withColumnRenamed("tri", "tok")
-        val seeded = toks
+        val hashed = cappedShingles(s, dir).withColumn("h", expr(shingleHashExpr))
+        val seeded = hashed
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("tok")))).as("mh"))
+          .agg(min(expr(affineExpr)).as("mh"))
         val piv = seeded.groupBy("doc_id")
           .pivot("seed", 0 to 11).agg(first(col("mh")))
         piv.select(
           col("doc_id"),
-          md5(concat(col("0"), col("1"), col("2"), col("3"))).as("band0"),
-          md5(concat(col("4"), col("5"), col("6"), col("7"))).as("band1"),
-          md5(concat(col("8"), col("9"), col("10"), col("11"))).as("band2"))
+          md5(concat_ws(",", col("0"), col("1"), col("2"), col("3"))).as("band0"),
+          md5(concat_ws(",", col("4"), col("5"), col("6"), col("7"))).as("band1"),
+          md5(concat_ws(",", col("8"), col("9"), col("10"), col("11"))).as("band2"))
           .orderBy("doc_id")
       },
       Some(s"""
         WITH $cappedSql, t AS (
-          SELECT doc_id, tri AS tok FROM e
+          SELECT doc_id, $shingleHashSql AS h FROM e
         ), s AS (
-          SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
+          SELECT doc_id, seed, MIN($affineExpr) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
           GROUP BY 1, 2
         ), p AS (
@@ -193,9 +216,9 @@ object SimilarityQueries {
           FROM s GROUP BY 1
         )
         SELECT doc_id,
-               MD5(CONCAT(m0, m1, m2, m3)) AS band0,
-               MD5(CONCAT(m4, m5, m6, m7)) AS band1,
-               MD5(CONCAT(m8, m9, m10, m11)) AS band2
+               MD5(CONCAT_WS(',', m0, m1, m2, m3)) AS band0,
+               MD5(CONCAT_WS(',', m4, m5, m6, m7)) AS band1,
+               MD5(CONCAT_WS(',', m8, m9, m10, m11)) AS band2
         FROM p ORDER BY 1
       """)),
 
@@ -209,15 +232,16 @@ object SimilarityQueries {
       "q35_lsh_dedup_candidates",
       (s, dir) => {
         val ex = cappedShingles(s, dir)
-        val toks = ex.withColumnRenamed("tri", "tok")
-        val bands = toks
+        val bands = ex.withColumn("h", expr(shingleHashExpr))
           .withColumn("seed", explode(expr("sequence(0, 11)")))
           .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("tok")))).as("mh"))
+          .agg(min(expr(affineExpr)).as("mh"))
           .withColumn("band", expr("seed div 4"))
           .groupBy("doc_id", "band")
           // seed order within the band fixes the concat order
-          .agg(md5(concat_ws("", sort_array(collect_list(struct(col("seed"), col("mh")))).getField("mh"))).as("bkey"))
+          .agg(md5(concat_ws(",",
+            sort_array(collect_list(struct(col("seed"), col("mh"))))
+              .getField("mh").cast("array<string>"))).as("bkey"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -238,14 +262,14 @@ object SimilarityQueries {
       },
       Some(s"""
         WITH $cappedSql, t AS (
-          SELECT doc_id, tri AS tok FROM e
+          SELECT doc_id, $shingleHashSql AS h FROM e
         ), s AS (
-          SELECT doc_id, seed, MIN(MD5(CONCAT(CAST(seed AS VARCHAR), ':', tok))) AS mh
+          SELECT doc_id, seed, MIN($affineExpr) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
           GROUP BY 1, 2
         ), b AS (
           SELECT doc_id, seed // 4 AS band,
-                 MD5(STRING_AGG(mh, '' ORDER BY seed)) AS bkey
+                 MD5(STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
           FROM s GROUP BY 1, 2
         ), cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
