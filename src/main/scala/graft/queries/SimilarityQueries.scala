@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.DotProductF
+import graft.operators.ConnectedComponents
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -534,6 +535,50 @@ object SimilarityQueries {
         FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
                          AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q62: dedup components — the q58 fuzzy-pair graph resolved into
+    // duplicate GROUPS by iterative min-label propagation
+    // ([[graft.operators.ConnectedComponents]]): every name labeled with
+    // the smallest name reachable through edit-distance edges. This is
+    // the step that turns pairwise near-dup evidence into a dedup plan,
+    // and the oracle is a genuinely independent algorithm: DuckDB
+    // computes the transitive closure with a recursive CTE and takes
+    // MIN over each reachability set — if the distributed propagation
+    // over- or under-merges a single cluster, the hashes diverge.
+    // Label propagation runs diameter rounds of keyed joins (no driver
+    // graph, lineage checkpointed) — the 100 TB shape; the closure CTE
+    // is the small-data cross-check, quadratic in cluster size.
+    Q(
+      "q62_dedup_components",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val pairs = names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        ConnectedComponents.components(pairs)
+          .select(col("id").as("name"), col("comp").as("component"))
+          .orderBy("name")
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        p AS (
+          SELECT a.p_name AS x, b.p_name AS y
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+                              AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT id AS name, MIN(r) AS component
+        FROM reach GROUP BY id ORDER BY name
       """))
   )
 }
