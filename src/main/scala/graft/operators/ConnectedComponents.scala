@@ -76,4 +76,79 @@ object ConnectedComponents {
     components(pairs)
       .where(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keeper_id"))
+
+  /** Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — a public algorithm). Where [[components]]
+    * needs DIAMETER rounds (min labels travel one hop per round), star
+    * contraction rewires the graph itself each round — every node's
+    * neighborhood collapses toward its minimum — and converges in
+    * O(log^2 n) rounds on any graph. Same building blocks (keyed joins +
+    * aggregates, no driver-side graph, lineage cut every round), so it is
+    * the drop-in choice when dedup clusters can be long chains (URL
+    * redirect graphs, record-linkage transitivity) rather than tight
+    * near-dup cliques.
+    *
+    * Round = large-star then small-star:
+    *  - large-star: per node u with closed-neighborhood min m(u), rewire
+    *    every LARGER neighbor v > u to m(u);
+    *  - small-star: per node u over SMALLER-or-equal neighbors, rewire
+    *    them (and u) to the minimum.
+    * At the fixed point edges form stars: every node points straight at
+    * its component's minimum.
+    *
+    * @return (id, comp) in the same shape as [[components]] */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val e0 = pairs.toDF("a", "b")
+    // canonical undirected set: (hi, lo), hi > lo — every rewiring below
+    // emits (node, smaller-label) pairs, so this orientation is stable
+    var edges = e0
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      // closed-neighborhood minimum per node
+      val mins = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      // large-star: larger neighbors attach to m(u)
+      val large = sym.where(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star over the rewired set: each node u with its smaller
+      // neighbors {v} and m = min(v); attach u and every v != m to m
+      val smallNbrs = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smallMins = smallNbrs.groupBy("u").agg(min(col("v")).as("m"))
+      val small = smallNbrs.join(smallMins, Seq("u"))
+        .select(col("u").as("hi"), col("m").as("lo"))
+        .unionByName(smallNbrs.join(smallMins, Seq("u"))
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("hi"), col("m").as("lo")))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint() // cut lineage every round; also materializes for the diff
+      // fixed point: small == edges as sets (both distinct, so count +
+      // one-way difference suffices)
+      val same = small.count() == edges.count() &&
+        small.except(edges).limit(1).count() == 0
+      edges = small
+      converged = same
+      i += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] componentsStar: maxIter=$maxIter reached before convergence; " +
+          "labels are NOT final")
+    // stars: every non-root points at its root; roots label themselves
+    val nodes = e0.select(col("a").as("id")).unionByName(e0.select(col("b").as("id"))).distinct()
+    nodes.join(edges.select(col("hi").as("id"), col("lo")), Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(min(col("lo")), first(col("id"))).as("comp"))
+  }
 }

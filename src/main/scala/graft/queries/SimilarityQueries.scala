@@ -579,6 +579,44 @@ object SimilarityQueries {
         )
         SELECT id AS name, MIN(r) AS component
         FROM reach GROUP BY id ORDER BY name
+      """)),
+
+    // ----------------------------------------------------------------
+    // q63: the SAME dedup-component problem solved by alternating
+    // large-star/small-star contraction
+    // ([[graft.operators.ConnectedComponents.componentsStar]]) — O(log^2 n)
+    // rounds on any graph vs diameter rounds for q62's label propagation.
+    // Checked against the identical recursive-closure oracle, so both
+    // distributed algorithms carry independent oracle-exact evidence.
+    Q(
+      "q63_dedup_components_star",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val pairs = names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        ConnectedComponents.componentsStar(pairs)
+          .select(col("id").as("name"), col("comp").as("component"))
+          .orderBy("name")
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        p AS (
+          SELECT a.p_name AS x, b.p_name AS y
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+                              AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT id AS name, MIN(r) AS component
+        FROM reach GROUP BY id ORDER BY name
       """))
   )
 }

@@ -30,6 +30,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("componentsStar matches components on mixed clusters") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val star = ConnectedComponents.componentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val prop = ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("componentsStar labels a diameter-199 chain within its round budget") {
+    // A 200-node path. Min-label propagation needs 199 rounds (one hop per
+    // round); star contraction squares the reach each round, so this must
+    // land well inside the default 50-round budget — the property that
+    // makes it the high-diameter choice (redirect chains, linkage graphs).
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.componentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("dedupPlan lists every non-keeper exactly once") {
     val pairs = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
     val got = ConnectedComponents.dedupPlan(pairs)
