@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtraQueries, JoinQueries, RelationalQueries, SimilarityQueries, SkewQueries, TextQueries, TimeSeriesQueries, TpchQueries, WindowQueries}
+import graft.queries.{ExtraQueries, JoinQueries, MlQueries, RelationalQueries, SimilarityQueries, SkewQueries, TextQueries, TimeSeriesQueries, TpchQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   private def registry: Vector[Q] =
     RelationalQueries.defs ++ WindowQueries.defs ++ JoinQueries.defs ++
       TimeSeriesQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
-      SkewQueries.defs ++ ExtraQueries.defs ++ TpchQueries.defs
+      SkewQueries.defs ++ ExtraQueries.defs ++ TpchQueries.defs ++
+      MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

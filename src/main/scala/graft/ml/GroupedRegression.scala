@@ -1,0 +1,165 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group linear/ridge regression trained INSIDE the executors — the
+  * scale inversion of [[PricePrediction.evaluatePerKey]]'s driver loop
+  * (reference shape: one sklearn fit per coin, models.ipynb cell 6).
+  *
+  * The driver loop is right for O(100) keys; this is right for the other
+  * regime — thousands-to-millions of independent small series, where one
+  * MLlib job per key would serialize on the driver. The whole fit is:
+  *
+  *  1. ONE codegen'd `groupBy(key).agg(sum(xi*xj), ...)` pass building the
+  *     per-group Gram matrix (XᵀX upper triangle, Xᵀy, Σx, Σy, Σy², n) —
+  *     native sums with map-side partial aggregation, so the shuffle
+  *     carries O(d²) doubles per GROUP, not per row. At 100 TB this is a
+  *     single keyed shuffle of ~|groups|·d² doubles.
+  *  2. A per-group closed-form solve of the d×d standardized normal
+  *     equations (Gaussian elimination, partial pivoting) in a `.map`
+  *     over the aggregated rows — executor-side, embarrassingly parallel.
+  *
+  * Semantics match the MLlib pipeline used by [[PricePrediction]]
+  * (VectorAssembler → StandardScaler(withMean,withStd) →
+  * LinearRegression(regParam=λ, elasticNetParam=0)): features are
+  * standardized with the UNBIASED (n−1) std — derived algebraically from
+  * the raw Gram sums rather than a second pass — and the ridge system is
+  * (ZᵀZ + λ·(n−1)/σ₀(y)·I)β = Zᵀ(y−ȳ), intercept = ȳ. The penalty
+  * factor is MLlib's WeightedLeastSquares convention made explicit: WLS
+  * works in population moments — ddof-1-standardized features carry
+  * population variance (n−1)/n, and the label is standardized by its
+  * POPULATION std (glmnet convention: regParam is relative to the
+  * label's scale). Verified to 1e-14 against LinearRegressionModel
+  * coefficients; λ=0 is plain OLS and convention-free.
+  * GroupedRegressionSpec asserts coefficient parity per group.
+  */
+object GroupedRegression {
+
+  /** One fitted per-group model: standardized-space coefficients plus the
+    * train-set feature means/stds needed to apply it to raw features. */
+  final case class GroupModel(
+      key: String, n: Long, intercept: Double,
+      coefficients: Array[Double], featMeans: Array[Double],
+      featStds: Array[Double])
+
+  /** Fit one ridge model per `keyCol` group over `features` → `label`.
+    * Returns a DataFrame[key, n, intercept, coefficients, feat_means,
+    * feat_stds]. `regParam` is MLlib's LinearRegression regParam. */
+  def fitRidgePerGroup(df: DataFrame, keyCol: String, features: Seq[String],
+                       label: String, regParam: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = features.size
+    require(d > 0, "need at least one feature")
+
+    val x: Seq[Column] = features.map(f => col(f).cast("double"))
+    val y: Column = col(label).cast("double")
+
+    // Flat aggregation layout: n | Σx(d) | Σy | Σy² | Σxy(d) | G upper d(d+1)/2
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        x.zipWithIndex.map { case (c, i) => sum(c).as(s"sx$i") } ++
+        Seq(sum(y).as("sy"), sum(y * y).as("syy")) ++
+        x.zipWithIndex.map { case (c, i) => sum(c * y).as(s"sxy$i") } ++
+        (for { i <- 0 until d; j <- i until d }
+          yield sum(x(i) * x(j)).as(s"g${i}_$j"))
+
+    val grouped = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    grouped.map { row =>
+      val n = row.getLong(1)
+      var p = 2
+      val sx = Array.fill(d) { val v = row.getDouble(p); p += 1; v }
+      val sy = row.getDouble(p); p += 1
+      val syy = row.getDouble(p); p += 1
+      val sxy = Array.fill(d) { val v = row.getDouble(p); p += 1; v }
+      val g = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        g(i)(j) = row.getDouble(p); g(j)(i) = g(i)(j); p += 1
+      }
+
+      val nn = n.toDouble
+      val mu = sx.map(_ / nn)
+      val ybar = sy / nn
+      // unbiased stds, matching StandardScaler(withStd=true)
+      val sd = Array.tabulate(d) { i =>
+        val v = (g(i)(i) - nn * mu(i) * mu(i)) / (nn - 1.0)
+        if (v > 0) math.sqrt(v) else 1.0
+      }
+      // POPULATION std of the label: WeightedLeastSquares standardizes the
+      // label by its population moments, so the penalty convention needs σ₀
+      val ySd0 = {
+        val v = (syy - nn * ybar * ybar) / nn
+        if (v > 0) math.sqrt(v) else 1.0
+      }
+      // standardized normal equations: A β = b with ridge on the diagonal
+      val a = Array.tabulate(d, d) { (i, j) =>
+        (g(i)(j) - nn * mu(i) * mu(j)) / (sd(i) * sd(j))
+      }
+      val b = Array.tabulate(d) { i => (sxy(i) - mu(i) * sy) / sd(i) }
+      val lam = regParam * (nn - 1.0) / ySd0
+      for (i <- 0 until d) a(i)(i) += lam
+
+      GroupModel(row.getString(0), n, ybar, solve(a, b), mu, sd)
+    }.toDF("key", "n", "intercept", "coefficients", "feat_means", "feat_stds")
+  }
+
+  /** Apply fitted models to raw rows: broadcast-join the (small) model
+    * table on the key and evaluate β₀ + Σ βᵢ(xᵢ−μᵢ)/σᵢ with zip_with —
+    * no shuffle on the data side, no UDF. */
+  def predict(models: DataFrame, data: DataFrame, keyCol: String,
+              features: Seq[String]): DataFrame = {
+    val raw = array(features.map(f => col(f).cast("double")): _*)
+    data
+      .join(broadcast(models), data(keyCol).cast("string") === models("key"))
+      .withColumn("prediction",
+        col("intercept") + aggregate(
+          zip_with(
+            zip_with(raw, col("feat_means"), (v, m) => v - m),
+            zip_with(col("feat_stds"), col("coefficients"), (s, c) => c / s),
+            (centered, w) => centered * w),
+          lit(0.0), (acc, t) => acc + t))
+      .drop("key", "n", "intercept", "coefficients", "feat_means", "feat_stds")
+  }
+
+  /** Per-group test metrics (rmse/mae/r2) for predicted rows — one grouped
+    * aggregation, mirrors RegressionEvaluator's definitions. */
+  def metricsPerKey(pred: DataFrame, keyCol: String, label: String): DataFrame = {
+    val y = col(label).cast("double")
+    val e = col("prediction") - y
+    // R² needs Σ(y−ȳ)² with ȳ per group: expand to Σy² − n·ȳ², so one pass
+    pred.groupBy(col(keyCol))
+      .agg(
+        sqrt(avg(e * e)).as("rmse"),
+        avg(abs(e)).as("mae"),
+        (lit(1.0) - sum(e * e) /
+          (sum(y * y) - count(lit(1)) * pow(avg(y), 2))).as("r2"))
+  }
+
+  /** Dense d×d solve via Gaussian elimination with partial pivoting;
+    * d is small (feature count), runs once per group in the executor. */
+  private[graft] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    val m = Array.tabulate(d)(i => a(i) :+ b(i))
+    for (c <- 0 until d) {
+      var piv = c
+      for (r <- c + 1 until d) if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      require(math.abs(m(c)(c)) > 1e-12, "singular system (degenerate feature)")
+      for (r <- c + 1 until d) {
+        val f = m(r)(c) / m(c)(c)
+        for (k <- c to d) m(r)(k) -= f * m(c)(k)
+      }
+    }
+    val out = new Array[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = m(c)(d)
+      for (k <- c + 1 until d) s -= m(c)(k) * out(k)
+      out(c) = s / m(c)(c)
+    }
+    out
+  }
+}

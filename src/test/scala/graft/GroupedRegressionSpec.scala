@@ -1,0 +1,92 @@
+package graft
+
+import graft.ml.GroupedRegression
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity of the distributed Gram-matrix trainer against the MLlib
+  * pipeline it replaces (VectorAssembler → StandardScaler(withMean,withStd)
+  * → LinearRegression): same coefficients, same intercept, per group. */
+class GroupedRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val features = Seq("x1", "x2", "x3")
+
+  /** Deterministic multi-group data; groups differ in slope so a wrong
+    * group-to-model mapping cannot pass by accident. */
+  private lazy val df: DataFrame = {
+    val rows = for {
+      (k, mult) <- Seq(("a", 1.0), ("b", -2.0), ("c", 0.5))
+      i <- 1 to 200
+    } yield {
+      val x1 = i.toDouble
+      val x2 = (i % 13).toDouble
+      val x3 = math.sin(i * 0.7) * 10.0
+      val noise = math.sin(i * 12.9898) * 0.5
+      (k, x1, x2, x3, mult * (3.0 * x1 - 2.0 * x2 + 0.8 * x3) + 5.0 + noise)
+    }
+    rows.toDF("k", "x1", "x2", "x3", "y")
+  }
+
+  private def mllibFit(one: DataFrame, regParam: Double): LinearRegressionModel = {
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(features.toArray).setOutputCol("raw"),
+      new StandardScaler().setInputCol("raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true),
+      new LinearRegression().setFeaturesCol("features").setLabelCol("y")
+        .setRegParam(regParam).setElasticNetParam(0.0)))
+    pipe.fit(one).stages.last.asInstanceOf[LinearRegressionModel]
+  }
+
+  private def assertParity(regParam: Double, tol: Double): Unit = {
+    val fitted = GroupedRegression
+      .fitRidgePerGroup(df, "k", features, "y", regParam)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("a", "b", "c")) {
+      val ref = mllibFit(df.where(col("k") === k), regParam)
+      val got = fitted(k)
+      val coef = got.getSeq[Double](3)
+      val refCoef = ref.coefficients.toArray
+      features.indices.foreach { i =>
+        assert(math.abs(coef(i) - refCoef(i)) <= tol * math.max(1.0, math.abs(refCoef(i))),
+          s"key=$k coef$i: got ${coef(i)}, mllib ${refCoef(i)} (regParam=$regParam)")
+      }
+      assert(math.abs(got.getDouble(2) - ref.intercept) <=
+        tol * math.max(1.0, math.abs(ref.intercept)),
+        s"key=$k intercept: got ${got.getDouble(2)}, mllib ${ref.intercept}")
+    }
+  }
+
+  test("OLS (regParam=0) coefficients match MLlib per group") {
+    assertParity(0.0, 1e-6)
+  }
+
+  test("ridge (regParam=0.5) coefficients match MLlib per group") {
+    assertParity(0.5, 1e-6)
+  }
+
+  test("predict + metricsPerKey agree with manual evaluation") {
+    val models = GroupedRegression.fitRidgePerGroup(df, "k", features, "y", 0.0)
+    val pred = GroupedRegression.predict(models, df, "k", features)
+    val m = GroupedRegression.metricsPerKey(pred, "k", "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    // noise amplitude 0.5 on a fitted linear form: tiny rmse, r2 ~ 1
+    for ((k, (rmse, r2)) <- m) {
+      assert(rmse < 1.0, s"key=$k rmse=$rmse")
+      assert(r2 > 0.999, s"key=$k r2=$r2")
+    }
+    assert(m.keySet == Set("a", "b", "c"))
+  }
+
+  test("solver inverts a known system") {
+    // A = [[2,1],[1,3]], b = [5, 10] -> x = [1, 3]
+    val x = GroupedRegression.solve(
+      Array(Array(2.0, 1.0), Array(1.0, 3.0)), Array(5.0, 10.0))
+    assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
+  }
+}
