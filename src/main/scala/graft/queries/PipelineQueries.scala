@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Training-data pipeline mechanics beyond dedup/similarity: reproducible
+  * sampling and sequence packing (engine-added surface; the reference has
+  * no corpus-preparation stage, so these rows cite the north-star list in
+  * the builder brief rather than reference code).
+  */
+object PipelineQueries {
+
+  // q28's tokenization, shared verbatim so packing counts match the
+  // token-count query family (TextQueries.scala:20-21)
+  private val toksExpr = "split(trim(text), ' +')"
+  private val toksSql = "STRING_SPLIT_REGEX(TRIM(text), ' +')"
+
+  def defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q65: DETERMINISTIC stratified sampling — the split every training
+    // pipeline needs to be reproducible across reruns, engines, and
+    // retried tasks. `rand()`-based sampleBy gives none of that; keying
+    // the keep-decision on md5(doc_id) does: the same row lands on the
+    // same side of the split everywhere (Spark, DuckDB, a retry, a
+    // different cluster). Per-stratum rates (downsample the majority
+    // language, keep more of the tail) are a CASE over the stratum —
+    // the "rebalance by language" move of corpus curation. Plan: pure
+    // per-row projection + filter, no shuffle, trivially 100 TB-safe.
+    Q(
+      "q65_stratified_sample",
+      (s, dir) => {
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        Tables.documents(s, dir)
+          .withColumn("bucket", bucket)
+          .where(col("bucket") <
+            when(col("lang") === "en", lit(10)).otherwise(lit(40)))
+          .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, source,
+                 CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, lang, source, bucket
+        FROM b
+        WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+        ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q66: sequence packing — concat-and-chunk documents into fixed
+    // 512-token context windows per source shard (the standard
+    // pretraining packing layout: tokens are laid end-to-end within a
+    // shard and cut every B tokens; a document's pack_id/pack_offset
+    // locate it in the packed stream). One window cumsum per shard =
+    // one Exchange on `source`; token counts reuse q28's tokenizer so
+    // the two query families agree. At scale the shard key IS the
+    // parallelism unit — packing never needs a global order, only
+    // per-shard order, which is why this shape survives 100 TB.
+    Q(
+      "q66_sequence_packing",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .withColumn("n_tok", size(expr(toksExpr)))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("start", col("cum") - col("n_tok"))
+          .select(
+            col("doc_id"), col("source"), col("n_tok"),
+            expr("start div 512").as("pack_id"),
+            (col("start") % 512).cast("bigint").as("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(LEN($toksSql) AS INT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                      AS BIGINT) - n_tok AS start
+          FROM t)
+        SELECT doc_id, source, n_tok,
+               CAST(start // 512 AS BIGINT) AS pack_id,
+               CAST(start % 512 AS BIGINT) AS pack_offset
+        FROM c
+        ORDER BY doc_id
+      """))
+  )
+}
