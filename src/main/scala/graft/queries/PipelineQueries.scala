@@ -91,6 +91,98 @@ object PipelineQueries {
                CAST(start % 512 AS BIGINT) AS pack_offset
         FROM c
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q67: robust per-group statistics — EXACT median and MAD (median
+    // absolute deviation), the outlier screen that survives the wild
+    // values mean/stddev choke on. Exact medians are "hard at scale"
+    // only if you reach for a global sort or an in-memory percentile
+    // buffer; here each median is a per-group window rank — the sort is
+    // distributed per group and spills like any window sort. Determinism:
+    // the middle elements are PICKED by rank (total order: value, then
+    // rowid), then combined with one fixed IEEE expression; no engine's
+    // quantile-interpolation formula is involved. Two window passes
+    // (value median, then deviation median) + one final agg.
+    Q(
+      "q67_robust_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.types.DoubleType
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("k"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice").cast(DoubleType).as("v"))
+        def addMedian(df: DataFrame, vc: String, out: String): DataFrame = {
+          val w = Window.partitionBy("k")
+            .orderBy(col(vc), col("l_orderkey"), col("l_linenumber"))
+          val wAll = Window.partitionBy("k")
+          // Spark `/` on integers is DOUBLE division — use `div` for the
+          // rank arithmetic so both sides stay integral
+          df.withColumn("__rn", row_number().over(w))
+            .withColumn("__n", count(lit(1)).over(wAll))
+            .withColumn(out,
+              (max(when(col("__rn") === expr("(__n + 1) div 2"), col(vc)))
+                .over(wAll) +
+                max(when(col("__rn") === expr("__n div 2 + 1"), col(vc)))
+                  .over(wAll)) / lit(2.0))
+            .drop("__rn", "__n")
+        }
+        def quant(c: org.apache.spark.sql.Column) =
+          (signum(c) * floor(abs(c) * lit(1000000.0) + lit(0.5))).cast("bigint")
+        val withMed = addMedian(li, "v", "med")
+          .withColumn("dev", abs(col("v") - col("med")))
+        addMedian(withMed, "dev", "mad")
+          .groupBy(col("k").as("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            quant(max(col("med"))).as("median_q"),
+            quant(max(col("mad"))).as("mad_q"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1).otherwise(0))
+              .cast("bigint").as("n_outliers"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_suppkey AS k, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem),
+        r1 AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                   ORDER BY v, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM base),
+        m1 AS (
+          SELECT *,
+                 (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                    OVER (PARTITION BY k)
+                  + MAX(CASE WHEN rn = n // 2 + 1 THEN v END)
+                    OVER (PARTITION BY k)) / 2.0 AS med
+          FROM r1),
+        d AS (
+          SELECT k, l_orderkey, l_linenumber, v, med, ABS(v - med) AS dev
+          FROM m1),
+        r2 AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                   ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM d),
+        m2 AS (
+          SELECT *,
+                 (MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                    OVER (PARTITION BY k)
+                  + MAX(CASE WHEN rn = n // 2 + 1 THEN dev END)
+                    OVER (PARTITION BY k)) / 2.0 AS mad
+          FROM r2)
+        SELECT k AS l_suppkey,
+               COUNT(*) AS n,
+               CAST(SIGN(MAX(med)) * FLOOR(ABS(MAX(med))*1000000 + 0.5) AS BIGINT) AS median_q,
+               CAST(SIGN(MAX(mad)) * FLOOR(ABS(MAX(mad))*1000000 + 0.5) AS BIGINT) AS mad_q,
+               CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM m2
+        GROUP BY k
+        ORDER BY k
       """))
   )
 }
