@@ -17,6 +17,15 @@ object PipelineQueries {
   private val toksExpr = "split(trim(text), ' +')"
   private val toksSql = "STRING_SPLIT_REGEX(TRIM(text), ' +')"
 
+  // SimilarityQueries' distinct word-trigram spelling (kept textually
+  // identical so shingle families agree across query files)
+  private val trisExpr =
+    s"array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+  private val trisSql =
+    "LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2), " +
+      "i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
+
   def defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q65: DETERMINISTIC stratified sampling — the split every training
@@ -183,6 +192,101 @@ object PipelineQueries {
         FROM m2
         GROUP BY k
         ORDER BY k
+      """)),
+
+    // ----------------------------------------------------------------
+    // q68: eval-set decontamination — find training documents sharing
+    // >= 2 distinct word trigrams with any held-out eval document (the
+    // contamination screen run before training on any scraped corpus).
+    // The shape is a BIPARTITE join, not q33's self-join: the eval side
+    // is tiny by construction (here doc_id % 97 == 0, ~1%), so it
+    // broadcasts and the train side never shuffles — contamination
+    // checking at 100 TB is a map-side join over the training scan.
+    // Trigram sets are per-doc distinct (SimilarityQueries' spelling),
+    // so COUNT(*) per (train, eval) pair IS the distinct overlap.
+    Q(
+      "q68_decontamination",
+      (s, dir) => {
+        val tris = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+        val ev = tris.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_doc_id"), col("tri"))
+        tris.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev), "tri")
+          .groupBy(col("doc_id"), col("eval_doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy("doc_id", "eval_doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri FROM t),
+        ev AS (
+          SELECT doc_id AS eval_doc_id, tri FROM e0 WHERE doc_id % 97 = 0),
+        tr AS (
+          SELECT doc_id, tri FROM e0 WHERE doc_id % 97 <> 0)
+        SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (tri)
+        GROUP BY tr.doc_id, ev.eval_doc_id
+        HAVING COUNT(*) >= 2
+        ORDER BY tr.doc_id, ev.eval_doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q69: within-document repetition scoring — the duplicated-n-gram
+    // fraction and max single-n-gram repetition per document (the
+    // Gopher/RefinedWeb-style quality rule: heavily self-repeating
+    // documents are machine boilerplate and get filtered). Uses the
+    // NON-distinct trigram stream (duplication is the signal), two
+    // keyed aggregations, no joins — embarrassingly parallel per doc.
+    Q(
+      "q69_repetition_score",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val trisAll =
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(expr(trisAll)).as("tri"))
+          .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("c")).as("n_tris"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("max_rep"))
+          .withColumn("dup_frac_q",
+            floor((col("n_tris") - col("n_distinct")).cast(DoubleType) /
+              col("n_tris").cast(DoubleType) * lit(1000000.0) + lit(0.5))
+              .cast("bigint"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), ' +') AS toks
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tri
+          FROM t),
+        g AS (
+          SELECT doc_id, tri, COUNT(*) AS c FROM e GROUP BY doc_id, tri)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tris,
+               COUNT(*) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS max_rep,
+               CAST(FLOOR(CAST(SUM(c) - COUNT(*) AS DOUBLE)
+                          / CAST(SUM(c) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                 AS dup_frac_q
+        FROM g
+        GROUP BY doc_id
+        ORDER BY doc_id
       """))
   )
 }
