@@ -45,4 +45,49 @@ class CryptoModelSpec extends AnyFunSuite {
         f"$coin best R2 $got%.4f more than 0.05 below reference $r%.4f")
     }
   }
+
+  test("distributed Gram-matrix ridge matches the MLlib pipeline on the real frames") {
+    assume(available)
+    import graft.ml.GroupedRegression
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    import org.apache.spark.ml.regression.LinearRegression
+    // The 33-column frame stresses the Gram aggregation (595 sum columns)
+    // AND conditioning: the scaled/z-scored twins are exactly collinear
+    // after standardization, so the ridge penalty is what pins a unique
+    // solution — both solvers minimize the same objective, so test-set
+    // R2 must agree even where individual coefficients split arbitrarily.
+    val frame = CryptoQueries.predictionFrame(
+      CoinGecko.coinHistory(spark, refData))
+    val label = "next_day_price"
+    val feats = PricePrediction.numericFeatures(frame, label, Seq("price_usd"))
+    val (train, test) = PricePrediction.timeSplit(
+      frame, "coin_id", "fetch_date")
+    val reg = 0.01
+
+    val models = GroupedRegression.fitRidgePerGroup(
+      train, "coin_id", feats, label, reg)
+    val distR2 = GroupedRegression.metricsPerKey(
+      GroupedRegression.predict(models, test, "coin_id", feats),
+      "coin_id", label)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+
+    for (coin <- Seq("bitcoin", "ethereum", "cardano")) {
+      val one = train.where(col("coin_id") === coin)
+      val pipe = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(feats.toArray)
+          .setOutputCol("raw").setHandleInvalid("skip"),
+        new StandardScaler().setInputCol("raw").setOutputCol("features")
+          .setWithMean(true).setWithStd(true),
+        new LinearRegression().setFeaturesCol("features").setLabelCol(label)
+          .setRegParam(reg).setElasticNetParam(0.0))).fit(one)
+      val pred = pipe.transform(test.where(col("coin_id") === coin))
+      val mlR2 = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+        .setLabelCol(label).setPredictionCol("prediction")
+        .setMetricName("r2").evaluate(pred)
+      info(f"$coin R2: distributed ${distR2(coin)}%.6f vs MLlib $mlR2%.6f")
+      assert(math.abs(distR2(coin) - mlR2) <= 1e-3,
+        f"$coin R2 diverged: distributed ${distR2(coin)}%.6f, MLlib $mlR2%.6f")
+    }
+  }
 }
