@@ -287,6 +287,115 @@ object PipelineQueries {
         FROM g
         GROUP BY doc_id
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q70: weighted corpus mixing — the UP-sampling half of the mixture
+    // story (q65 is the down-sampling half): high-value strata repeat
+    // for multiple training epochs, including FRACTIONAL epochs (en at
+    // 2.25x: every en doc twice, a deterministic md5-chosen quarter a
+    // third time). This is the data-mixture mechanics of modern LLM
+    // training runs, expressed as explode(sequence(1, n_rep)) — a
+    // narrow generator, no shuffle, no rand(): the same doc gets the
+    // same epoch count on any engine or retry.
+    Q(
+      "q70_corpus_mixture",
+      (s, dir) => {
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        Tables.documents(s, dir)
+          .withColumn("bucket", bucket)
+          .withColumn("n_rep",
+            when(col("lang") === "en",
+              lit(2) + when(col("bucket") < 25, 1).otherwise(0))
+              .otherwise(lit(1)))
+          .select(col("doc_id"), col("lang"),
+            explode(expr("sequence(1, n_rep)")).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 100 AS bucket
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+                 CASE WHEN lang = 'en'
+                      THEN 2 + (CASE WHEN bucket < 25 THEN 1 ELSE 0 END)
+                      ELSE 1 END AS n_rep
+          FROM b)
+        SELECT doc_id, lang,
+               CAST(UNNEST(GENERATE_SERIES(1, n_rep)) AS INT) AS epoch
+        FROM r
+        ORDER BY doc_id, epoch
+      """)),
+
+    // ----------------------------------------------------------------
+    // q71: snapshot diff (CDC reconciliation) — classify every key as
+    // insert / delete / update / unchanged between two table versions.
+    // Snapshot B is derived deterministically from orders in-query
+    // (keys %10==7 deleted, %10==3 repriced, %10==1 re-inserted under a
+    // shifted key) so the oracle constructs the identical pair. The
+    // diff itself is ONE full outer join on the key — co-partitioned,
+    // the same cost class as the upsert (q16); at scale both sides
+    // shuffle once on the key and every change class falls out of
+    // null-ness + value comparison.
+    Q(
+      "q71_snapshot_diff",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val a = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("key"),
+            Q.dec2(col("o_totalprice")).as("price_a"))
+        val b0 = Tables.orders(s, dir)
+        val b = b0.where(col("o_orderkey") % 10 =!= 7)
+          .select(col("o_orderkey").as("key"),
+            (Q.dec2(col("o_totalprice")) +
+              when(col("o_orderkey") % 10 === 3, lit(BigDecimal(1)))
+                .otherwise(lit(BigDecimal(0)))).as("price_b"))
+          .union(b0.where(col("o_orderkey") % 10 === 1)
+            .select((col("o_orderkey") + 10000000L).as("key"),
+              Q.dec2(col("o_totalprice")).as("price_b")))
+        a.join(b, Seq("key"), "full_outer")
+          .withColumn("change",
+            when(col("price_a").isNull, "insert")
+              .when(col("price_b").isNull, "delete")
+              .when(col("price_a") =!= col("price_b"), "update")
+              .otherwise("unchanged"))
+          .where(col("change") =!= "unchanged")
+          .select(col("key"), col("change"),
+            col("price_a").cast(DoubleType).as("price_a"),
+            col("price_b").cast(DoubleType).as("price_b"))
+          .orderBy("key")
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS key,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price_a
+          FROM orders),
+        b AS (
+          SELECT o_orderkey AS key,
+                 CAST(o_totalprice AS DECIMAL(18,2))
+                   + (CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS price_b
+          FROM orders WHERE o_orderkey % 10 <> 7
+          UNION ALL
+          SELECT o_orderkey + 10000000 AS key,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price_b
+          FROM orders WHERE o_orderkey % 10 = 1),
+        j AS (
+          SELECT COALESCE(a.key, b.key) AS key, price_a, price_b,
+                 CASE WHEN price_a IS NULL THEN 'insert'
+                      WHEN price_b IS NULL THEN 'delete'
+                      WHEN price_a <> price_b THEN 'update'
+                      ELSE 'unchanged' END AS change
+          FROM a FULL OUTER JOIN b ON a.key = b.key)
+        SELECT key, change,
+               CAST(price_a AS DOUBLE) AS price_a,
+               CAST(price_b AS DOUBLE) AS price_b
+        FROM j
+        WHERE change <> 'unchanged'
+        ORDER BY key
       """))
   )
 }
