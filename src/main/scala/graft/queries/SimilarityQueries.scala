@@ -617,6 +617,70 @@ object SimilarityQueries {
         )
         SELECT id AS name, MIN(r) AS component
         FROM reach GROUP BY id ORDER BY name
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q73: dedup-cluster centrality — 5 rounds of PageRank over the
+    // same fuzzy-pair graph, in INTEGER micro-unit arithmetic. Why:
+    // after q62 groups duplicates, the keeper should be the most
+    // CENTRAL variant, not the lexicographic minimum; PageRank on the
+    // similarity graph is that choice. Why integers: float PageRank
+    // sums neighbor contributions in nondeterministic order — integer
+    // micro-units make the sum exact and associative, so a DuckDB
+    // oracle can replay all 5 unrolled iterations bit-for-bit
+    // (contribution = rank div degree, damping = *850000 div 1000000).
+    // Each round is one keyed join + one keyed agg — diameter-free,
+    // fixed depth, the iterative-graph shape that scales.
+    Q(
+      "q73_dedup_centrality",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val pairs = names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("src"), col("b.p_name").as("dst"))
+        val edges = pairs
+          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+        for (_ <- 1 to 5) {
+          rank = edges
+            .join(deg, Seq("src"))
+            .join(rank, col("src") === col("node"))
+            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .groupBy("dst")
+            .agg(expr(
+              "cast(150000 + (850000 * sum(contrib)) div 1000000 as bigint) as rank"))
+            .select(col("dst").as("node"), col("rank"))
+        }
+        rank.select(col("node").as("name"), col("rank")).orderBy("name")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (
+          SELECT e.b AS node,
+                 CAST(150000 + (850000 * SUM(r.rank // d.deg)) // 1000000
+                      AS BIGINT) AS rank
+          FROM e JOIN r${i - 1} r ON e.a = r.node
+                 JOIN deg d ON e.a = d.node
+          GROUP BY e.b)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        p AS (
+          SELECT a.p_name AS x, b.p_name AS y
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+                              AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        $iters
+        SELECT node AS name, rank FROM r5 ORDER BY name
+      """
+      })
   )
 }

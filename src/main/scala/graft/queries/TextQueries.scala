@@ -227,6 +227,62 @@ object TextQueries {
           FROM tf JOIN df USING (term)
         ) WHERE rank <= 3
         ORDER BY 1, 2
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q72: quality filter cascade — the curation step that consumes
+    // q30's composite score: rank every document into per-language
+    // deciles (ntile with a doc_id tiebreak for total order) and keep
+    // the top four. Thresholding WITHIN the stratum rather than
+    // globally is the point: a global score cutoff would empty the
+    // low-resource languages. One Exchange on lang; the score itself
+    // is per-row projection (q30's exact spelling, whose doubles are
+    // proven hash-identical cross-engine).
+    Q(
+      "q72_quality_filter",
+      (s, dir) => {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = expr(s"size($toksExpr)").cast(DoubleType)
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+          length(col("text"))
+        val stopRatio = expr(s"size(filter($toksExpr, t -> t IN ${inList(allStops)}))")
+          .cast(DoubleType) / nToks
+        val awl = length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) / nToks
+        val score = lit(0.4) * alpha +
+          lit(0.3) * (lit(1.0) - abs(awl - lit(5.0)) / lit(10.0)) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), score.as("quality_score"))
+          .withColumn("decile", ntile(10).over(w))
+          .where(col("decile") <= 4)
+          .select(col("doc_id"), col("lang"), col("decile"), col("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = s"CAST(LEN($toksSql) AS DOUBLE)"
+        val alpha = s"(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text))"
+        val stopR = s"(CAST(LEN(LIST_FILTER($toksSql, t -> t IN ${inList(allStops)})) AS DOUBLE) / $nToks)"
+        val awl = s"(CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) / $nToks)"
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 0.4 * $alpha + 0.3 * (1.0 - ABS($awl - 5.0) / 10.0)
+                   + 0.3 * LEAST($stopR * 5.0, 1.0) AS quality_score
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, lang, quality_score,
+                 CAST(NTILE(10) OVER (PARTITION BY lang
+                   ORDER BY quality_score DESC, doc_id ASC) AS INT) AS decile
+          FROM scored)
+        SELECT doc_id, lang, decile, quality_score
+        FROM ranked
+        WHERE decile <= 4
+        ORDER BY doc_id
+      """
+      })
   )
 }
