@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductF(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }
 }

@@ -14,6 +14,10 @@ object Sessions {
   def builder(master: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // the engine's Catalyst surface (custom expressions + optimizer
+      // rules) is part of every session, exactly as a deployed cluster
+      // would set spark.sql.extensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
