@@ -49,4 +49,31 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet
     assert(got == Set((1L, "2024-01-01 00:00:00", "2024-01-01 00:30:00")))
   }
+
+  test("stream-static broadcast enrichment joins each micro-batch against the dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static dim joins stateless per micro-batch (no watermark needed):
+    // the canonical "enrich the event stream with a dimension" shape,
+    // broadcast so the stream side never shuffles
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("tier_id", "tier")
+    val events = MemoryStream[(Long, Long)]
+    val enriched = events.toDF().toDF("event_id", "tier_id")
+      .join(broadcast(dim), Seq("tier_id"), "left")
+    val ckpt = Files.createTempDirectory("graft_ssd2_").toString
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", ckpt + "/ckpt").start()
+    events.addData((100L, 1L), (101L, 2L), (102L, 9L)) // 9 -> no dim row
+    q.processAllAvailable()
+    events.addData((103L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set(
+      (100L, Some("gold")), (101L, Some("silver")),
+      (102L, None), (103L, Some("gold"))))
+  }
 }
