@@ -396,6 +396,70 @@ object PipelineQueries {
         FROM j
         WHERE change <> 'unchanged'
         ORDER BY key
+      """)),
+
+    // ----------------------------------------------------------------
+    // q76: fixed-size per-stratum sample — EXACTLY k documents per
+    // language (the fixed-budget eval-set draw), chosen by ranking on
+    // md5(doc_id) so the draw is uniform-ish, reproducible, and stable
+    // under corpus growth ONLY where the hash order changes (no rand(),
+    // no shuffle beyond the per-stratum rank window). Complements q65:
+    // rate-based keeps a fraction, this keeps a count.
+    Q(
+      "q76_fixed_k_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("pick", row_number().over(w))
+          .where(col("pick") <= 20)
+          .select(col("doc_id"), col("lang"), col("pick"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pick
+          FROM documents)
+        SELECT doc_id, lang, pick
+        FROM r
+        WHERE pick <= 20
+        ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q77: global contiguous row numbering WITHOUT a global sort — the
+    // export step that assigns every document a stable position in the
+    // packed corpus. A naive ROW_NUMBER() over the full order funnels
+    // 100 TB through ONE partition; the scalable form is two-phase:
+    // per-shard local ranks plus broadcast shard offsets (a cumsum over
+    // |shards| rows). The DuckDB oracle runs the NAIVE global
+    // ROW_NUMBER — the gate proves the two-phase plan computes the
+    // identical function.
+    Q(
+      "q77_global_rownum",
+      (s, dir) => {
+        val local = Window.partitionBy("source").orderBy("doc_id")
+        val offsetW = Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counts = Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(offsetW), lit(0L)))
+          .select("source", "offset")
+        Tables.documents(s, dir)
+          .withColumn("local_rank", row_number().over(local))
+          .join(broadcast(counts), Seq("source"))
+          .select(col("doc_id"), col("source"),
+            (col("offset") + col("local_rank")).cast("bigint").as("global_row"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_row
+        FROM documents
+        ORDER BY doc_id
       """))
   )
 }
