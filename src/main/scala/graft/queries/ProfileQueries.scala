@@ -98,6 +98,57 @@ object ProfileQueries {
                CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n
         FROM g
         ORDER BY bin
+      """)),
+
+    // ----------------------------------------------------------------
+    // q78: Z-order layout audit — Morton-interleave two join/filter
+    // dimensions (part, supplier) into one clustering key, cut the key
+    // range into 32 "files", and report each file's min/max on BOTH
+    // dimensions. This is the OPTIMIZE ZORDER move of modern table
+    // formats, expressed as a query: the output min/max spans are the
+    // proof that one sort key yields pruning power on two columns
+    // (every file covers ~1/sqrt(32) of EACH dimension, vs all of
+    // dimension 2 under a lexicographic sort). The bit interleave is
+    // pure div/mod/multiply integer math — no engine bit-operator
+    // dialect involved — so the oracle replays it exactly.
+    Q(
+      "q78_zorder_layout",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .selectExpr("l_partkey % 256 as px", "l_suppkey % 256 as sx")
+          .selectExpr("px", "sx",
+            s"(${ProfileQueries.morton("px", "sx", "div")}) as zkey")
+          .selectExpr("px", "sx", "zkey div 2048 as file_id")
+          .groupBy(col("file_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("px")).as("min_p"), max(col("px")).as("max_p"),
+            min(col("sx")).as("min_s"), max(col("sx")).as("max_s"))
+          .orderBy("file_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem),
+        z AS (
+          SELECT px, sx, (${ProfileQueries.morton("px", "sx", "//")}) AS zkey
+          FROM d),
+        f AS (SELECT px, sx, zkey // 2048 AS file_id FROM z)
+        SELECT file_id,
+               COUNT(*) AS n,
+               MIN(px) AS min_p, MAX(px) AS max_p,
+               MIN(sx) AS min_s, MAX(sx) AS max_s
+        FROM f
+        GROUP BY file_id
+        ORDER BY file_id
       """))
   )
+
+  /** Morton interleave of two 8-bit values as dialect-portable integer
+    * arithmetic: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. `divOp` is "div" (Spark) or "//" (DuckDB). */
+  private[queries] def morton(a: String, b: String, divOp: String): String =
+    (0 until 8).map { i =>
+      val lo = 1L << i
+      s"(($a $divOp $lo) % 2) * ${1L << (2 * i)} + (($b $divOp $lo) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 }
