@@ -1,16 +1,23 @@
 package graft.functions
 
-/** Dependency-free decoders for the two multimodal formats that are pure
-  * byte layout — BMP (24-bit uncompressed) and WAV (PCM16) — so the
-  * multimodal pipeline's decode step is REAL for these formats and falls
-  * back to the deterministic stub only for codec-requiring ones
-  * (JPEG/PNG/video), which this container cannot host.
+/** Dependency-free decoders for multimodal payloads.
   *
-  * Both parsers are defensive: any structural violation returns None
+  * Images decode through two real paths: a hand-rolled 24-bit BMP parser
+  * (pure byte layout, no allocation beyond the stats — the fast path) and
+  * the JDK's own `javax.imageio.ImageIO`, which ships with every JVM and
+  * handles JPEG/PNG/GIF/BMP ([[imageIoFeatures]]). Audio decodes PCM16
+  * WAV. Only video remains a stub upstream — no video codec exists in a
+  * bare JVM.
+  *
+  * All parsers are defensive: any structural violation returns None
   * rather than throwing, because at 100 TB a corrupt payload must
   * degrade to the fallback path, never kill the task.
   */
 object MediaCodec {
+
+  // ImageIO's default read path spills to a temp-file cache per call;
+  // executor-local decode wants pure in-memory streams.
+  javax.imageio.ImageIO.setUseCache(false)
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -62,6 +69,51 @@ object MediaCodec {
       (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
       meanL.toFloat, math.sqrt(varL).toFloat))
   }
+
+  /** JPEG/PNG/GIF/BMP via the JDK's bundled ImageIO readers -> the same
+    * 8 features as [[bmpFeatures]]:
+    * [width, height, aspect, meanB, meanG, meanR, meanLuma, stdLuma]
+    * (channel means in 0-255, luma = (b+g+r)/3, alpha ignored). Pixels
+    * are normalized to packed sRGB via getRGB so grayscale/palette/CMYK
+    * color models all land in the same feature space. Returns None for
+    * bytes no installed reader recognizes or any decoder failure. */
+  def imageIoFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sb, sg, sr) = (0.0, 0.0, 0.0)
+        var sl, sl2 = 0.0
+        var y = 0
+        // row-at-a-time getRGB: one int[] per row, not per image — bounded
+        // memory even for pathologically tall payloads
+        val row = new Array[Int](w)
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val px = row(x)
+            val r = (px >> 16) & 0xff
+            val g = (px >> 8) & 0xff
+            val b = px & 0xff
+            sb += b; sg += g; sr += r
+            val luma = (b + g + r) / 3.0
+            sl += luma; sl2 += luma * luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        Some(Array(
+          w.toFloat, h.toFloat, (w.toDouble / h).toFloat,
+          (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
+          meanL.toFloat, math.sqrt(varL).toFloat))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RIFF/WAVE PCM16 -> 4 features:
     * [sample_rate, duration_sec, rms (of full-scale), zero_cross_rate]

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample are per-partition batch
   * transforms.
   *
-  * The DECODE step is real for byte-layout formats (24-bit BMP, PCM16
-  * WAV — parsed in pure JVM code, [[graft.functions.MediaCodec]]) and a
-  * clearly-marked deterministic STUB for codec-requiring formats
-  * (JPEG/PNG/video — no codec libraries exist in this container).
+  * The DECODE step is real for images (JPEG/PNG/GIF/BMP via the JDK's
+  * bundled `javax.imageio.ImageIO`, plus a zero-allocation hand parser
+  * for 24-bit BMP as the fast path) and audio (PCM16 WAV, pure byte
+  * layout) — see [[graft.functions.MediaCodec]]. Only VIDEO decode is a
+  * clearly-marked deterministic STUB: a bare JVM ships no video codec.
   * Everything around it is the real Spark shape a production pipeline
   * needs: fixed schema, per-partition batching (one decoder init per
   * partition, not per row — the JVM analog of mapInPandas batch
@@ -45,14 +46,14 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition (one decoder init
     * per partition, not per row — the pattern that matters at scale).
     *
-    * The decode is REAL for the byte-layout formats this JVM can parse
-    * without codec libraries: 24-bit BMP images and PCM16 WAV audio
-    * ([[graft.functions.MediaCodec]] — channel means/luma stats, RMS/
-    * zero-cross features). Payloads that are not in those formats
-    * (JPEG/PNG, compressed audio, all video — codecs absent from this
-    * container) fall back to a clearly-marked deterministic STUB feature
-    * (rolling hash of the bytes). Dim stays fixed per kind: 8 image,
-    * 4 audio, 16 video. */
+    * The decode is REAL for images — hand-rolled 24-bit BMP fast path,
+    * then JDK ImageIO (JPEG/PNG/GIF/any installed reader) — and for
+    * PCM16 WAV audio ([[graft.functions.MediaCodec]] — channel means/
+    * luma stats, RMS/zero-cross features). Payloads no decoder accepts
+    * (unrecognized or corrupt images, compressed audio, all video — no
+    * video codec in a bare JVM) fall back to a clearly-marked
+    * deterministic STUB feature (rolling hash of the bytes). Dim stays
+    * fixed per kind: 8 image, 4 audio, 16 video. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
@@ -73,7 +74,9 @@ object Multimodal {
             ((h % 1000003L).toFloat) / 1000003f
           }
           val feats = (kind match {
-            case "image" => graft.functions.MediaCodec.bmpFeatures(bytes)
+            case "image" =>
+              graft.functions.MediaCodec.bmpFeatures(bytes)
+                .orElse(graft.functions.MediaCodec.imageIoFeatures(bytes))
             case "audio" => graft.functions.MediaCodec.wavFeatures(bytes)
             case _       => None // >>> STUB: video decode needs real codecs
           }).getOrElse(stub)

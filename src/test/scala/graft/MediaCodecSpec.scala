@@ -55,6 +55,62 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(f(3) == 1f) // every adjacent pair flips sign
   }
 
+  /** Encode a pixel grid (packed sRGB ints, row-major) to image bytes via
+    * the JDK writer — the fixture generator is the JDK encoder, the
+    * expected stats are computed by hand from the source pixels below,
+    * independent of any MediaCodec code path. */
+  private def encode(pixels: Array[Array[Int]], format: String): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val imgType =
+      if (format == "jpg") java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  /** Same pixel set as the BMP fixture: blue, green / red, white. */
+  private val rgbw: Array[Array[Int]] =
+    Array(Array(0x0000ff, 0x00ff00), Array(0xff0000, 0xffffff))
+
+  test("imageIoFeatures decodes PNG losslessly to hand-computed stats") {
+    val f = MediaCodec.imageIoFeatures(encode(rgbw, "png")).get
+    assert(f(0) == 2f && f(1) == 2f && f(2) == 1f)
+    // hand-computed from rgbw: each channel is 255 in exactly 2 of 4 px
+    assert(f(3) == 127.5f && f(4) == 127.5f && f(5) == 127.5f)
+    // lumas 85,85,85,255 -> mean 127.5, var 5418.75
+    assert(math.abs(f(6) - 127.5f) < 1e-3)
+    assert(math.abs(f(7) - math.sqrt(5418.75)) < 1e-3)
+    // PNG is lossless: must agree exactly with the BMP parse of the same pixels
+    val bmp = MediaCodec.bmpFeatures(bmp2x2).get
+    assert(f.toSeq == bmp.toSeq, "PNG(ImageIO) and BMP(hand parser) stats must match")
+  }
+
+  test("imageIoFeatures decodes JPEG (lossy: solid gray within tolerance)") {
+    val gray = Array.fill(8, 8)(0x808080) // solid 128-gray survives DCT ~exactly
+    val f = MediaCodec.imageIoFeatures(encode(gray, "jpg")).get
+    assert(f(0) == 8f && f(1) == 8f)
+    Seq(f(3), f(4), f(5), f(6)).foreach(m => assert(math.abs(m - 128f) <= 2f, s"mean $m"))
+    assert(f(7) <= 2f, s"solid-color stdLuma ${f(7)}")
+  }
+
+  test("imageIoFeatures decodes grayscale and palette color models via sRGB") {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, 0x646464) // gray 100
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = MediaCodec.imageIoFeatures(out.toByteArray).get
+    assert(f(0) == 4f && f(1) == 2f && f(2) == 2f)
+    // sRGB<->linear-gray round trip may shift the level by a step or two,
+    // but all channels must stay equal and the image must stay flat
+    assert(f(3) == f(4) && f(4) == f(5) && f(5) == f(6))
+    assert(math.abs(f(6) - 100f) <= 3f && f(7) == 0f)
+  }
+
   test("corrupt payloads return None, never throw") {
     assert(MediaCodec.bmpFeatures(Array.fill[Byte](100)(7)).isEmpty)
     assert(MediaCodec.wavFeatures(Array.fill[Byte](100)(7)).isEmpty)
@@ -62,12 +118,14 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.wavFeatures("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
-  test("extractFeatures uses real decode for BMP/WAV and stub otherwise") {
+  test("extractFeatures uses real decode for BMP/PNG/JPEG/WAV and stub otherwise") {
     val spark = TestSpark.spark
     val rows = Seq(
       Row(1L, "image", bmp2x2, Row(2, 2, null, null)),
       Row(2L, "audio", wav4, Row(null, null, 8000, null)),
-      Row(3L, "image", Array.fill[Byte](32)(7), Row(8, 4, null, null))) // not BMP
+      Row(3L, "image", Array.fill[Byte](32)(7), Row(8, 4, null, null)), // no decoder
+      Row(4L, "image", encode(rgbw, "png"), Row(2, 2, null, null)),
+      Row(5L, "image", encode(Array.fill(8, 8)(0x808080), "jpg"), Row(8, 8, null, null)))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
     val got = Multimodal.extractFeatures(spark, media).collect()
@@ -76,5 +134,9 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(got(2L)(0) == 8000f)
     // fallback path: still 8 deterministic dims, but not BMP stats
     assert(got(3L).length == 8 && got(3L)(0) != 8f)
+    // PNG through ImageIO: identical stats to the BMP of the same pixels
+    assert(got(4L).toSeq == got(1L).toSeq)
+    // JPEG through ImageIO: real dimensions, near-exact solid gray
+    assert(got(5L)(0) == 8f && math.abs(got(5L)(6) - 128f) <= 2f)
   }
 }
