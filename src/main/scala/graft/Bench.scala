@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // This VM's vCPUs are oversubscribed: identical queries vary >10x
+    // between single shots (see BENCH_STEADY.md). One sample per query is
+    // uninterpretable, so each query runs `runs` times (>=3) and the
+    // headline number is the per-query MIN — the estimator least
+    // sensitive to asymmetric scheduling noise; all samples are reported
+    // alongside so the spread stays visible.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = Sessions.local()
     // Warm-up (uncounted): touch every table's footer/pages, then run the
     // ENTIRE suite once so every codepath gets its C2 JIT compilation
@@ -17,27 +24,37 @@ object Bench {
     }
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full materialization of every operator (a bare count()
-      // would let Catalyst prune windows/projections out of the plan).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: full materialization of every operator (a bare count()
+        // would let Catalyst prune windows/projections out of the plan).
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
-            errors ::= name
-            false
+            // A failed run must be distinguishable from a fast one: -1.
+            -1.0
         }
-      // A failed query must be distinguishable from a fast one: -1, and
-      // it is excluded from the total.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (samples.exists(_ < 0)) errors ::= name
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // "queries" stays name -> one number (the min) for round-over-round
+    // comparability; "runs" carries every sample.
+    val mins = results.map { case (k, ss) =>
+      k -> (if (ss.forall(_ >= 0)) ss.min else -1.0)
+    }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val allRuns = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = mins.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min_of_$runs","queries":$qs,"runs":$allRuns,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Side-channel copy for local tooling (driver reads stdout).
     try java.nio.file.Files.writeString(
