@@ -219,20 +219,80 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q49: IVF approximate nearest neighbor — k-means coarse quantizer,
-    // search restricted to the query's own cell (equi-join on cell_id).
-    // Engine-specific (MLlib k-means) so no SQL oracle; IvfSpec pins
-    // recall against the exact brute-force baseline instead.
+    // q49: IVF approximate nearest neighbor with a DETERMINISTIC coarse
+    // quantizer — 4 integer hyperplanes (the q38 plane family, planes
+    // 0-3) give a 16-cell sign key playing the role of k-means'
+    // nlist=16 cells; multi-probe = the query's own cell plus its four
+    // Hamming-1 neighbors (one sign flip each — the cells a borderline
+    // vector is most likely to land in). Search is an equi-join of the
+    // broadcast exploded (query, probe) side against cell-keyed
+    // candidates: identical scale shape to learned IVF (nprobe·|Q|
+    // bounded work, never all-pairs), but every step is int/md5-free
+    // arithmetic DuckDB replays bit-exactly — unlike the k-means path
+    // (ml/IvfIndex, kept as the learned/library quantizer, gated by
+    // IvfSpec's recall bound). Cells partition the space, so each
+    // candidate appears through at most one probe — no dedup needed.
     Q(
       "q49_ann_ivf",
       (s, dir) => {
-        val (cells, centroids) = graft.ml.IvfIndex.buildIndex(
-          s, Tables.embeddings(s, dir), nlist = 16)
-        graft.ml.IvfIndex.searchTopK(
-          cells, centroids, pmod(col("vec_id"), lit(100)) === 0,
-          k = 3, nprobe = 3)
+        import graft.functions.DotProductF
+        val cellExpr = (0 to 3)
+          .map(j => s"(case when ${SimilarityQueries.planeDotExpr(j)} > 0 then ${1 << j} else 0 end)")
+          .mkString(" + ")
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
+          .withColumn("cell", expr(cellExpr))
+        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("n2").as("qn2"),
+            explode(array(col("cell"), col("cell").bitwiseXOR(1),
+              col("cell").bitwiseXOR(2), col("cell").bitwiseXOR(4),
+              col("cell").bitwiseXOR(8))).as("cell"))
+        val cs = emb.select(col("vec_id").as("cand_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+        val cos = DotProductF.dot(col("qe"), col("ce")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))
+        val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
+        val scored = broadcast(qs).join(cs, Seq("cell"))
+          .where(col("query_id") =!= col("cand_id"))
+          .select(col("query_id"), col("cand_id"), simq.as("sim_q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"),
+            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+          .orderBy("query_id", "rank")
       },
-      None),
+      Some {
+        val cellSql = (0 to 3)
+          .map(j => s"(CASE WHEN ${SimilarityQueries.planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 ${SimilarityQueries.dotSql("embedding", "embedding")} AS n2,
+                 $cellSql AS cell
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, embedding, n2,
+                 UNNEST([cell, XOR(cell, 1), XOR(cell, 2), XOR(cell, 4), XOR(cell, 8)]) AS cell
+          FROM e WHERE vec_id % 100 = 0
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(FLOOR(${SimilarityQueries.dotSql("q.embedding", "c.embedding")}
+                   / (SQRT(q.n2) * SQRT(c.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM q JOIN e c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim_q DESC, cand_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3 ORDER BY 1, 2
+        """
+      }),
 
     // ----------------------------------------------------------------
     // q52: catalog/metadata profile (SURVEY Q3) — the reference's

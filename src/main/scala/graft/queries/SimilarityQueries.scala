@@ -52,10 +52,10 @@ object SimilarityQueries {
       .repartition(col("doc_id"))
 
   /** Sequential-fold dot product of two double-cast float vectors. */
-  private def dotExpr(a: String, b: String) =
+  private[queries] def dotExpr(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
       "cast(0.0 as double), (acc, v) -> acc + v)"
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), " +
       "(x, y) -> x + y)"
 
@@ -118,10 +118,10 @@ object SimilarityQueries {
 
   /** Deterministic integer hyperplane j dotted with the embedding —
     * shared by q38 (bucketed ANN) and q55 (banded near-dup pairs). */
-  private def planeDotExpr(j: Int) =
+  private[queries] def planeDotExpr(j: Int) =
     s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> " +
       s"acc + cast(element_at(embedding, d + 1) as double) * cast((($j * 67 + d * 31) % 19) - 9 as double))"
-  private def planeDotSql(j: Int) =
+  private[queries] def planeDotSql(j: Int) =
     s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
       s"CAST(embedding[d + 1] AS DOUBLE) * CAST((($j * 67 + d * 31) % 19) - 9 AS DOUBLE)), (x, y) -> x + y)"
   /** 8-bit sign key over the 8 hyperplanes (256 buckets). */

@@ -4,24 +4,67 @@ import graft.ml.IvfIndex
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** IVF ANN pinned by recall against the exact brute-force baseline
-  * (k-means output has no SQL oracle). With nlist=16 over 500 clustered
-  * vectors (the synthetic embeddings carry labels), same-cell search
-  * must recover most of the true top-3. */
+/** IVF ANN pinned by recall against the exact brute-force baseline.
+  *
+  * Two quantizers share the IVF search shape (broadcast probe side +
+  * cell equi-join, never all-pairs):
+  *  - the LEARNED k-means path (ml/IvfIndex) — engine-specific output,
+  *    so recall here is its only correctness gate;
+  *  - the DETERMINISTIC hyperplane-cell path (registry q49) — also
+  *    hash-checked against DuckDB by the driver; the recall bound here
+  *    documents its approximation quality.
+  *
+  * All inputs are fixed (seed 42, sf0.001 = 500 clustered vectors, 5
+  * queries x top-3 = 15 true pairs), so each recall below is an exact
+  * reproducible number, not a statistical bound. Measured sweep:
+  * nlist=16 nprobe=3 -> 0.733, nlist=8 nprobe=4 -> 0.933,
+  * nlist=16 nprobe=12 -> 1.0; deterministic q49 (16 cells, 5 probes)
+  * -> 0.600. The 500-vector corpus over-partitions at nlist=16, which
+  * is why the >=0.9 operating point uses nlist=8.
+  */
 class IvfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("IVF top-3 recall vs brute force >= 0.6 at nlist=16") {
-    val brute = SparkEntry.queries("q37_knn_bruteforce_cosine")(spark, sfDir)
+  private lazy val brute =
+    SparkEntry.queries("q37_knn_bruteforce_cosine")(spark, sfDir)
       .where(col("rank") <= 3)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("q49_ann_ivf")(spark, sfDir)
+
+  private def recallOf(ann: Set[(Long, Long)]): Double = {
+    assert(brute.nonEmpty)
+    ann.intersect(brute).size.toDouble / brute.size
+  }
+
+  private def kmeansRecall(nlist: Int, nprobe: Int): Double = {
+    val (cells, centroids) = IvfIndex.buildIndex(
+      spark, Tables.embeddings(spark, sfDir), nlist = nlist)
+    val ivf = IvfIndex.searchTopK(
+        cells, centroids, pmod(col("vec_id"), lit(100)) === 0,
+        k = 3, nprobe = nprobe)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(brute.nonEmpty)
-    val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall (ivf=${ivf.size}, brute=${brute.size})")
+    recallOf(ivf)
+  }
+
+  test("learned k-means IVF at nlist=8 nprobe=4 has top-3 recall >= 0.9") {
+    val recall = kmeansRecall(nlist = 8, nprobe = 4)
+    assert(recall >= 0.9, s"recall $recall (measured stable value: 0.933)")
+  }
+
+  test("probing more cells monotonically recovers the exhaustive result") {
+    val r3 = kmeansRecall(nlist = 16, nprobe = 3)
+    val r12 = kmeansRecall(nlist = 16, nprobe = 12)
+    assert(r3 >= 0.7, s"nprobe=3 recall $r3 (measured stable value: 0.733)")
+    assert(r12 == 1.0, s"nprobe=12 recall $r12 — 12/16 cells must cover every true pair")
+  }
+
+  test("deterministic hyperplane-cell IVF (q49) top-3 recall >= 0.6") {
+    val det = SparkEntry.queries("q49_ann_ivf")(spark, sfDir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallOf(det)
+    assert(recall >= 0.6, s"recall $recall (measured stable value: 0.600)")
   }
 }
