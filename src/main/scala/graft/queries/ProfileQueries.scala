@@ -143,12 +143,8 @@ object ProfileQueries {
       """))
   )
 
-  /** Morton interleave of two 8-bit values as dialect-portable integer
-    * arithmetic: bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i+1. `divOp` is "div" (Spark) or "//" (DuckDB). */
+  /** Morton key shared with the physical write path — see
+    * [[graft.operators.ZOrderLayout.morton]]. */
   private[queries] def morton(a: String, b: String, divOp: String): String =
-    (0 until 8).map { i =>
-      val lo = 1L << i
-      s"(($a $divOp $lo) % 2) * ${1L << (2 * i)} + (($b $divOp $lo) % 2) * ${1L << (2 * i + 1)}"
-    }.mkString(" + ")
+    graft.operators.ZOrderLayout.morton(a, b, divOp)
 }
