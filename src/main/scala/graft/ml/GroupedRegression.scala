@@ -107,6 +107,87 @@ object GroupedRegression {
     }.toDF("key", "n", "intercept", "coefficients", "feat_means", "feat_stds")
   }
 
+  /** Quality-weighted variant: one ridge fit per group with a sample
+    * weight per row — the curation use-case (fit on documents weighted by
+    * a quality score) where re-sampling the corpus to express weights
+    * would be a second full pass. Exactly the same single-shuffle shape
+    * as [[fitRidgePerGroup]]; only the sufficient statistics change (every
+    * sum carries the weight), so at 100 TB the cost is identical: one
+    * keyed exchange of O(d²) doubles per group.
+    *
+    * Parity target: MLlib `LinearRegression(weightCol, regParam,
+    * elasticNetParam=0)` on RAW features (no external StandardScaler —
+    * MLlib's scaler has no weight support; LinearRegression standardizes
+    * internally). WeightedLeastSquares standardizes with WEIGHTED
+    * POPULATION moments (Σw-normalized, no ddof correction) and penalizes
+    * the correlation-space system by regParam/σ₀(y), so that is the
+    * convention here — note the stored featStds are therefore population
+    * stds, unlike the unweighted path's ddof-1 stds; [[predict]] is
+    * representation-agnostic (model and stds always pair up).
+    * GroupedRegressionSpec asserts raw-space coefficient parity to 1e-6.
+    */
+  def fitWeightedRidgePerGroup(df: DataFrame, keyCol: String,
+                               features: Seq[String], label: String,
+                               weightCol: String,
+                               regParam: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = features.size
+    require(d > 0, "need at least one feature")
+
+    val x: Seq[Column] = features.map(f => col(f).cast("double"))
+    val y: Column = col(label).cast("double")
+    val wc: Column = col(weightCol).cast("double")
+
+    // Flat layout: n | Σw | Σwx(d) | Σwy | Σwy² | Σwxy(d) | G upper d(d+1)/2
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(wc).as("sw")) ++
+        x.zipWithIndex.map { case (c, i) => sum(wc * c).as(s"swx$i") } ++
+        Seq(sum(wc * y).as("swy"), sum(wc * y * y).as("swyy")) ++
+        x.zipWithIndex.map { case (c, i) => sum(wc * c * y).as(s"swxy$i") } ++
+        (for { i <- 0 until d; j <- i until d }
+          yield sum(wc * x(i) * x(j)).as(s"g${i}_$j"))
+
+    val grouped = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    grouped.map { row =>
+      val n = row.getLong(1)
+      var p = 2
+      val sw = row.getDouble(p); p += 1
+      val swx = Array.fill(d) { val v = row.getDouble(p); p += 1; v }
+      val swy = row.getDouble(p); p += 1
+      val swyy = row.getDouble(p); p += 1
+      val swxy = Array.fill(d) { val v = row.getDouble(p); p += 1; v }
+      val g = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        g(i)(j) = row.getDouble(p); g(j)(i) = g(i)(j); p += 1
+      }
+
+      val mu = swx.map(_ / sw)
+      val ybar = swy / sw
+      // weighted POPULATION stds — WeightedLeastSquares' convention
+      val sd = Array.tabulate(d) { i =>
+        val v = g(i)(i) / sw - mu(i) * mu(i)
+        if (v > 0) math.sqrt(v) else 1.0
+      }
+      val ySd0 = {
+        val v = swyy / sw - ybar * ybar
+        if (v > 0) math.sqrt(v) else 1.0
+      }
+      // correlation-space normal equations (all moments Σw-normalized)
+      val a = Array.tabulate(d, d) { (i, j) =>
+        (g(i)(j) / sw - mu(i) * mu(j)) / (sd(i) * sd(j))
+      }
+      val b = Array.tabulate(d) { i => (swxy(i) / sw - mu(i) * ybar) / sd(i) }
+      val lam = regParam / ySd0
+      for (i <- 0 until d) a(i)(i) += lam
+
+      GroupModel(row.getString(0), n, ybar, solve(a, b), mu, sd)
+    }.toDF("key", "n", "intercept", "coefficients", "feat_means", "feat_stds")
+  }
+
   /** Apply fitted models to raw rows: broadcast-join the (small) model
     * table on the key and evaluate β₀ + Σ βᵢ(xᵢ−μᵢ)/σᵢ with zip_with —
     * no shuffle on the data side, no UDF. */
