@@ -124,7 +124,14 @@ object GroupedRegression {
     * convention here — note the stored featStds are therefore population
     * stds, unlike the unweighted path's ddof-1 stds; [[predict]] is
     * representation-agnostic (model and stds always pair up).
-    * GroupedRegressionSpec asserts raw-space coefficient parity to 1e-6.
+    * GroupedRegressionSpec asserts raw-space coefficient parity to 1e-6;
+    * registry query q79 exercises this path end-to-end against DuckDB.
+    *
+    * Weight semantics (mirrors MLlib's contract): rows with a NULL weight
+    * are excluded from the fit and from `n` (n = count of non-null-weight
+    * rows); negative weights and groups whose weight mass Σw is zero are
+    * rejected loudly, like [[solve]] rejects singular systems — a silent
+    * NaN model row is the one failure mode a 100 TB pipeline can't debug.
     */
   def fitWeightedRidgePerGroup(df: DataFrame, keyCol: String,
                                features: Seq[String], label: String,
@@ -139,14 +146,15 @@ object GroupedRegression {
     val y: Column = col(label).cast("double")
     val wc: Column = col(weightCol).cast("double")
 
-    // Flat layout: n | Σw | Σwx(d) | Σwy | Σwy² | Σwxy(d) | G upper d(d+1)/2
+    // Flat layout: n | Σw | Σwx(d) | Σwy | Σwy² | Σwxy(d) | G upper d(d+1)/2 | min(w)
     val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n"), sum(wc).as("sw")) ++
+      Seq(count(wc).as("n"), sum(wc).as("sw")) ++
         x.zipWithIndex.map { case (c, i) => sum(wc * c).as(s"swx$i") } ++
         Seq(sum(wc * y).as("swy"), sum(wc * y * y).as("swyy")) ++
         x.zipWithIndex.map { case (c, i) => sum(wc * c * y).as(s"swxy$i") } ++
         (for { i <- 0 until d; j <- i until d }
-          yield sum(wc * x(i) * x(j)).as(s"g${i}_$j"))
+          yield sum(wc * x(i) * x(j)).as(s"g${i}_$j")) ++
+        Seq(min(wc).as("wmin"))
 
     val grouped = df
       .groupBy(col(keyCol).cast("string").as("key"))
@@ -154,8 +162,15 @@ object GroupedRegression {
 
     grouped.map { row =>
       val n = row.getLong(1)
+      require(n > 0,
+        s"group ${row.getString(0)}: no rows with a non-null weight")
+      val wmin = row.getDouble(row.fieldIndex("wmin"))
+      require(wmin >= 0.0,
+        s"group ${row.getString(0)}: negative weight $wmin (weights must be >= 0)")
       var p = 2
       val sw = row.getDouble(p); p += 1
+      require(sw > 0.0,
+        s"group ${row.getString(0)}: weight mass sum(w)=$sw must be > 0")
       val swx = Array.fill(d) { val v = row.getDouble(p); p += 1; v }
       val swy = row.getDouble(p); p += 1
       val swyy = row.getDouble(p); p += 1

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.{Q, Tables}
 import graft.Q._
+import graft.ml.GroupedRegression
 
 /** In-engine model fitting as QUERIES — the grouped-training counterpart
   * of the [[graft.ml]] package (reference: per-coin sklearn fits,
@@ -90,6 +91,84 @@ object MlQueries {
                CAST(SIGN(r2)    * FLOOR(ABS(r2)*1000000 + 0.5)    AS BIGINT) AS r2_q
         FROM ext
         ORDER BY l_suppkey
+      """)),
+
+    // ----------------------------------------------------------------
+    // q79: quality-WEIGHTED per-group ridge over the documents table,
+    // running [[GroupedRegression.fitWeightedRidgePerGroup]] end-to-end
+    // (the curation use-case: fit token-count → char-count per source,
+    // each row weighted by a quality tier, without re-sampling the
+    // corpus to express the weights). Same single-shuffle shape as q64:
+    // the keyed exchange carries eight weighted sums per source, then a
+    // per-group closed-form solve in the executors.
+    //
+    // Determinism: x (whitespace token count), y (n_chars) and w
+    // (deterministic 1..5 quality tier) are all integer-valued, so every
+    // double sum is EXACT regardless of aggregation order; the epilogue
+    // (mu/sd/solve, then raw-space conversion) is a fixed sequence of
+    // IEEE ops both engines evaluate identically, and the oracle SQL
+    // mirrors it operation for operation. Outputs quantized to integer
+    // micro-units (the q64 convention). regParam=0.5 so the ridge
+    // penalty path (lam = regParam/sigma0(y)) is exercised, not just OLS.
+    Q(
+      "q79_weighted_grouped_ridge",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          col("source"),
+          expr("cast(size(split(trim(text), ' +')) as double)").as("x_tokens"),
+          col("n_chars").cast(DoubleType).as("y_chars"),
+          (col("doc_id") % 5 + 1).cast(DoubleType).as("w"))
+        val models = GroupedRegression.fitWeightedRidgePerGroup(
+          base, "source", Seq("x_tokens"), "y_chars", "w", regParam = 0.5)
+        def quant(c: org.apache.spark.sql.Column) =
+          (signum(c) * floor(abs(c) * lit(1000000.0) + lit(0.5))).cast("bigint")
+        val beta = element_at(col("coefficients"), 1)
+        val mu = element_at(col("feat_means"), 1)
+        val sd = element_at(col("feat_stds"), 1)
+        models.select(
+          col("key").as("source"),
+          col("n"),
+          quant(beta / sd).as("slope_q"),
+          quant(col("intercept") - beta * mu / sd).as("intercept_q"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS DOUBLE) AS x,
+                 CAST(n_chars AS DOUBLE) AS y,
+                 CAST(doc_id % 5 + 1 AS DOUBLE) AS w
+          FROM documents),
+        sums AS (
+          SELECT source,
+                 COUNT(w) AS n,
+                 CAST(SUM(w) AS DOUBLE) AS sw,
+                 CAST(SUM(w*x) AS DOUBLE) AS swx,
+                 CAST(SUM(w*y) AS DOUBLE) AS swy,
+                 CAST(SUM(w*y*y) AS DOUBLE) AS swyy,
+                 CAST(SUM(w*x*y) AS DOUBLE) AS swxy,
+                 CAST(SUM(w*x*x) AS DOUBLE) AS gxx
+          FROM base GROUP BY source),
+        mom AS (
+          SELECT source, n, sw, swy, swyy, swxy, gxx,
+                 swx/sw AS mu, swy/sw AS ybar
+          FROM sums),
+        std AS (
+          SELECT *,
+                 SQRT(gxx/sw - mu*mu) AS sd,
+                 SQRT(swyy/sw - ybar*ybar) AS ysd0
+          FROM mom),
+        fit AS (
+          SELECT *,
+                 ((swxy/sw - mu*ybar)/sd)
+                   / ((gxx/sw - mu*mu)/(sd*sd) + 0.5/ysd0) AS beta
+          FROM std)
+        SELECT source, n,
+               CAST(SIGN(beta/sd) * FLOOR(ABS(beta/sd)*1000000 + 0.5) AS BIGINT) AS slope_q,
+               CAST(SIGN(ybar - beta*mu/sd)
+                    * FLOOR(ABS(ybar - beta*mu/sd)*1000000 + 0.5) AS BIGINT) AS intercept_q
+        FROM fit
+        ORDER BY source
       """))
   )
 }
