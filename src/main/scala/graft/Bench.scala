@@ -60,6 +60,21 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench_last.json"), line)
     catch { case _: Throwable => () }
+    // The driver captures only the TAIL of stdout, and the full record
+    // above (with per-query samples) exceeds it — so the FINAL line is a
+    // compact, self-contained summary: min-total + every per-query min
+    // under its qNN prefix + the 5 slowest queries. This line must stay
+    // well under 2,000 chars so the captured tail always holds all 79
+    // per-query numbers.
+    def fmt2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val compactMins = mins.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }.mkString("{", ",", "}")
+    val worst5 = mins.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map {
+      case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min_of_$runs","sf":"$sfDir","n_queries":${mins.size},"errors":$errs,"worst5":$worst5,"mins":$compactMins}""")
     spark.stop()
   }
 }
