@@ -77,6 +77,44 @@ object ZOrderLayout {
       .write.mode("overwrite").parquet(manifestDir(dir))
   }
 
+  /** Deterministic-bounds variant of [[write]]: files are FIXED-WIDTH
+    * Morton buckets (`bucket = morton div (65536/nFiles)`) instead of
+    * range-sampled cuts. `repartitionByRange` balances file sizes but
+    * draws its split points from a sample, so per-file spans depend on
+    * the sampler; here every bucket's rows land in one task (hash
+    * repartition on the bucket id) which writes them into the bucket's
+    * own `__zb=K` directory — file contents and the manifest become a
+    * pure function of the DATA, which is what lets registry query q80
+    * hash-check the physical layout against a SQL oracle. Same
+    * planning-time skipping properties: each file owns a contiguous
+    * Morton range. */
+  def writeBucketed(df: DataFrame, aCol: String, bCol: String, dir: String,
+                    nFiles: Int): Unit = {
+    require(nFiles > 0 && 65536 % nFiles == 0, s"nFiles must divide 65536: $nFiles")
+    val width = 65536 / nFiles
+    val spark = df.sparkSession
+    df.withColumn("__ck", expr(morton(aCol, bCol, "div")))
+      .withColumn("__zb", expr(s"__ck div $width").cast("int"))
+      .repartition(nFiles, col("__zb"))
+      .sortWithinPartitions("__ck")
+      .drop("__ck")
+      .write.partitionBy("__zb").mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(col("__zb").as("file_id"),
+               col("_metadata.file_path").as("file_path"))
+      .agg(
+        min(col(aCol)).as("min_a"), max(col(aCol)).as("max_a"),
+        min(col(bCol)).as("min_b"), max(col(bCol)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+  }
+
+  /** Read back the sidecar manifest written by [[writeClustered]] /
+    * [[writeBucketed]]. */
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(manifestDir(dir))
+
   /** Manifest rows whose [min,max] box intersects the query box. */
   def selectFiles(spark: SparkSession, dir: String,
                   aMin: Long, aMax: Long, bMin: Long, bMax: Long): Seq[String] =

@@ -140,6 +140,48 @@ object ProfileQueries {
         FROM f
         GROUP BY file_id
         ORDER BY file_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q80: Z-order PHYSICAL write path — q78 proves the layout math in-
+    // query; this one actually WRITES the table via ZOrderLayout
+    // .writeBucketed (one keyed shuffle → 32 Morton-bucket files + the
+    // one-row-per-file sidecar manifest) and then reports the MANIFEST's
+    // per-file spans. Because the bucketed variant pins file boundaries
+    // to fixed-width Morton ranges (no range-sampling), the manifest is
+    // a pure function of the data and the oracle recomputes it from the
+    // raw table with the same dialect-portable Morton arithmetic — a
+    // hash-exact check that the bytes on disk landed in the right files.
+    Q(
+      "q80_zorder_write_manifest",
+      (s, dir) => {
+        val out = "/tmp/graft_q80_zorder_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val data = Tables.lineitem(s, dir)
+          .selectExpr("l_partkey % 256 as px", "l_suppkey % 256 as sx")
+        graft.operators.ZOrderLayout.writeBucketed(data, "px", "sx", out, 32)
+        graft.operators.ZOrderLayout.manifest(s, out)
+          .select(
+            col("file_id"),
+            col("n_rows").as("n"),
+            col("min_a").as("min_p"), col("max_a").as("max_p"),
+            col("min_b").as("min_s"), col("max_b").as("max_s"))
+          .orderBy("file_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem),
+        z AS (
+          SELECT px, sx, (${ProfileQueries.morton("px", "sx", "//")}) AS zkey
+          FROM d),
+        f AS (SELECT px, sx, CAST(zkey // 2048 AS INT) AS file_id FROM z)
+        SELECT file_id,
+               COUNT(*) AS n,
+               MIN(px) AS min_p, MAX(px) AS max_p,
+               MIN(sx) AS min_s, MAX(sx) AS max_s
+        FROM f
+        GROUP BY file_id
+        ORDER BY file_id
       """))
   )
 
