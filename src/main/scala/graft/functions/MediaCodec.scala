@@ -6,8 +6,10 @@ package graft.functions
   * (pure byte layout, no allocation beyond the stats — the fast path) and
   * the JDK's own `javax.imageio.ImageIO`, which ships with every JVM and
   * handles JPEG/PNG/GIF/BMP ([[imageIoFeatures]]). Audio decodes PCM16
-  * WAV. Only video remains a stub upstream — no video codec exists in a
-  * bare JVM.
+  * WAV. Animated-GIF frames decode individually ([[gifFrameFeatures]]),
+  * which makes frame sampling end-to-end real for that one container;
+  * all other video remains a stub upstream — no codec exists in a bare
+  * JVM.
   *
   * All parsers are defensive: any structural violation returns None
   * rather than throwing, because at 100 TB a corrupt payload must
@@ -81,39 +83,72 @@ object MediaCodec {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var (sb, sg, sr) = (0.0, 0.0, 0.0)
-        var sl, sl2 = 0.0
-        var y = 0
-        // row-at-a-time getRGB: one int[] per row, not per image — bounded
-        // memory even for pathologically tall payloads
-        val row = new Array[Int](w)
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val px = row(x)
-            val r = (px >> 16) & 0xff
-            val g = (px >> 8) & 0xff
-            val b = px & 0xff
-            sb += b; sg += g; sr += r
-            val luma = (b + g + r) / 3.0
-            sl += luma; sl2 += luma * luma
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toDouble * h
-        val meanL = sl / n
-        val varL = math.max(0.0, sl2 / n - meanL * meanL)
-        Some(Array(
-          w.toFloat, h.toFloat, (w.toDouble / h).toFloat,
-          (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
-          meanL.toFloat, math.sqrt(varL).toFloat))
-      }
+      else Some(rgbFeatures(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The shared 8-stat extraction over a decoded image:
+    * [width, height, aspect, meanB, meanG, meanR, meanLuma, stdLuma]. */
+  private def rgbFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sb, sg, sr) = (0.0, 0.0, 0.0)
+    var sl, sl2 = 0.0
+    var y = 0
+    // row-at-a-time getRGB: one int[] per row, not per image — bounded
+    // memory even for pathologically tall payloads
+    val row = new Array[Int](w)
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val px = row(x)
+        val r = (px >> 16) & 0xff
+        val g = (px >> 8) & 0xff
+        val b = px & 0xff
+        sb += b; sg += g; sr += r
+        val luma = (b + g + r) / 3.0
+        sl += luma; sl2 += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    Array(
+      w.toFloat, h.toFloat, (w.toDouble / h).toFloat,
+      (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
+      meanL.toFloat, math.sqrt(varL).toFloat)
+  }
+
+  /** Animated-GIF frame sampling — the one video-ish container a bare
+    * JVM decodes for real: ImageIO's bundled GIF reader exposes every
+    * frame via `ImageReader.read(frameIdx)`. Returns every `stride`-th
+    * frame's index with the same 8 stats as [[imageIoFeatures]]. ONE
+    * reader init per payload (not per frame). Frames are decoded as
+    * stored — no disposal-method compositing — so the stats are
+    * deterministic per-frame raster statistics. None if the payload is
+    * not a GIF or any decode step fails. */
+  def gifFrameFeatures(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Array[Float])]] = {
+    if (stride <= 0 || bytes.length < 6 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        // seekForwardOnly=false: frame count needs a full scan first
+        reader.setInput(iis, false, true)
+        try {
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n by stride).map(i => i -> rgbFeatures(reader.read(i))))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** RIFF/WAVE PCM16 -> 4 features:
     * [sample_rate, duration_sec, rms (of full-scale), zero_cross_rate]

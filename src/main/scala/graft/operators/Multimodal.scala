@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   *
   * The DECODE step is real for images (JPEG/PNG/GIF/BMP via the JDK's
   * bundled `javax.imageio.ImageIO`, plus a zero-allocation hand parser
-  * for 24-bit BMP as the fast path) and audio (PCM16 WAV, pure byte
-  * layout) — see [[graft.functions.MediaCodec]]. Only VIDEO decode is a
+  * for 24-bit BMP as the fast path), for audio (PCM16 WAV, pure byte
+  * layout), and for animated-GIF VIDEO frames ([[sampleFrameFeatures]]
+  * decodes every sampled frame via ImageIO's multi-frame reader) — see
+  * [[graft.functions.MediaCodec]]. Only non-GIF video decode remains a
   * clearly-marked deterministic STUB: a bare JVM ships no video codec.
   * Everything around it is the real Spark shape a production pipeline
   * needs: fixed schema, per-partition batching (one decoder init per
@@ -86,8 +88,8 @@ object Multimodal {
   }
 
   /** Video frame sampling: every `stride`-th frame index from metadata —
-    * pure generated plumbing (the decode of each sampled frame would go
-    * through [[extractFeatures]]' partition loop). */
+    * pure generated plumbing (the decode of each sampled frame goes
+    * through [[sampleFrameFeatures]]' partition loop). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media
       .where(col("kind") === "video" && col("meta.n_frames").isNotNull)
@@ -95,6 +97,47 @@ object Multimodal {
         col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
+
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+                                 decoded: Boolean, features: Array[Float])
+
+  /** Frame sampling with REAL per-frame decode for GIF containers — the
+    * one video-ish format the bare JVM handles (ImageIO reads
+    * animated-GIF frames natively), making this path end-to-end real
+    * for that container: every `stride`-th frame is decoded in the
+    * partition loop (one reader init per payload) to the 8 image stats.
+    * Non-GIF video stays the documented stub ceiling: sampled indices
+    * come from `meta.n_frames` with deterministic hash features and
+    * `decoded = false`, so downstream consumers can tell a real
+    * statistic from a placeholder. */
+  def sampleFrameFeatures(spark: SparkSession, media: DataFrame,
+                          stride: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("payload"), col("meta.n_frames"))
+      .as[(Long, Array[Byte], Option[Int])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, nFrames) =>
+          graft.functions.MediaCodec.gifFrameFeatures(bytes, stride) match {
+            case Some(frames) =>
+              frames.iterator.map { case (i, f) =>
+                FrameFeatures(id, i, decoded = true, f)
+              }
+            case None => // >>> STUB: no JVM codec for non-GIF video
+              (0 until nFrames.getOrElse(0) by stride).iterator.map { i =>
+                val feats = Array.tabulate(8) { d =>
+                  var h = 1125899906842597L + d * 7919L + i
+                  var j = 0
+                  while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
+                  ((h % 1000003L).toFloat) / 1000003f
+                }
+                FrameFeatures(id, i, decoded = false, feats)
+              }
+          }
+        }
+      }
+  }
 
   /** Resize planning: pure metadata math (target box, preserve aspect) —
     * the physical resize belongs in the partition loop next to decode. */
