@@ -155,6 +155,52 @@ object TpchQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q81: the STREAMING sessionizer's assignment semantics, tied to an
+    // oracle — Sessionize.replayBatchMicros runs the exact fold the
+    // flatMapGroupsWithState closure runs (shared code path), over each
+    // key's full batch history with the trailing session flushed. Same
+    // 6 h gap as q54, but in epoch MICROS (the event data is
+    // micro-aligned; ms would truncate) and with session_end included.
+    // Determinism: value pre-scaled to exact integer cents (decimal
+    // multiply, then double) so the fold's running double sum is exact
+    // in any order; output cast back to BIGINT cents.
+    Q(
+      "q81_sessionize_batch_replay",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events").selectExpr(
+          "user_id as key",
+          "ts div 1000 as t_us",
+          "cast(cast(value as decimal(18,2)) * 100 as double) as value")
+        graft.streaming.Sessionize.replayBatchMicros(ev, 21600000000L)
+          .select(
+            col("key").as("user_id"),
+            col("session_start_us"), col("session_end_us"),
+            col("n_events"),
+            col("total").cast("bigint").as("total_cents"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE) AS v
+          FROM events),
+        marked AS (
+          SELECT user_id, t_us, v,
+                 CASE WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+                        >= 21600000000 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        sess AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, MIN(t_us) AS session_start_us, MAX(t_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS BIGINT) AS total_cents
+        FROM sess GROUP BY user_id, sid
+        ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
     // q56: TPC-H Q13 shape — customer order-count distribution: LEFT
     // join so zero-order customers survive, per-customer count, then a
     // histogram over the counts. Two aggregations, each one keyed

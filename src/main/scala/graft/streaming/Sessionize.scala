@@ -26,6 +26,62 @@ object Sessionize {
 
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
 
+  /** The pure per-key session fold SHARED by the streaming closure and
+    * [[replayBatchMicros]]: events as (time, value) pairs sorted
+    * ascending, `time` in any fixed unit — milliseconds in streaming
+    * (GroupState timeouts are ms), microseconds in the batch replay
+    * (the driver's event data is micro-aligned). Returns the sessions
+    * closed by gap breaks, in order, plus the still-open trailing
+    * session. */
+  private[graft] def fold(evs: Seq[(Long, Double)], init: Option[SessionState],
+                          gap: Long): (Seq[SessionState], Option[SessionState]) = {
+    val closed = Seq.newBuilder[SessionState]
+    var cur = init
+    evs.foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t - s.end < gap =>
+          cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + v))
+        case Some(s) =>
+          closed += s
+          cur = Some(SessionState(t, t, 1L, v))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, v))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** BATCH replay of the streaming operator's session assignment — the
+    * SAME [[fold]] the flatMapGroupsWithState closure runs, applied to
+    * each key's full history in one group, with the trailing open
+    * session flushed (end-of-data plays the watermark's role). Times
+    * are epoch MICROSECONDS so no precision is lost on micro-aligned
+    * event data. Registry query q81 hash-checks these semantics against
+    * the q54-style gaps-and-islands SQL oracle — the green CORRECTNESS
+    * row that ties the streaming code path to an oracle.
+    *
+    * Input columns: key LONG, t_us LONG, value DOUBLE. Output: one row
+    * per session (key, session_start_us, session_end_us, n_events,
+    * total). One keyed shuffle; per-key history sorts in the executor —
+    * the same cost class as any session-window aggregation. */
+  def replayBatchMicros(events: org.apache.spark.sql.DataFrame,
+                        gapUs: Long): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    events
+      .select(col("key").cast("long"), col("t_us").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Long, it: Iterator[(Long, Long, Double)]) =>
+        val evs = it.toSeq.sortBy(_._2).map(e => (e._2, e._3))
+        val (closed, open) = fold(evs, None, gapUs)
+        (closed ++ open).iterator.map(s => (key, s.start, s.end, s.n, s.total))
+      }
+      .toDF("key", "session_start_us", "session_end_us", "n_events", "total")
+  }
+
   /** @param events         streaming Dataset; caller must NOT pre-aggregate
     * @param gapMs          inactivity gap that closes a session
     * @param watermarkDelay how much event-time disorder to tolerate */
@@ -47,26 +103,13 @@ object Sessionize {
           } else {
             // events within one micro-batch arrive unsorted; per (key,
             // batch) data is small, so an in-memory sort is safe
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            evs.foreach { e =>
-              cur match {
-                case Some(s) if e.ts.getTime - s.end < gapMs =>
-                  cur = Some(SessionState(
-                    s.start, math.max(s.end, e.ts.getTime), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed += Session(key, ts(s.start), ts(s.end), s.n, s.total)
-                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
+            val evs = it.toSeq.sortBy(_.ts.getTime).map(e => (e.ts.getTime, e.value))
+            val (closed, open) = fold(evs, state.getOption, gapMs)
+            open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)
             }
-            closed.result().iterator
+            closed.iterator.map(s => Session(key, ts(s.start), ts(s.end), s.n, s.total))
           }
       }
   }
