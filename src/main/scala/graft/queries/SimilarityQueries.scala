@@ -73,14 +73,29 @@ object SimilarityQueries {
     * vocabulary is unbounded at scale, so no broadcast) — the same key the
     * downstream self-join shuffles on, so the exchange is reusable. */
   private def cappedShingles(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val ex = docsParallel(s, dir)
-      .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
-    // tris is array_distinct per doc, so count(*) per shingle == document frequency
-    val keep = ex.groupBy("tri").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap)
-      .select("tri")
-    ex.join(keep, Seq("tri"))
+    def build = {
+      val ex = docsParallel(s, dir)
+        .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+      // tris is array_distinct per doc, so count(*) per shingle == document frequency
+      val keep = ex.groupBy("tri").agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap)
+        .select("tri")
+      ex.join(keep, Seq("tri"))
+    }
+    // Opt-in materialization (GRAFT_SHINGLE_CACHE=1): persist the capped
+    // shingle table once per (session, dir) — q35's plan alone holds 16
+    // documents scans because column pruning defeats ReuseExchange (see
+    // PLANS.md "scan reuse"). Cache substitution is plan-based, so every
+    // later q33/q34/q35 subplan picks the InMemoryRelation up without
+    // code changes. Off by default: the r2 and r5 RunSome experiments on
+    // this VM could not show a min-time win past the scheduling noise.
+    if (!sys.env.get("GRAFT_SHINGLE_CACHE").contains("1")) build
+    else shingleCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir,
+      _ => { val df = build; df.persist(); df.count(); df })
   }
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Oracle CTE fragments mirroring [[cappedShingles]]: `e0` is the raw
     * shingle explode, `dfc` the kept shingles, `e` the capped explode. */
