@@ -460,6 +460,67 @@ object PipelineQueries {
                ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_row
         FROM documents
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q82: PII detection + redaction — the scrubbing pass every
+    // training-data pipeline runs before anything ships. Three regex
+    // families (email, phone, IPv4), each counted and then replaced by
+    // a typed placeholder; the whole pass is per-row projection work —
+    // ZERO shuffles at any corpus size (the output orderBy is the only
+    // exchange). The synthetic corpus carries no natural PII, so the
+    // query plants deterministic PII per doc first (both engines plant
+    // identically), which also makes the expected counts exactly 1/1/1
+    // per doc — any drift in regex semantics breaks the hash.
+    // Patterns are group-free and RE2-compatible, and extraction pins
+    // group 0 explicitly (Spark's regexp_extract_all defaults to group
+    // 1, DuckDB's to 0 — the one cross-engine trap here).
+    Q(
+      "q82_pii_redaction",
+      (s, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        Tables.documents(s, dir)
+          .withColumn("enriched", concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail"), col("doc_id") % 7, lit(".com tel 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" ip 10."), col("doc_id") % 256, lit(".0.1")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("enriched"), lit(emailPat), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("enriched"), lit(phonePat), lit(0)))
+              .as("n_phones"),
+            size(regexp_extract_all(col("enriched"), lit(ipPat), lit(0)))
+              .as("n_ips"),
+            md5(regexp_replace(regexp_replace(regexp_replace(
+              col("enriched"),
+              lit(emailPat), lit("<EMAIL>")),
+              lit(phonePat), lit("<PHONE>")),
+              lit(ipPat), lit("<IP>"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+                   || '.com tel 555-01' || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' ip 10.' || (doc_id % 256) || '.0.1' AS enriched
+          FROM documents)
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(enriched,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(enriched, '555-[0-9]{4}', 0)) AS INT) AS n_phones,
+               CAST(LEN(REGEXP_EXTRACT_ALL(enriched,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', 0)) AS INT) AS n_ips,
+               MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(enriched,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        FROM e
+        ORDER BY doc_id
       """))
   )
 }

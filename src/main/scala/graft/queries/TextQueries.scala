@@ -283,6 +283,51 @@ object TextQueries {
         WHERE decile <= 4
         ORDER BY doc_id
       """
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q83: sliding-window token chunking — split every document into
+    // overlapping 32-token windows with stride 24 (8-token overlap),
+    // the pre-tokenization chunking pass of a context-length-bounded
+    // training pipeline. Pure per-row generate+slice work: the explode
+    // multiplies rows but never shuffles (the output orderBy is the
+    // only exchange), so the pass is embarrassingly parallel at any
+    // corpus size. Chunk content is pinned by md5 over the
+    // space-joined window, so the oracle checks the exact token spans,
+    // not just counts; last chunks are short (clamped slice), and a
+    // doc shorter than one stride yields exactly one chunk.
+    Q(
+      "q83_token_chunking",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("chunk_idx",
+            explode(expr("sequence(0, (size(toks) - 1) div 24)")))
+          .select(
+            col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            expr("slice(toks, chunk_idx * 24 + 1, 32)").as("chunk"))
+          .select(
+            col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("chunk_len"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+                 UNNEST(GENERATE_SERIES(0, CAST((LEN(toks) - 1) // 24 AS INT))) AS chunk_idx
+          FROM t),
+        w AS (
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS chunk
+          FROM c)
+        SELECT doc_id, chunk_idx,
+               CAST(LEN(chunk) AS INT) AS chunk_len,
+               MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_md5
+        FROM w
+        ORDER BY doc_id, chunk_idx
+      """))
   )
 }
