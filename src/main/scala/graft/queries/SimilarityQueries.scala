@@ -97,6 +97,68 @@ object SimilarityQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
+    * then exact capped-shingle Jaccard on candidates only. Returns
+    * (doc_a, doc_b, shingle_jaccard) unsorted — q35 reports it, q84
+    * feeds it into connected components for end-to-end dedup. */
+  private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ex = cappedShingles(s, dir)
+    val bands = ex.withColumn("h", expr(shingleHashExpr))
+      .withColumn("seed", explode(expr("sequence(0, 11)")))
+      .groupBy("doc_id", "seed")
+      .agg(min(expr(affineExpr)).as("mh"))
+      .withColumn("band", expr("seed div 4"))
+      .groupBy("doc_id", "band")
+      // seed order within the band fixes the concat order
+      .agg(md5(concat_ws(",",
+        sort_array(collect_list(struct(col("seed"), col("mh"))))
+          .getField("mh").cast("array<string>"))).as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verify over the SAME capped sets the candidates came from
+    // (capped Jaccard, consistent with q33).
+    val sets = ex.groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ta"), col("tb"))) /
+          (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb")))))
+          .as("shingle_jaccard"))
+  }
+
+  /** Oracle CTE chain mirroring [[lshVerifiedPairs]] (through `pairsv`);
+    * shared by the q35 and q84 oracles. */
+  private def lshPairsSqlCtes =
+    s"""$cappedSql, t AS (
+          SELECT doc_id, $shingleHashSql AS h FROM e
+        ), s AS (
+          SELECT doc_id, seed, MIN($affineExpr) AS mh
+          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
+          GROUP BY 1, 2
+        ), b AS (
+          SELECT doc_id, seed // 4 AS band,
+                 MD5(STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM s GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+        ), sets AS (
+          SELECT doc_id, LIST(tri) AS ts FROM e GROUP BY 1
+        ), pairsv AS (
+          SELECT doc_a, doc_b,
+                 LEN(LIST_INTERSECT(sa.ts, sb.ts))
+                   / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts))) AS shingle_jaccard
+          FROM cand
+          JOIN sets sa ON sa.doc_id = doc_a
+          JOIN sets sb ON sb.doc_id = doc_b
+        )"""
+
   /** Oracle CTE fragments mirroring [[cappedShingles]]: `e0` is the raw
     * shingle explode, `dfc` the kept shingles, `e` the capped explode. */
   private val cappedSql =
@@ -246,60 +308,11 @@ object SimilarityQueries {
     // (see q34 — unigram sets degenerate on this corpus).
     Q(
       "q35_lsh_dedup_candidates",
-      (s, dir) => {
-        val ex = cappedShingles(s, dir)
-        val bands = ex.withColumn("h", expr(shingleHashExpr))
-          .withColumn("seed", explode(expr("sequence(0, 11)")))
-          .groupBy("doc_id", "seed")
-          .agg(min(expr(affineExpr)).as("mh"))
-          .withColumn("band", expr("seed div 4"))
-          .groupBy("doc_id", "band")
-          // seed order within the band fixes the concat order
-          .agg(md5(concat_ws(",",
-            sort_array(collect_list(struct(col("seed"), col("mh"))))
-              .getField("mh").cast("array<string>"))).as("bkey"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // Exact verify over the SAME capped sets the candidates came from
-        // (capped Jaccard, consistent with q33).
-        val sets = ex.groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
-        cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
-          .select(
-            col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("ta"), col("tb"))) /
-              (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb")))))
-              .as("shingle_jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => lshVerifiedPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH $cappedSql, t AS (
-          SELECT doc_id, $shingleHashSql AS h FROM e
-        ), s AS (
-          SELECT doc_id, seed, MIN($affineExpr) AS mh
-          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
-          GROUP BY 1, 2
-        ), b AS (
-          SELECT doc_id, seed // 4 AS band,
-                 MD5(STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
-          FROM s GROUP BY 1, 2
-        ), cand AS (
-          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
-                           AND x.doc_id < y.doc_id
-        ), sets AS (
-          SELECT doc_id, LIST(tri) AS ts FROM e GROUP BY 1
-        )
-        SELECT doc_a, doc_b,
-               LEN(LIST_INTERSECT(sa.ts, sb.ts))
-                 / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts))) AS shingle_jaccard
-        FROM cand
-        JOIN sets sa ON sa.doc_id = doc_a
-        JOIN sets sb ON sb.doc_id = doc_b
+        WITH $lshPairsSqlCtes
+        SELECT doc_a, doc_b, shingle_jaccard
+        FROM pairsv
         ORDER BY 1, 2
       """)),
 
@@ -696,6 +709,54 @@ object SimilarityQueries {
         $iters
         SELECT node AS name, rank FROM r5 ORDER BY name
       """
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q84: end-to-end near-dup DEDUP SURVIVORS — the full curation
+    // outcome in one query: q35's LSH-verified pairs, thresholded at
+    // Jaccard >= 0.5, resolved into duplicate groups by distributed
+    // label propagation, canonical = smallest doc_id per group, every
+    // document emitted with its canonical id and a keep flag. This is
+    // the query a training pipeline actually runs; q35/q62 are its
+    // stages. Scale shape: banded equi-joins (never all-pairs) +
+    // diameter rounds of keyed joins; the survivors join is a broadcast
+    // of the (tiny) component table. Oracle: the same pair SQL feeds a
+    // recursive-CTE transitive closure — an independent algorithm, so
+    // an over- or under-merge anywhere flips the hash.
+    Q(
+      "q84_dedup_survivors",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir)
+          .where(col("shingle_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val comp = ConnectedComponents.components(pairs)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(broadcast(comp), col("doc_id") === col("id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).cast("bigint").as("canonical_id"))
+          .withColumn("is_kept",
+            (col("doc_id") === col("canonical_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairsSqlCtes, pe AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairsv WHERE shingle_jaccard >= 0.5
+          UNION
+          SELECT doc_b, doc_a FROM pairsv WHERE shingle_jaccard >= 0.5
+        ), reach(id, r) AS (
+          SELECT DISTINCT a, a FROM pe
+          UNION
+          SELECT reach.id, pe.b FROM reach JOIN pe ON pe.a = reach.r
+        ), comp AS (
+          SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS canonical_id,
+               CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+                    THEN 1 ELSE 0 END AS INT) AS is_kept
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+      """))
   )
 }
