@@ -521,6 +521,72 @@ object PipelineQueries {
                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
         FROM e
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q85: incremental rollup maintenance ≡ full recompute — the
+    // classic view-maintenance theorem, proven on the REAL machinery:
+    // the orders table is split into 4 batches (by orderkey mod, so
+    // batches overlap keys and later batches overwrite earlier ones —
+    // genuine late-data-wins upsert traffic), each replayed through
+    // IncrementalRollup.mergeBatch (dedup → Upsert.replaceByKey →
+    // touched-group-only recompute → crash-safe rename-pair swap, the
+    // streaming foreachBatch path q54's spec exercises). The final
+    // rollup table must equal the oracle's one-shot recompute that
+    // models the same overwrite order (max batch per key wins).
+    // Deterministic: keys are pre-aggregated to one row per
+    // (coin_id, fetch_date) per batch, so the dedup inside mergeBatch
+    // never chooses among rows; min/max are order-free.
+    Q(
+      "q85_incremental_rollup_replay",
+      (s, dir) => {
+        val out = "/tmp/graft_q85_rollup_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        (0 until 4).foreach { b =>
+          val batch = orders
+            .where(col("o_orderkey") % 4 === b)
+            .groupBy(
+              col("o_custkey").cast("string").as("coin_id"),
+              col("o_orderdate").as("fetch_date"))
+            .agg(max(col("o_totalprice")).as("price_usd"))
+          graft.streaming.IncrementalRollup.mergeBatch(
+            s, batch, s"$out/table", s"$out/rollup")
+        }
+        s.read.parquet(s"$out/rollup")
+          .select(col("coin_id"), col("year"), col("month"),
+            col("min_price_usd"), col("max_price_usd"))
+          .orderBy("coin_id", "year", "month")
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 o_orderkey % 4 AS batch, o_totalprice
+          FROM orders),
+        perkeybatch AS (
+          SELECT coin_id, fetch_date, batch, MAX(o_totalprice) AS price
+          FROM b GROUP BY 1, 2, 3),
+        winning AS (
+          SELECT coin_id, fetch_date, MAX(batch) AS wb
+          FROM perkeybatch GROUP BY 1, 2),
+        final_rows AS (
+          SELECT p.coin_id, p.fetch_date, p.price
+          FROM perkeybatch p
+          JOIN winning w ON p.coin_id = w.coin_id
+                        AND p.fetch_date = w.fetch_date AND p.batch = w.wb)
+        SELECT coin_id,
+               CAST(EXTRACT(YEAR FROM fetch_date) AS INT) AS year,
+               CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
+               MIN(price) AS min_price_usd,
+               MAX(price) AS max_price_usd
+        FROM final_rows
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 }
