@@ -587,6 +587,204 @@ object PipelineQueries {
         FROM final_rows
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // ----------------------------------------------------------------
+    // q86: Bloom-prefiltered decontamination — same exact semantics as
+    // q68 (training docs sharing >= 2 distinct trigrams with any eval
+    // doc), rolled up to the per-training-doc drop decision, but the
+    // 100 TB mechanism changes: a Bloom filter built from the eval
+    // trigrams (df.stat.bloomFilter, a distributed treeAggregate)
+    // prefilters the training-side trigram stream BEFORE the exact
+    // verification join. At scale the eval set's trigram dictionary can
+    // be 1e8+ strings — too big to broadcast as a hash table of full
+    // strings, but ~1.2 bits x items x ln(1/fpp) as a Bloom sketch.
+    // Bloom false positives are killed by the exact join (result is
+    // EXACT, hence the plain SQL oracle); false negatives are
+    // impossible. The probe is a closure over the broadcast sketch —
+    // the one justified UDF in the tree, because a sketch bit-test is
+    // not expressible in builtin functions and it replaces a shuffle of
+    // the full 100 TB trigram stream.
+    Q(
+      "q86_bloom_decontamination",
+      (s, dir) => {
+        val tris = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+        val ev = tris.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_doc_id"), col("tri"))
+          .persist()
+        // driver-side sizing of the sketch: one count over the tiny
+        // (cached) eval side, the same O(|eval|) work the broadcast does
+        val bloom = ev.stat.bloomFilter("tri", math.max(ev.count(), 64L), 0.01)
+        val bfB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((t: String) => t != null && bfB.value.mightContain(t))
+        val out = tris.where(col("doc_id") % 97 =!= 0)
+          .where(mightContain(col("tri")))
+          .join(broadcast(ev), "tri")
+          .groupBy(col("doc_id"), col("eval_doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_eval_docs"),
+            max(col("n_shared")).as("max_shared"),
+            sum(col("n_shared")).as("tot_shared"))
+          .orderBy("doc_id")
+        out
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri FROM t),
+        ev AS (
+          SELECT doc_id AS eval_doc_id, tri FROM e0 WHERE doc_id % 97 = 0),
+        tr AS (
+          SELECT doc_id, tri FROM e0 WHERE doc_id % 97 <> 0),
+        pairs AS (
+          SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS n_shared
+          FROM tr JOIN ev USING (tri)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2)
+        SELECT doc_id, COUNT(*) AS n_eval_docs, MAX(n_shared) AS max_shared,
+               CAST(SUM(n_shared) AS BIGINT) AS tot_shared
+        FROM pairs
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q87: per-domain token-budget curation — the Common-Crawl-style
+    // quota rule: no single domain may contribute more than a fixed
+    // token budget to the corpus. Docs rank within their domain by a
+    // deterministic quality proxy (longer docs first, doc_id tiebreak);
+    // the running token total is a window cumulative sum and the budget
+    // cut is a plain filter on it. One hash exchange on `source`, both
+    // windows share it; integer token counts keep the cumulative sum
+    // engine-exact. At 100 TB domains are the natural partition key and
+    // per-domain doc counts are bounded, so the window never sees a
+    // pathological partition (and a hot domain would be exactly the one
+    // the quota exists to cut).
+    Q(
+      "q87_domain_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .withColumn("n_tok", size(expr(toksExpr)).cast("long"))
+          .withColumn("rk", row_number().over(ord))
+          .withColumn("cum_tok", sum(col("n_tok")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where(col("cum_tok") <= 400L)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_tok"), col("cum_tok"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(LEN($toksSql) AS BIGINT) AS n_tok
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, n_tok,
+                 CAST(ROW_NUMBER() OVER w AS INT) AS rk,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+          FROM d
+          WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id))
+        SELECT source, rk, doc_id, n_tok, cum_tok
+        FROM r
+        WHERE cum_tok <= 400
+        ORDER BY source, rk
+      """)),
+
+    // ----------------------------------------------------------------
+    // q88: exact duplicated-span removal — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // exact-substring pass that doc-level MinHash (q34/q35) cannot do:
+    // find every 5-token gram occurring in >= 2 distinct documents and
+    // cut the covered token spans out of each doc, keeping the rest.
+    // Shape: position-exploded grams -> gram-keyed distinct-doc count
+    // (partial aggs) -> join occurrences of duplicated grams back ->
+    // explode each hit to its K covered positions -> anti-join tokens
+    // against covered positions -> order-proof md5 of the surviving
+    // token sequence. Everything is keyed (gram, then (doc,pos));
+    // per-key work is bounded by true duplication mass, never
+    // all-pairs. A pathologically common gram would hot-key the
+    // coverage join — production caps gram df like q33's shingle cap;
+    // here exactness is the point and the oracle models the same math.
+    Q(
+      "q88_exact_span_dedup",
+      (s, dir) => {
+        val K = 5
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+        val pos = docs
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(1, size(toks) - ${K - 1})")).as("i"))
+          .withColumn("gram", expr(s"array_join(slice(toks, i, $K), ' ')"))
+          .select("doc_id", "i", "gram")
+        val dup = pos.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .select("gram")
+        val covered = pos.join(dup, "gram")
+          .select(col("doc_id"), explode(expr(s"sequence(i, i + ${K - 1})")).as("p"))
+          .distinct()
+        val toks = docs
+          .select(col("doc_id"), explode(expr("sequence(1, size(toks))")).as("p"),
+            col("toks"))
+          .withColumn("tok", expr("element_at(toks, p)"))
+          .select("doc_id", "p", "tok")
+        val keptAgg = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            md5(concat_ws(" ",
+              expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)")))
+              .as("kept_md5"))
+        docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+          .join(keptAgg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tok"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, i,
+                 CONCAT(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                        toks[i+3], ' ', toks[i+4]) AS gram
+          FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS g(i)),
+        dup AS (
+          SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT DISTINCT p.doc_id, j AS p
+          FROM pos p JOIN dup USING (gram),
+               UNNEST(GENERATE_SERIES(p.i, p.i + 4)) AS q(j)),
+        tok AS (
+          SELECT doc_id, i AS p, toks[i] AS tok
+          FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(i)),
+        kept AS (
+          SELECT k.doc_id, COUNT(*) AS n_kept,
+                 MD5(STRING_AGG(k.tok, ' ' ORDER BY k.p)) AS kept_md5
+          FROM tok k
+          WHERE NOT EXISTS (SELECT 1 FROM cov c
+                            WHERE c.doc_id = k.doc_id AND c.p = k.p)
+          GROUP BY 1),
+        tot AS (
+          SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tok FROM t)
+        SELECT tt.doc_id, tt.n_tok,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               tt.n_tok - CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+               COALESCE(k.kept_md5, MD5('')) AS kept_md5
+        FROM tot tt LEFT JOIN kept k USING (doc_id)
+        ORDER BY tt.doc_id
       """))
   )
 }
