@@ -785,6 +785,68 @@ object PipelineQueries {
                COALESCE(k.kept_md5, MD5('')) AS kept_md5
         FROM tot tt LEFT JOIN kept k USING (doc_id)
         ORDER BY tt.doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q90: temperature-flattened source mixing — unlike q65/q70 whose
+    // rates are constants, here the sampling rate is COMPUTED FROM THE
+    // CORPUS: rate_s ∝ T_s^(α−1) with α = 0.5 (sampled tokens ∝ √T_s,
+    // the multilingual-LM temperature rule that up-weights tail
+    // sources), i.e. keep-threshold th_s = min(1, C/√T_s) in basis
+    // points of 10000. Plan shape this adds over q65/q70: a per-source
+    // aggregate produces a TINY computed dimension (one row per source)
+    // that BROADCASTS back onto the doc scan for the per-row
+    // md5-deterministic keep decision — aggregate → broadcast-back →
+    // row decision, the two-level pattern every data-dependent curation
+    // rule needs at 100 TB (the doc scan itself never shuffles; the
+    // final summary agg re-keys on source). √ and one division on
+    // integer-exact inputs are correctly rounded IEEE ops, so th_s is
+    // engine-exact; the keep decision is md5-keyed like q65's.
+    Q(
+      "q90_temperature_mixing",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_tok", size(expr(toksExpr)).cast("long"))
+        val rates = docs.groupBy("source")
+          .agg(sum(col("n_tok")).as("t_tokens"))
+          .withColumn("th",
+            least(lit(10000L),
+              floor(lit(10000.0) * lit(20.0) / sqrt(col("t_tokens").cast("double"))
+                + lit(0.5)).cast("long")))
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000")
+        docs.join(broadcast(rates), Seq("source"))
+          .withColumn("kept", (bucket < col("th")).cast("int"))
+          .groupBy(col("source"), col("t_tokens"), col("th"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            sum(col("kept").cast("long") * col("n_tok")).as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(LEN($toksSql) AS BIGINT) AS n_tok
+          FROM documents),
+        rates AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_tokens,
+                 LEAST(10000,
+                   CAST(FLOOR(10000.0 * 20.0 / SQRT(CAST(SUM(n_tok) AS DOUBLE)) + 0.5)
+                        AS BIGINT)) AS th
+          FROM d GROUP BY 1),
+        k AS (
+          SELECT d.source, r.t_tokens, r.th, d.n_tok,
+                 CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 10000 < r.th THEN 1 ELSE 0 END AS kept
+          FROM d JOIN rates r USING (source))
+        SELECT source, t_tokens, th,
+               COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(kept * n_tok) AS BIGINT) AS kept_tokens
+        FROM k
+        GROUP BY 1, 2, 3
+        ORDER BY 1
       """))
   )
 }

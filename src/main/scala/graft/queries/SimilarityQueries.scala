@@ -757,6 +757,81 @@ object SimilarityQueries {
                     THEN 1 ELSE 0 END AS INT) AS is_kept
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         ORDER BY d.doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q89: per-cluster centroid outlier score — the "off-topic for its
+    // cluster" filter of embedding-based curation (the scoring half of
+    // SemDeDup-style pruning): every vector gets its cosine to its own
+    // label's centroid, negatives flagged as outliers. NO collect, no
+    // VectorAssembler round-trip: components quantize to integer
+    // micro-units (floor(x*1e6+0.5) — exact in both engines), the
+    // centroid is the per-(label,dim) INTEGER component sum (exact,
+    // order-free; dividing by n cancels in cosine so it never happens),
+    // and the centroid's squared norm accumulates in DECIMAL(38,0)
+    // because at 2000+ vectors/label the long would overflow. Shape:
+    // dim-explode → (label,dim) partial+final agg → tiny (10x64-row)
+    // centroid table BROADCAST back onto the exploded stream →
+    // per-vector agg. The only shuffles are keyed aggs; centroids never
+    // hit the driver.
+    Q(
+      "q89_centroid_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val dec = DecimalType(38, 0)
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            explode(expr("sequence(1, 64)")).as("i"), col("embedding"))
+          .withColumn("qv",
+            floor(expr("cast(element_at(embedding, i) as double)") * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .select("vec_id", "label", "i", "qv")
+        val cent = v.groupBy("label", "i").agg(sum(col("qv")).as("s"))
+        val cnorm = cent.groupBy("label")
+          .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("s2"))
+        val per = v.join(broadcast(cent), Seq("label", "i"))
+          .groupBy("vec_id", "label")
+          .agg(
+            sum(col("qv") * col("s")).as("dot"),
+            sum(col("qv") * col("qv")).as("n2"))
+        val cosQ = floor(
+          col("dot").cast(DoubleType)
+            / (sqrt(col("n2").cast(DoubleType)) * sqrt(col("s2").cast(DoubleType)))
+            * lit(1000000.0) + lit(0.5)).cast("long")
+        per.join(broadcast(cnorm), Seq("label"))
+          .select(col("vec_id"), col("label"), cosQ.as("cos_q"))
+          .withColumn("cosine", col("cos_q").cast(DoubleType) / lit(1000000.0))
+          .withColumn("is_outlier", (col("cos_q") < 0L).cast("int"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, label, i,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv
+          FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS g(i)),
+        cent AS (
+          SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s FROM v GROUP BY 1, 2),
+        cnorm AS (
+          SELECT label, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2
+          FROM cent GROUP BY 1),
+        per AS (
+          SELECT v.vec_id, v.label,
+                 CAST(SUM(v.qv * c.s) AS BIGINT) AS dot,
+                 CAST(SUM(v.qv * v.qv) AS BIGINT) AS n2
+          FROM v JOIN cent c ON v.label = c.label AND v.i = c.i
+          GROUP BY 1, 2)
+        SELECT p.vec_id, p.label,
+               CAST(FLOOR(CAST(p.dot AS DOUBLE)
+                 / (SQRT(CAST(p.n2 AS DOUBLE)) * SQRT(CAST(n.s2 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS cos_q,
+               CAST(FLOOR(CAST(p.dot AS DOUBLE)
+                 / (SQRT(CAST(p.n2 AS DOUBLE)) * SQRT(CAST(n.s2 AS DOUBLE)))
+                 * 1000000 + 0.5) AS DOUBLE) / 1000000 AS cosine,
+               CAST(CASE WHEN CAST(FLOOR(CAST(p.dot AS DOUBLE)
+                 / (SQRT(CAST(p.n2 AS DOUBLE)) * SQRT(CAST(n.s2 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) < 0 THEN 1 ELSE 0 END AS INT) AS is_outlier
+        FROM per p JOIN cnorm n ON p.label = n.label
+        ORDER BY p.vec_id
       """))
   )
 }
