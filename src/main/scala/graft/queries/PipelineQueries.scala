@@ -847,6 +847,50 @@ object PipelineQueries {
         FROM k
         GROUP BY 1, 2, 3
         ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
+    // q91: ORC round-trip — the third columnar format in the source/
+    // sink matrix (parquet scans everywhere, JSON docs O3-O5, CSV O11):
+    // project the pricing columns out of the parquet lineitem, rewrite
+    // them as ORC, read the ORC back and aggregate. The oracle computes
+    // the same decimal-exact aggregate from the ORIGINAL parquet, so a
+    // single value/type/date mangled anywhere in the ORC write→read
+    // path flips the hash. Plan: the write is a shuffle-free projected
+    // columnar rewrite; the read-back scan is pruned + pushed like any
+    // parquet scan (ORC supports the same PushedFilters machinery).
+    Q(
+      "q91_orc_roundtrip",
+      (s, dir) => {
+        val out = "/tmp/graft_q91_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_shipdate")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            Q.sumExact(col("l_quantity")).as("sum_qty"),
+            Q.sumExact(col("l_extendedprice")).as("sum_price"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 }
