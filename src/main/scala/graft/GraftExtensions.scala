@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProductF
+import graft.functions.{BloomMightContainF, DotProductF}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product_f(arrayA, arrayB)")
         DotProductF(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain_f"),
+      new ExpressionInfo(classOf[BloomMightContainF].getName, "bloom_might_contain_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_might_contain_f(value, bloomBytes)")
+        BloomMightContainF(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)

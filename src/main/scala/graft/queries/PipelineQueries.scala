@@ -601,10 +601,11 @@ object PipelineQueries {
     // strings, but ~1.2 bits x items x ln(1/fpp) as a Bloom sketch.
     // Bloom false positives are killed by the exact join (result is
     // EXACT, hence the plain SQL oracle); false negatives are
-    // impossible. The probe is a closure over the broadcast sketch —
-    // the one justified UDF in the tree, because a sketch bit-test is
-    // not expressible in builtin functions and it replaces a shuffle of
-    // the full 100 TB trigram stream.
+    // impossible. The probe is the codegen'd BloomMightContainF
+    // expression (no UDF, no codegen break): the sketch rides the plan
+    // as a binary literal and the bit-test fuses into the scan-side
+    // WholeStageCodegen span, replacing a shuffle of the full 100 TB
+    // trigram stream.
     Q(
       "q86_bloom_decontamination",
       (s, dir) => {
@@ -617,10 +618,8 @@ object PipelineQueries {
         // driver-side sizing of the sketch: one count over the tiny
         // (cached) eval side, the same O(|eval|) work the broadcast does
         val bloom = ev.stat.bloomFilter("tri", math.max(ev.count(), 64L), 0.01)
-        val bfB = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((t: String) => t != null && bfB.value.mightContain(t))
         val out = tris.where(col("doc_id") % 97 =!= 0)
-          .where(mightContain(col("tri")))
+          .where(graft.functions.BloomMightContainF.probe(col("tri"), bloom))
           .join(broadcast(ev), "tri")
           .groupBy(col("doc_id"), col("eval_doc_id"))
           .agg(count(lit(1)).as("n_shared"))
