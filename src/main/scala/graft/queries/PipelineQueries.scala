@@ -890,6 +890,68 @@ object PipelineQueries {
         FROM lineitem
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q92: q85's 4-batch late-data-wins replay through the MANIFEST-
+    // POINTER commit protocol (ManifestTable) instead of the rename-pair
+    // swap — the storage path that deploys unchanged on an object store,
+    // where directories cannot be renamed. Identical oracle to q85: the
+    // maintenance result must not depend on the commit protocol, so one
+    // green row here certifies the protocol swap end-to-end through the
+    // driver gate (epoch prefixes + atomic single-file pointer moves,
+    // 8 commits, 2 tables).
+    Q(
+      "q92_manifest_rollup_replay",
+      (s, dir) => {
+        val out = "/tmp/graft_q92_manifest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        (0 until 4).foreach { b =>
+          val batch = orders
+            .where(col("o_orderkey") % 4 === b)
+            .groupBy(
+              col("o_custkey").cast("string").as("coin_id"),
+              col("o_orderdate").as("fetch_date"))
+            .agg(max(col("o_totalprice")).as("price_usd"))
+          graft.streaming.IncrementalRollup.mergeBatchManifest(
+            s, batch, s"$out/table", s"$out/rollup")
+        }
+        val epoch = graft.streaming.ManifestTable.currentEpoch(s"$out/rollup")
+        s.read.parquet(s"$out/rollup/epoch=$epoch")
+          .select(col("coin_id"), col("year"), col("month"),
+            col("min_price_usd"), col("max_price_usd"))
+          .orderBy("coin_id", "year", "month")
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 o_orderkey % 4 AS batch, o_totalprice
+          FROM orders),
+        perkeybatch AS (
+          SELECT coin_id, fetch_date, batch, MAX(o_totalprice) AS price
+          FROM b GROUP BY 1, 2, 3),
+        winning AS (
+          SELECT coin_id, fetch_date, MAX(batch) AS wb
+          FROM perkeybatch GROUP BY 1, 2),
+        final_rows AS (
+          SELECT p.coin_id, p.fetch_date, p.price
+          FROM perkeybatch p
+          JOIN winning w ON p.coin_id = w.coin_id
+                        AND p.fetch_date = w.fetch_date AND p.batch = w.wb)
+        SELECT coin_id,
+               CAST(EXTRACT(YEAR FROM fetch_date) AS INT) AS year,
+               CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
+               MIN(price) AS min_price_usd,
+               MAX(price) AS max_price_usd
+        FROM final_rows
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 }

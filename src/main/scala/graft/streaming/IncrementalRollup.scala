@@ -44,22 +44,28 @@ object IncrementalRollup {
       .start()
   }
 
-  /** One micro-batch merge; also usable directly for batch backfills. */
+  /** One micro-batch merge; also usable directly for batch backfills.
+    * `read`/`write` plug the storage commit protocol: the default is the
+    * local rename-pair swap; pass [[ManifestTable.read]]/`commit` for the
+    * object-store-safe manifest-pointer protocol (see [[overwrite]]'s
+    * scaladoc for why the seam exists). */
   def mergeBatch(spark: SparkSession, batch0: DataFrame, tableDir: String,
-                 rollupDir: String): Unit = {
+                 rollupDir: String,
+                 read: (SparkSession, String, StructType) => DataFrame = readOrEmpty,
+                 write: (DataFrame, String) => Unit = overwrite): Unit = {
     if (batch0.isEmpty) return
     val batch = batch0.dropDuplicates("coin_id", "fetch_date")
 
-    val current = readOrEmpty(spark, tableDir, batch.schema)
+    val current = read(spark, tableDir, batch.schema)
     val merged = Upsert.replaceByKey(current, batch, Seq("coin_id", "fetch_date"))
-    overwrite(merged, tableDir)
+    write(merged, tableDir)
 
     // Targeted rollup maintenance: recompute only touched groups.
     val touched = batch.select(
       col("coin_id"),
       year(col("fetch_date")).as("year"),
       month(col("fetch_date")).as("month")).distinct()
-    val table = readOrEmpty(spark, tableDir, batch.schema)
+    val table = read(spark, tableDir, batch.schema)
     val freshGroups = table
       .where(col("price_usd").isNotNull)
       .withColumn("year", year(col("fetch_date")))
@@ -69,11 +75,19 @@ object IncrementalRollup {
       .agg(
         min(col("price_usd")).as("min_price_usd"),
         max(col("price_usd")).as("max_price_usd"))
-    val rollup = readOrEmpty(spark, rollupDir, freshGroups.schema)
+    val rollup = read(spark, rollupDir, freshGroups.schema)
     val mergedRollup = Upsert.replaceByKey(
       rollup, freshGroups, Seq("coin_id", "year", "month"))
-    overwrite(mergedRollup, rollupDir)
+    write(mergedRollup, rollupDir)
   }
+
+  /** [[mergeBatch]] through the [[ManifestTable]] manifest-pointer
+    * commit protocol — the variant that deploys unchanged on an object
+    * store (no directory renames anywhere in the path). */
+  def mergeBatchManifest(spark: SparkSession, batch: DataFrame,
+                         tableDir: String, rollupDir: String): Unit =
+    mergeBatch(spark, batch, tableDir, rollupDir,
+      ManifestTable.read, (df, dir) => { ManifestTable.commit(df, dir); () })
 
   private def readOrEmpty(spark: SparkSession, dir: String,
                           schema: StructType): DataFrame = {
