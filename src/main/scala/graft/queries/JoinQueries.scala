@@ -276,6 +276,67 @@ object JoinQueries {
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name IN ('ASIA', 'EUROPE')
         GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q93: banded interval join — 24 h post-purchase attribution. The
+    // naive form is a theta join (same user, t in (p, p+24h]) that Spark
+    // plans as an SMJ on user_id alone with quadratic per-user
+    // filtering; the banded rewrite adds the TIME BUCKET to the equi-
+    // key (the range-join-hint / Flink-interval-join technique): bucket
+    // width = window length, so each purchase window spans exactly 2
+    // buckets (exploded on the purchase side) and each event lives in
+    // exactly 1 — every qualifying pair matches exactly once, no dedup,
+    // and per-task work is bounded by per-(user, day) event density
+    // instead of per-user history. Purchases with zero attributed
+    // events survive via the final left join (micros per q81's
+    // convention; counts are integers).
+    Q(
+      "q93_attribution_interval_join",
+      (s, dir) => {
+        val W = 86400000000L // 24 h in micros = band width
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id", "ts div 1000 as t_us", "event_type")
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("t_us").as("p_us"))
+        val purchBanded = purch.withColumn("bucket",
+          explode(array(expr(s"p_us div $W"), expr(s"p_us div $W + 1"))))
+        val attributed = ev
+          .withColumn("bucket", expr(s"t_us div $W"))
+          .join(purchBanded, Seq("user_id", "bucket"))
+          .where(col("t_us") > col("p_us") && col("t_us") <= col("p_us") + W)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_attr"),
+            countDistinct(col("event_type")).as("n_types"))
+        purch.join(attributed, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"), col("p_us"),
+            coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+            coalesce(col("n_types"), lit(0L)).as("n_types"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 event_type
+          FROM events),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, t_us AS p_us
+          FROM e WHERE event_type = 'purchase'),
+        j AS (
+          SELECT p.purchase_id, e.event_type
+          FROM p JOIN e ON e.user_id = p.user_id
+                       AND e.t_us > p.p_us
+                       AND e.t_us <= p.p_us + 86400000000),
+        a AS (
+          SELECT purchase_id, COUNT(*) AS n_attr,
+                 COUNT(DISTINCT event_type) AS n_types
+          FROM j GROUP BY 1)
+        SELECT p.purchase_id, p.user_id, p.p_us,
+               CAST(COALESCE(a.n_attr, 0) AS BIGINT) AS n_attr,
+               CAST(COALESCE(a.n_types, 0) AS BIGINT) AS n_types
+        FROM p LEFT JOIN a USING (purchase_id)
+        ORDER BY p.purchase_id
       """))
   )
 }
