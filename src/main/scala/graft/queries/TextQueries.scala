@@ -60,6 +60,47 @@ object TextQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q94: BPE-ish regex tokenization — the GPT-2 pretokenizer pattern
+    // restricted to its RE2-safe subset (contraction suffixes, optional-
+    // leading-space letter runs, digit runs, symbol runs; the original's
+    // \s+(?!\S) lookahead is dropped because RE2 in DuckDB has no
+    // lookahead and cross-engine identity matters more than trailing-
+    // whitespace tokens). The md5 over the CHR(1)-joined token list
+    // proves both engines produce the IDENTICAL token sequence, not just
+    // the same count — the property a tokenizer-parity check actually
+    // needs. Per-row projection, zero shuffles (q82's regex family
+    // rules: group 0 explicit everywhere).
+    Q(
+      "q94_bpe_regex_tokens",
+      (s, dir) => {
+        val re = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+        val toks = regexp_extract_all(col("text"), lit(re), lit(0))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(expr(toksExpr)).as("n_ws_tokens"),
+            size(toks).as("n_bpe_tokens"),
+            size(array_distinct(toks)).as("n_bpe_distinct"),
+            md5(concat_ws("\u0001", toks)).as("bpe_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(LEN($toksSql) AS INT) AS n_ws_tokens,
+               CAST(LEN(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0))
+                 AS INT) AS n_bpe_tokens,
+               CAST(LEN(LIST_DISTINCT(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0)))
+                 AS INT) AS n_bpe_distinct,
+               MD5(ARRAY_TO_STRING(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0),
+                 CHR(1))) AS bpe_md5
+        FROM documents
+        ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q29: language-ID via stopword-set scoring — n-gram-heuristic
     // classifier shape: per-language marker hits over the token list,
     // argmax with a fixed tie order.
