@@ -93,12 +93,18 @@ object WindowQueries {
         val recoveries = joined
           .groupBy(col("s_user"), col("lowest_value"), col("end_ord"), col("value"))
           .agg(min(col("ts")).as("first_recovery_ts"))
-        val pct = ((col("value") - col("lowest_value")) / col("lowest_value") * lit(100.0))
-          .cast(DecimalType(24, 6))
+        // floor(x*1e6+0.5) integer quantization, NOT cast-to-decimal:
+        // double->decimal tie-rounding differs between engines (bit at
+        // sf0.1), while floor over an identical IEEE double is identical
+        // everywhere; integer sums are then order-free in both engines.
+        val pctQ = floor(
+          (col("value") - col("lowest_value")) / col("lowest_value") * lit(100.0)
+            * lit(1000000.0) + lit(0.5)).cast("long")
         recoveries
           .groupBy(col("s_user").as("user_id"))
           .agg(
-            (sum(pct).cast(DoubleType) / count(lit(1))).as("avg_recovery_pct"),
+            (sum(pctQ).cast(DoubleType) / lit(1000000.0) / count(lit(1)))
+              .as("avg_recovery_pct"),
             count(lit(1)).as("n_recovery_points"))
           .orderBy("user_id")
       },
@@ -124,8 +130,9 @@ object WindowQueries {
           GROUP BY d.s_user, d.lowest_value, d.end_ord, e.value
         )
         SELECT s_user AS user_id,
-               CAST(SUM(CAST((value - lowest_value) / lowest_value * 100.0
-                             AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_recovery_pct,
+               CAST(SUM(CAST(FLOOR((value - lowest_value) / lowest_value * 100.0
+                             * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*) AS avg_recovery_pct,
                COUNT(*) AS n_recovery_points
         FROM recoveries
         GROUP BY s_user
