@@ -832,6 +832,68 @@ object SimilarityQueries {
                  * 1000000 + 0.5) AS BIGINT) < 0 THEN 1 ELSE 0 END AS INT) AS is_outlier
         FROM per p JOIN cnorm n ON p.label = n.label
         ORDER BY p.vec_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q95: near-dup-group-aware train/val/test split — the leakage
+    // guard every LLM data pipeline needs and naive hash-splitting
+    // breaks: if two near-duplicate documents land in train and test,
+    // the eval is contaminated by construction. The split decision is
+    // therefore keyed on the CANONICAL id of each doc's duplicate
+    // group (q84's components), so every member of a group lands in
+    // the same split by construction: md5(canonical) % 100 → 80/10/10.
+    // Singletons (no near-dup) split on their own id — same rule,
+    // because canonical(id) = id for them. Scale shape: q35's banded
+    // pairs + bounded-round components, one broadcast of the tiny
+    // component table onto the doc scan, md5 projection — the doc
+    // stream itself never shuffles. Oracle: independent recursive-CTE
+    // closure + the same md5 rule, so an over/under-merge OR a
+    // split-rule mismatch flips the hash.
+    Q(
+      "q95_leakage_safe_split",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir)
+          .where(col("shingle_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val comp = ConnectedComponents.components(pairs)
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(canonical_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(broadcast(comp), col("doc_id") === col("id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).cast("bigint").as("canonical_id"))
+          .withColumn("bucket", bucket)
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .select("doc_id", "canonical_id", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairsSqlCtes, pe AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairsv WHERE shingle_jaccard >= 0.5
+          UNION
+          SELECT doc_b, doc_a FROM pairsv WHERE shingle_jaccard >= 0.5
+        ), reach(id, r) AS (
+          SELECT DISTINCT a, a FROM pe
+          UNION
+          SELECT reach.id, pe.b FROM reach JOIN pe ON pe.a = reach.r
+        ), comp AS (
+          SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        ), canon AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT doc_id, canonical_id,
+               CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(canonical_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || SUBSTR(MD5(CAST(canonical_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM canon
+        ORDER BY doc_id
       """))
   )
 }
