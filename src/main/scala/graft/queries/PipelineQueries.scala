@@ -849,6 +849,55 @@ object PipelineQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q96: gzip JSONL round-trip — the interchange format LLM corpora
+    // actually ship in (one JSON object per line, gzip part files):
+    // write documents as compressed JSONL, read back with a declared
+    // schema (schema-on-read, no inference pass — at 100 TB an
+    // inference scan would read the corpus twice), and aggregate a
+    // CONTENT CHECKSUM per language: the md5-derived integer of every
+    // text survives mod 1e9 and integer-sums order-free, so one byte
+    // mangled by JSON escaping/unescaping or gzip anywhere flips the
+    // hash. The oracle computes the same checksum from the original
+    // parquet.
+    Q(
+      "q96_jsonl_roundtrip",
+      (s, dir) => {
+        val out = "/tmp/graft_q96_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        Tables.documents(s, dir)
+          .write.mode("overwrite").option("compression", "gzip").json(out)
+        val back = s.read
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .json(out)
+        back.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            sum(expr(
+              "cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint) % 1000000000"))
+              .as("content_checksum"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc,
+               CAST(SUM(CAST('0x' || SUBSTR(MD5(text), 1, 15) AS BIGINT)
+                        % 1000000000) AS BIGINT) AS content_checksum
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
+    // ----------------------------------------------------------------
     // q91: ORC round-trip — the third columnar format in the source/
     // sink matrix (parquet scans everywhere, JSON docs O3-O5, CSV O11):
     // project the pricing columns out of the parquet lineitem, rewrite
