@@ -898,6 +898,42 @@ object PipelineQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q97: Bloom-indexed point lookup — the table is physically laid
+    // out by SOURCE (scan locality for the analytic workload) and then
+    // point-read by DOC_ID, the non-clustered high-cardinality case
+    // where min/max file stats prune nothing. BloomIndex builds a
+    // per-file sketch sidecar in one distributed pass (typed Aggregator
+    // folding each file's id set, map-side partials merged — no driver
+    // loop) and the lookup plans only sketch-surviving files, with the
+    // exact IN predicate as residual. The oracle is the plain IN scan:
+    // a sketch false NEGATIVE (the only failure that loses rows) or a
+    // residual bug flips the hash. BloomIndexSpec asserts the skipping
+    // itself (planned files < total).
+    Q(
+      "q97_bloom_indexed_lookup",
+      (s, dir) => {
+        val out = "/tmp/graft_q97_bloomidx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        graft.operators.BloomIndex.write(
+          Tables.documents(s, dir), layoutCol = "source", keyCol = "doc_id",
+          dir = out, nFiles = 16, expectedPerFile = 100000L, fpp = 0.01)
+        val keys = Seq("3", "41", "97", "230", "404")
+        graft.operators.BloomIndex.lookup(s, out, "doc_id", keys)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE CAST(doc_id AS VARCHAR) IN ('3', '41', '97', '230', '404')
+        ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q91: ORC round-trip — the third columnar format in the source/
     // sink matrix (parquet scans everywhere, JSON docs O3-O5, CSV O11):
     // project the pricing columns out of the parquet lineitem, rewrite

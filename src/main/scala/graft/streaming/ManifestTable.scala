@@ -42,6 +42,14 @@ object ManifestTable {
       spark.read.parquet(s"$dir/epoch=$epoch")
   }
 
+  /** Time-travel read of a specific epoch — valid for the committed
+    * epoch and the retained previous one (older epochs are GC'd). */
+  def readAt(spark: SparkSession, dir: String, epoch: Long): DataFrame = {
+    require(new java.io.File(dir, s"epoch=$epoch").exists(),
+      s"epoch $epoch of $dir does not exist (committed: ${currentEpoch(dir)})")
+    spark.read.parquet(s"$dir/epoch=$epoch")
+  }
+
   /** Commit `df` as the next epoch: write the immutable prefix, move the
     * pointer, GC epochs older than the previous one. */
   def commit(df: DataFrame, dir: String): Long = {

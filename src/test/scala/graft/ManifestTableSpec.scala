@@ -25,6 +25,10 @@ class ManifestTableSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("epoch=")).sorted
     assert(epochs.toSeq == Seq("epoch=1", "epoch=2"), "GC keeps previous + current")
     assert(ManifestTable.read(spark, dir, null).collect().map(_.getString(1)).toSet == Set("c"))
+    // time travel: the retained previous epoch is still readable
+    assert(ManifestTable.readAt(spark, dir, 1L)
+      .collect().map(_.getString(1)).toSet == Set("b"))
+    assertThrows[IllegalArgumentException](ManifestTable.readAt(spark, dir, 0L))
   }
 
   test("an orphan epoch prefix (crash before pointer move) is invisible and reclaimed") {
