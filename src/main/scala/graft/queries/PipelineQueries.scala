@@ -934,6 +934,43 @@ object PipelineQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q99: Count-Min-pruned exact heavy hitters — the frequency member
+    // of the sketch trio (Bloom q86 = membership, HLL q44 =
+    // cardinality): a Count-Min sketch built in one distributed pass
+    // prefilters the token stream to plausibly-heavy tokens BEFORE the
+    // exact keyed count. Count-Min only ever OVERcounts, so
+    // `estimate >= T` never rejects a truly-heavy token — the exact
+    // HAVING residual kills the overcounted stragglers and the result
+    // is EXACT (plain GROUP BY/HAVING oracle). At 100 TB the win is
+    // the shuffle: the exact count's exchange carries only the few
+    // thousand plausibly-heavy keys instead of the full vocabulary.
+    // The probe is the codegen'd CountMinGteF expression — fused into
+    // the scan span like q86's Bloom probe.
+    Q(
+      "q99_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(expr(toksExpr)).as("tok"))
+        val cms = toks.stat.countMinSketch(
+          "tok", 0.0005, 0.99, 42)
+        toks
+          .where(graft.functions.CountMinGteF.probe(col("tok"), cms, 900L))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 900L)
+          .orderBy(col("cnt").desc, col("tok").asc)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT UNNEST($toksSql) AS tok FROM documents)
+        SELECT tok, COUNT(*) AS cnt
+        FROM t
+        GROUP BY 1
+        HAVING COUNT(*) >= 900
+        ORDER BY 2 DESC, 1
+      """)),
+
+    // ----------------------------------------------------------------
     // q91: ORC round-trip — the third columnar format in the source/
     // sink matrix (parquet scans everywhere, JSON docs O3-O5, CSV O11):
     // project the pricing columns out of the parquet lineitem, rewrite

@@ -894,6 +894,114 @@ object SimilarityQueries {
                     ELSE 'test' END AS split
         FROM canon
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q98: product-quantization ADC scoring — the FAISS-style ANN path
+    // the q37/q38/q49 family doesn't cover: vectors compress to 8
+    // one-byte CODES (sign pattern of each 8-dim subspace; a learned
+    // PQ would use k-means codebooks, same machinery) and query-time
+    // scoring touches ONLY codes + a per-query 8x256 lookup table
+    // (asymmetric distance computation) — 8 bytes per candidate
+    // instead of 256, which is the memory-bandwidth difference that
+    // makes billion-vector scans feasible. Everything is integer
+    // micro-unit arithmetic: the ADC table entries are exact signed
+    // sums of quantized query components, the score is an integer sum
+    // over 8 table hits, ranking ties break on cand_id. Shape: tiny
+    // (queries x 2048)-row table built from exploded grids and
+    // BROADCAST; candidates explode to 8 code rows, equi-join on
+    // (subspace, code), one keyed agg, rank window top-5.
+    Q(
+      "q98_pq_adc_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // quantized query components: (query_id, d, qq), d 1-based
+        val qdims = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("query_id"),
+            explode(expr("sequence(1, 64)")).as("d"), col("embedding"))
+          .withColumn("qq",
+            floor(expr("cast(element_at(embedding, d) as double)") * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .select("query_id", "d", "qq")
+        // ADC table: partial(query, subspace, code) = sum_j sign(code, j) * qq
+        val grid = s.range(8).select(col("id").cast("int").as("sub"))
+          .crossJoin(s.range(256).select(col("id").cast("int").as("code")))
+          .crossJoin(s.range(8).select(col("id").cast("int").as("j")))
+          .withColumn("p", expr("cast(pow(2, j) as bigint)"))
+          .withColumn("d", col("sub") * 8 + col("j") + 1)
+        val adc = grid.join(qdims, Seq("d"))
+          .withColumn("term",
+            when(expr("(code div p) % 2") === 1, col("qq")).otherwise(-col("qq")))
+          .groupBy("query_id", "sub", "code")
+          .agg(sum(col("term")).as("partial"))
+        // candidate codes: 8 one-byte codes per vector (the persisted
+        // index of a production deployment — scoring never rereads the
+        // raw embedding)
+        val codeExpr = (0 to 7).map { j =>
+          s"(case when element_at(embedding, sub * 8 + ${j + 1}) > 0 then ${1 << j} else 0 end)"
+        }.mkString(" + ")
+        val codes = emb
+          .select(col("vec_id").as("cand_id"),
+            explode(expr("sequence(0, 7)")).as("sub"), col("embedding"))
+          .withColumn("code", expr(codeExpr))
+          .select("cand_id", "sub", "code")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("approx_score").desc, col("cand_id").asc)
+        codes.join(broadcast(adc), Seq("sub", "code"))
+          .groupBy("query_id", "cand_id")
+          .agg(sum(col("partial")).as("approx_score"))
+          .where(col("query_id") =!= col("cand_id"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("int").as("rank"),
+            col("cand_id").as("neighbor_id"), col("approx_score"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH qdims AS (
+          SELECT vec_id AS query_id, d,
+                 CAST(FLOOR(CAST(embedding[d] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qq
+          FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS g(d)
+          WHERE vec_id % 100 = 0),
+        grid AS (
+          SELECT s.sub, c.code, j.j,
+                 CAST(POWER(2, j.j) AS BIGINT) AS p,
+                 s.sub * 8 + j.j + 1 AS d
+          FROM UNNEST(GENERATE_SERIES(0, 7)) AS s(sub),
+               UNNEST(GENERATE_SERIES(0, 255)) AS c(code),
+               UNNEST(GENERATE_SERIES(0, 7)) AS j(j)),
+        adc AS (
+          SELECT q.query_id, g.sub, g.code,
+                 CAST(SUM(CASE WHEN (g.code // g.p) % 2 = 1 THEN q.qq ELSE -q.qq END)
+                      AS BIGINT) AS partial
+          FROM grid g JOIN qdims q ON q.d = g.d
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id AS cand_id, s.sub,
+                 CAST((CASE WHEN embedding[s.sub*8+1] > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+2] > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+3] > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+4] > 0 THEN 8 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+5] > 0 THEN 16 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+6] > 0 THEN 32 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+7] > 0 THEN 64 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+8] > 0 THEN 128 ELSE 0 END)
+                   AS BIGINT) AS code
+          FROM embeddings, UNNEST(GENERATE_SERIES(0, 7)) AS s(sub)),
+        scored AS (
+          SELECT a.query_id, c.cand_id,
+                 CAST(SUM(a.partial) AS BIGINT) AS approx_score
+          FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, cand_id, approx_score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_score DESC, cand_id) AS rank
+          FROM scored WHERE query_id <> cand_id)
+        SELECT query_id, CAST(rank AS INT) AS rank,
+               cand_id AS neighbor_id, approx_score
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
       """))
   )
 }
