@@ -80,17 +80,24 @@ object BloomIndex {
     spark.read.parquet(indexDir(dir))
 
   /** Files whose sketch might contain ANY of `keys` — the planned set
-    * for a point lookup. Sidecar is one row per file (same driver-side
-    * planning class as ZOrderLayout's manifest listing). */
+    * for a point lookup. The probe runs DISTRIBUTED over the sidecar
+    * (each row deserializes its own sketch in the executors) and only
+    * the surviving paths reach the driver — so planning stays cheap
+    * even at millions of files, where collecting every sketch first
+    * would move GBs to the driver. The typed filter is cold-path
+    * planning over one-row-per-file data, not a data-path UDF. */
   def selectFiles(spark: SparkSession, dir: String,
-                  keys: Seq[String]): Seq[String] =
-    index(spark, dir).select("file_path", "bloom").collect()
+                  keys: Seq[String]): Seq[String] = {
+    val probe = keys.toArray
+    index(spark, dir).select("file_path", "bloom")
       .filter { r =>
         val bloom = BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        keys.exists(bloom.mightContainString)
+        probe.exists(bloom.mightContainString)
       }
-      .map(_.getString(0)).toSeq.sorted
+      .select("file_path")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
 
   /** Exact point lookup: plan only sketch-surviving files, then apply
     * the exact IN predicate as a residual (kills Bloom false
