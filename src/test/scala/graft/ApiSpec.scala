@@ -32,6 +32,27 @@ class ApiSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("bloom_might_contain_f is SQL-callable with a hex sketch literal") {
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain_f")
+    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        ident,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.BloomMightContainF].getName, "bloom_might_contain_f"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.BloomMightContainF(children.head, children(1)))
+    }
+    val bloom = Seq("alpha", "beta").toDF("s").stat.bloomFilter("s", 64L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hex = bos.toByteArray.map(b => f"$b%02X").mkString
+    val row = spark.sql(
+      s"SELECT bloom_might_contain_f('alpha', X'$hex')," +
+        s" bloom_might_contain_f('zeta_not_inserted', X'$hex')").head
+    assert(row.getBoolean(0), "inserted member must probe true via SQL")
+    // not asserted false: a Bloom may false-positive, but usually won't
+  }
+
   test("CSV sink/source round-trip with header and declared schema") {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/out"
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
