@@ -33,12 +33,14 @@ class BloomMightContainFSpec extends AnyFunSuite {
     val df = data.toDF("s")
     val codegen = df.where(BloomMightContainF.probe(col("s"), bloom))
       .collect().map(_.getString(0)).toSet
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
-      val interp = df.where(BloomMightContainF.probe(col("s"), bloom))
-        .collect().map(_.getString(0)).toSet
-      assert(codegen == interp, "codegen vs interpreted mismatch")
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // isolated SQLConf (same context) — mutating the SHARED session's
+    // codegen flag races concurrently-running suites' plan assertions
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = interpSession.createDataFrame(df.collectAsList(), df.schema)
+      .where(BloomMightContainF.probe(col("s"), bloom))
+      .collect().map(_.getString(0)).toSet
+    assert(codegen == interp, "codegen vs interpreted mismatch")
     assert(members.take(50).toSet.subsetOf(codegen))
     assert(!codegen.contains(null))
   }

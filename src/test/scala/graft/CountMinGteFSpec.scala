@@ -28,11 +28,14 @@ class CountMinGteFSpec extends AnyFunSuite {
   test("codegen and interpreted paths agree; nulls drop") {
     val withNull = (data.take(50).map(Option(_)) :+ Option.empty[String]).toDF("tok")
     val codegen = withNull.where(CountMinGteF.probe(col("tok"), cms, 100L)).count()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
-      val interp = withNull.where(CountMinGteF.probe(col("tok"), cms, 100L)).count()
-      assert(codegen == interp)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // isolated SQLConf (same context) — mutating the SHARED session's
+    // codegen flag races concurrently-running suites' plan assertions
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = interpSession
+      .createDataFrame(withNull.collectAsList(), withNull.schema)
+      .where(CountMinGteF.probe(col("tok"), cms, 100L)).count()
+    assert(codegen == interp)
   }
 
   test("prefilter + exact residual equals the plain exact computation") {
