@@ -23,11 +23,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm-up $name failed: $e") }
     }
     var errors = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: full materialization of every operator (a bare count()
-        // would let Catalyst prune windows/projections out of the plan).
+    // Samples are INTERLEAVED — `runs` full passes over the suite rather
+    // than `runs` back-to-back executions per query — so one query's
+    // samples are separated by ~a minute of other work. Back-to-back
+    // sampling let a single transient CPU-contention window poison all
+    // three samples of one query (r5's q29: bench min 1.60 s vs true warm
+    // 0.38-0.43 s, judged a phantom regression); with interleaving, noise
+    // must recur at suite-period intervals to survive the per-query min.
+    val names = SparkEntry.queries.keys.toSeq
+    val sampleLists = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to runs; (name, fn) <- SparkEntry.queries) {
+      val t0 = System.nanoTime()
+      // noop sink: full materialization of every operator (a bare count()
+      // would let Catalyst prune windows/projections out of the plan).
+      val sec =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -36,7 +46,10 @@ object Bench {
             // A failed run must be distinguishable from a fast one: -1.
             -1.0
         }
-      }
+      sampleLists(name) = sampleLists(name) :+ sec
+    }
+    val results = SparkEntry.queries.map { case (name, _) =>
+      val samples = sampleLists(name)
       if (samples.exists(_ < 0)) errors ::= name
       name -> samples
     }

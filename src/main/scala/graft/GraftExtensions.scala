@@ -19,18 +19,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "dot_product_f(arrayA, arrayB)")
-        DotProductF(children.head, children(1))
-      }))
+      GraftExtensions.buildDotProduct _))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain_f"),
       new ExpressionInfo(classOf[BloomMightContainF].getName, "bloom_might_contain_f"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "bloom_might_contain_f(value, bloomBytes)")
-        BloomMightContainF(children.head, children(1))
-      }))
+      GraftExtensions.buildBloomMightContain _))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+  }
+}
+
+/** SQL builders, shared between the extension injection and tests so
+  * argument validation has exactly one code path. */
+object GraftExtensions {
+  def buildDotProduct(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "dot_product_f(arrayA, arrayB)")
+    DotProductF(children.head, children(1))
+  }
+
+  def buildBloomMightContain(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "bloom_might_contain_f(value, bloomBytes)")
+    // The sketch must be a compile-time constant: a non-foldable second
+    // argument would make BloomMightContainF deserialize per row (or NPE
+    // on right.eval(null) for an attribute) at task runtime — fail here,
+    // at analysis time, with a clear message.
+    require(children(1).foldable,
+      "bloom_might_contain_f: the bloom argument must be a foldable " +
+        "binary literal (got a non-foldable expression)")
+    BloomMightContainF(children.head, children(1))
   }
 }

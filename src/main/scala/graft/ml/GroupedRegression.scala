@@ -128,8 +128,10 @@ object GroupedRegression {
     * registry query q79 exercises this path end-to-end against DuckDB.
     *
     * Weight semantics (mirrors MLlib's contract): rows with a NULL weight
-    * are excluded from the fit and from `n` (n = count of non-null-weight
-    * rows); negative weights and groups whose weight mass Σw is zero are
+    * — or a NULL in any feature or the label — are excluded from the fit
+    * and from `n` entirely (a partially-observed row must not count
+    * toward n and Σw while its cross moments drop out of the sums);
+    * negative weights and groups whose weight mass Σw is zero are
     * rejected loudly, like [[solve]] rejects singular systems — a silent
     * NaN model row is the one failure mode a 100 TB pipeline can't debug.
     */
@@ -144,7 +146,14 @@ object GroupedRegression {
 
     val x: Seq[Column] = features.map(f => col(f).cast("double"))
     val y: Column = col(label).cast("double")
-    val wc: Column = col(weightCol).cast("double")
+    // A row participates only if its weight AND every feature AND the
+    // label are non-null. Nulling the weight when any regressor column is
+    // null excludes the row from ALL moments consistently — otherwise n
+    // and sum(w) would count a row whose cross moments silently dropped
+    // out of the SUMs, skewing the fitted model (the documented "reject
+    // loudly" contract extends to "exclude consistently").
+    val observed: Column = (x :+ y).map(_.isNotNull).reduce(_ && _)
+    val wc: Column = when(observed, col(weightCol).cast("double"))
 
     // Flat layout: n | Σw | Σwx(d) | Σwy | Σwy² | Σwxy(d) | G upper d(d+1)/2 | min(w)
     val aggs: Seq[Column] =

@@ -125,12 +125,19 @@ object Multimodal {
                 FrameFeatures(id, i, decoded = true, f)
               }
             case None => // >>> STUB: no JVM codec for non-GIF video
+              // One pass over the payload; per-(dim, frame) placeholder
+              // values derive from (payloadHash, d, i) arithmetic. The
+              // previous shape rescanned the full payload once per
+              // (dimension, frame) — 8 x nFrames passes, ~80 GB of
+              // scanning for a 10 MB payload with 1000 sampled frames.
+              var ph = 1125899906842597L
+              var j = 0
+              while (j < bytes.length) { ph = 31 * ph + bytes(j); j += 1 }
               (0 until nFrames.getOrElse(0) by stride).iterator.map { i =>
                 val feats = Array.tabulate(8) { d =>
-                  var h = 1125899906842597L + d * 7919L + i
-                  var j = 0
-                  while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
-                  ((h % 1000003L).toFloat) / 1000003f
+                  var h = ph + d * 7919L + i
+                  h = (h ^ (h >>> 33)) * 0x9E3779B97F4A7C15L
+                  (java.lang.Math.floorMod(h, 1000003L).toFloat) / 1000003f
                 }
                 FrameFeatures(id, i, decoded = false, feats)
               }

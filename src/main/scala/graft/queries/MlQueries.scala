@@ -133,12 +133,18 @@ object MlQueries {
           .orderBy("source")
       },
       Some("""
-        WITH base AS (
+        WITH base0 AS (
           SELECT source,
                  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS DOUBLE) AS x,
                  CAST(n_chars AS DOUBLE) AS y,
-                 CAST(doc_id % 5 + 1 AS DOUBLE) AS w
+                 CAST(doc_id % 5 + 1 AS DOUBLE) AS w0
           FROM documents),
+        base AS (
+          -- mirror the engine's consistent-exclusion rule: a row with a
+          -- NULL feature or label contributes to NO moment (w nulled out)
+          SELECT source, x, y,
+                 CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN w0 END AS w
+          FROM base0),
         sums AS (
           SELECT source,
                  COUNT(w) AS n,

@@ -90,12 +90,30 @@ object SimilarityQueries {
     // code changes. Off by default: the r2 and r5 RunSome experiments on
     // this VM could not show a min-time win past the scheduling noise.
     if (!sys.env.get("GRAFT_SHINGLE_CACHE").contains("1")) build
-    else shingleCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
-      _ => { val df = build; df.persist(); df.count(); df })
+    else {
+      // Keyed on a stable per-session id (identity hash codes can collide
+      // between a stopped and a new session, handing back a plan bound to
+      // a dead session — the ids below are never reused); entries for
+      // stopped sessions are evicted first so their persisted plans don't
+      // leak forever.
+      shingleCache.entrySet().removeIf(
+        (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]) =>
+          e.getValue._1.sparkContext.isStopped)
+      shingleCache.computeIfAbsent(
+        sessionId(s) + "|" + dir,
+        _ => { val df = build; df.persist(); df.count(); (s, df) })._2
+    }
   }
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  // Monotonic per-session ids: unlike System.identityHashCode these are
+  // never reused after a session is GC'd, and the weak keys don't pin
+  // stopped sessions in memory.
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]())
+  private def sessionId(s: org.apache.spark.sql.SparkSession): Long =
+    sessionIds.computeIfAbsent(s, _ => sessionSeq.incrementAndGet())
 
   /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
     * then exact capped-shingle Jaccard on candidates only. Returns

@@ -23,8 +23,7 @@ class ApiSpec extends AnyFunSuite {
         ident,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.DotProductF].getName, "dot_product_f"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.DotProductF(children.head, children(1)))
+        GraftExtensions.buildDotProduct _)
     }
     val got = spark.sql(
       "SELECT dot_product_f(array(cast(1.0 as float), cast(2.0 as float)), " +
@@ -39,8 +38,7 @@ class ApiSpec extends AnyFunSuite {
         ident,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.BloomMightContainF].getName, "bloom_might_contain_f"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.BloomMightContainF(children.head, children(1)))
+        GraftExtensions.buildBloomMightContain _)
     }
     val bloom = Seq("alpha", "beta").toDF("s").stat.bloomFilter("s", 64L, 0.01)
     val bos = new java.io.ByteArrayOutputStream()
@@ -51,6 +49,24 @@ class ApiSpec extends AnyFunSuite {
         s" bloom_might_contain_f('zeta_not_inserted', X'$hex')").head
     assert(row.getBoolean(0), "inserted member must probe true via SQL")
     // not asserted false: a Bloom may false-positive, but usually won't
+  }
+
+  test("bloom_might_contain_f rejects a non-foldable sketch at analysis time") {
+    // a column reference as the sketch would NPE at task runtime
+    // (right.eval(null) on an attribute) — the builder must refuse it
+    // up front with an actionable message
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "b", org.apache.spark.sql.types.BinaryType)()
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("alpha")
+    val ex = intercept[IllegalArgumentException] {
+      GraftExtensions.buildBloomMightContain(Seq(lit, attr))
+    }
+    assert(ex.getMessage.contains("foldable"))
+    // sanity: a genuinely foldable non-Literal (concat of literals) passes
+    val folded = org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1)),
+      org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](2))))
+    assert(GraftExtensions.buildBloomMightContain(Seq(lit, folded)) != null)
   }
 
   test("CSV sink/source round-trip with header and declared schema") {
