@@ -26,6 +26,18 @@ object PipelineQueries {
     "LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2), " +
       "i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
 
+  /** Scratch root for queries that exercise physical commit protocols
+    * (q85/q91/q92/q96/q97 — the imperative I/O IS the thing under
+    * test). Derives from `spark.graft.scratch.dir` (falling back to
+    * `java.io.tmpdir`) so two concurrent gates against the same scale
+    * dir can point at disjoint scratch roots instead of colliding on a
+    * hard-coded /tmp path. */
+  private def scratch(s: org.apache.spark.sql.SparkSession, tag: String,
+                      dir: String): String =
+    s.conf.get("spark.graft.scratch.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")).stripSuffix("/") +
+      s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q65: DETERMINISTIC stratified sampling — the split every training
@@ -540,7 +552,7 @@ object PipelineQueries {
     Q(
       "q85_incremental_rollup_replay",
       (s, dir) => {
-        val out = "/tmp/graft_q85_rollup_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = scratch(s, "q85_rollup", dir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
@@ -614,10 +626,16 @@ object PipelineQueries {
           .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
         val ev = tris.where(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("eval_doc_id"), col("tri"))
-          .persist()
-        // driver-side sizing of the sketch: one count over the tiny
-        // (cached) eval side, the same O(|eval|) work the broadcast does
-        val bloom = ev.stat.bloomFilter("tri", math.max(ev.count(), 64L), 0.01)
+        // Cache ev only for the two driver-side actions that size and
+        // build the sketch, then release it before returning: a shared
+        // session running this query repeatedly (bench runs it 3x) must
+        // not accumulate pinned executor storage. The verify join below
+        // recomputes ev once from the pruned scan instead — the same
+        // trade the shingle-cache experiment validated.
+        ev.persist()
+        val bloom =
+          try ev.stat.bloomFilter("tri", math.max(ev.count(), 64L), 0.01)
+          finally ev.unpersist(blocking = false)
         val out = tris.where(col("doc_id") % 97 =!= 0)
           .where(graft.functions.BloomMightContainF.probe(col("tri"), bloom))
           .join(broadcast(ev), "tri")
@@ -862,7 +880,7 @@ object PipelineQueries {
     Q(
       "q96_jsonl_roundtrip",
       (s, dir) => {
-        val out = "/tmp/graft_q96_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = scratch(s, "q96_jsonl", dir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
@@ -912,7 +930,7 @@ object PipelineQueries {
     Q(
       "q97_bloom_indexed_lookup",
       (s, dir) => {
-        val out = "/tmp/graft_q97_bloomidx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = scratch(s, "q97_bloomidx", dir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
@@ -983,7 +1001,7 @@ object PipelineQueries {
     Q(
       "q91_orc_roundtrip",
       (s, dir) => {
-        val out = "/tmp/graft_q91_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = scratch(s, "q91_orc", dir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
@@ -1026,7 +1044,7 @@ object PipelineQueries {
     Q(
       "q92_manifest_rollup_replay",
       (s, dir) => {
-        val out = "/tmp/graft_q92_manifest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = scratch(s, "q92_manifest", dir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
