@@ -1,0 +1,66 @@
+package graft
+
+/** Scale-growth audit (SCALING.md): time a fixed query set on the two
+  * [[ScaleGen]] corpora and print one JSON line of per-query times +
+  * ratios. `runMain graft.ScaleAudit <dir1x> <dir10x> [passes]`.
+  *
+  * Method: all tables of BOTH corpora are footer-warmed first; the 1x
+  * suite runs before the 10x suite so the JIT is hot by the time any
+  * 10x sample is taken (inflating 10x times would bias AGAINST the
+  * linearity claim, never for it); `passes` full interleaved passes per
+  * scale (Bench's anti-contention discipline), per-query MIN reported.
+  * The ratio column is what SCALING.md reads: ~10 means the plan grew
+  * with the data; ~100 on an all-queries x all-candidates query means
+  * the DATA grew quadratically while per-query work stayed linear —
+  * the distinction the audit exists to surface.
+  */
+object ScaleAudit {
+
+  /** The round-5 verdict's worst-5 (q85/q92/q84/q95/q33) + the dedup /
+    * ANN family. Prefixes resolve against the registry. */
+  val measured: Seq[String] = Seq(
+    "q32", "q33", "q34", "q35", "q36", // shingle/minhash dedup family
+    "q37", "q38", "q49", "q55", "q98", // embedding ANN family
+    "q62", "q84", "q88", "q95",        // components + curation composites
+    "q85", "q92",                      // incremental rollup protocols
+    "q99")                             // count-min heavy hitters
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleAudit <dir1x> <dir10x> [passes]")
+    val dir1 = args(0)
+    val dir10 = args(1)
+    val passes = if (args.length > 2) args(2).toInt else 2
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = measured.map { p =>
+      SparkEntry.queries.keys.toSeq.sorted.find(_.startsWith(p))
+        .getOrElse(sys.error(s"no query matches prefix $p"))
+    }
+    Seq(dir1, dir10).foreach { d =>
+      Tables.all.foreach(t => Tables.df(spark, d, t).count())
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def suite(dir: String): Map[String, Double] = {
+      val samples = collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+      for (_ <- 1 to passes; n <- names)
+        samples(n) = samples(n) :+ time(n, dir)
+      samples.view.mapValues(_.min).toMap
+    }
+
+    val t1 = suite(dir1)   // also serves as the JIT warm-up for 10x
+    val t10 = suite(dir10)
+    val rows = names.map { n =>
+      f""""$n":{"t1x":${t1(n)}%.3f,"t10x":${t10(n)}%.3f,"ratio":${t10(n) / t1(n)}%.2f}"""
+    }
+    println(s"""{"passes":$passes,"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

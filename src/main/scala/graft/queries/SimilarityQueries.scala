@@ -493,23 +493,50 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // q55: embedding-cosine near-dup PAIRS — the dedup-flavored
-    // counterpart of q38: split the 8-bit hyperplane sign key into two
-    // 4-plane bands (the q36 byte-band trick, on vectors); docs sharing
-    // either band become candidates via keyed self-joins, then the exact
-    // cosine check keeps pairs >= 0.35. Banding doubles recall vs the
-    // full 8-plane bucket while both joins stay equi-keyed — no all-pairs
-    // cross join anywhere, which is what survives a billion-vector dedup.
-    // Cosine quantized to 1e-6 (sequential-fold dot product) so the
-    // threshold cannot flip on ulps across engines.
+    // counterpart of q38: two hyperplane sign-key bands (the q36
+    // byte-band trick, on vectors); docs sharing either band become
+    // candidates via keyed self-joins, then the exact cosine check
+    // keeps pairs >= 0.35. Band WIDTH ADAPTS to the corpus: r planes
+    // per band, the smallest r in [4, 20] with 32 * 2^r >= n (an
+    // integer CASE chain both engines evaluate exactly — no log2
+    // ulps), so expected bucket occupancy stays ~32 at ANY scale and
+    // per-band candidate pairs grow ~16n, LINEARLY. The round-6 scale
+    // audit caught the fixed-16-bucket predecessor at 16.4x time for
+    // 10x data (pairs per bucket square in n); with adaptive r the
+    // plan is the occupancy-constant LSH a billion-vector dedup
+    // actually runs, and recall at a given threshold is tuned by
+    // ADDING BANDS — the standard banding trade; the registry pins 2
+    // bands. Planes come from a mod-101 weight family (>= 101 distinct
+    // planes, so 2r <= 40 plane slots never repeat; the shared mod-19
+    // planeDotExpr family would repeat after 19). Cosine quantized to
+    // 1e-6 (sequential-fold dot product) so the threshold cannot flip
+    // on ulps across engines.
     Q(
       "q55_embedding_neardup_pairs",
       (s, dir) => {
+        // smallest r in [4, 20] with 32 * 2^r >= n — integer-exact
+        val rExpr = "case " +
+          (4 to 19).map(r => s"when n <= ${32L * (1L << r)}L then $r").mkString(" ") +
+          " else 20 end"
+        // plane j dot embedding, weights ((j*67 + d*31) % 101) - 50
+        val planeDot101 =
+          "aggregate(sequence(0, 63), cast(0.0 as double), (acc2, d) -> " +
+            "acc2 + cast(element_at(embedding, d + 1) as double) * " +
+            "cast(((j * 67 + d * 31) % 101) - 50 as double))"
+        def bandExpr(j0: String, j1: String, base: String) =
+          s"aggregate(sequence($j0, $j1), cast(0 as bigint), (acc, j) -> " +
+            s"acc + (case when $planeDot101 > 0 " +
+            s"then shiftleft(cast(1 as bigint), j - ($base)) else cast(0 as bigint) end))"
+        val nDf = Tables.embeddings(s, dir)
+          .agg(count(lit(1)).cast("bigint").as("n"))
         val emb = Tables.embeddings(s, dir)
+          .crossJoin(broadcast(nDf))
+          .withColumn("r", expr(rExpr))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("bucket", expr(bucketExpr))
-          .withColumn("hi", expr("bucket div 16"))
-          .withColumn("lo", expr("bucket % 16"))
-        def byBand(b: String) = emb.as("x").join(emb.as("y"),
+          .withColumn("hi", expr(bandExpr("0", "r - 1", "0")))
+          .withColumn("lo", expr(bandExpr("r", "2 * r - 1", "r")))
+        val keyed = emb.select(col("vec_id"), col("hi"), col("lo"))
+        def byBand(b: String) = keyed.as("x").join(keyed.as("y"),
             col(s"x.$b") === col(s"y.$b") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         val cand = byBand("hi").unionByName(byBand("lo")).distinct()
@@ -528,14 +555,31 @@ object SimilarityQueries {
             (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""
-        WITH e AS (
+      Some {
+        val rSql = "CASE " +
+          (4 to 19).map(r => s"WHEN n <= ${32L * (1L << r)} THEN $r").mkString(" ") +
+          " ELSE 20 END"
+        val planeDotSql101 =
+          "LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
+            "CAST(embedding[d + 1] AS DOUBLE) * " +
+            "CAST(((j * 67 + d * 31) % 101) - 50 AS DOUBLE)), (x, y) -> x + y)"
+        def bandSql(j0: String, j1: String, base: String) =
+          s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES($j0, $j1), j -> " +
+            s"CASE WHEN $planeDotSql101 > 0 " +
+            s"THEN CAST(POWER(2, j - ($base)) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+            "(x, y) -> x + y)"
+        s"""
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        e AS (
           SELECT vec_id, embedding,
                  ${dotSql("embedding", "embedding")} AS n2,
-                 $bucketSql AS bucket
-          FROM embeddings
+                 $rSql AS r
+          FROM embeddings, nn
         ), keyed AS (
-          SELECT vec_id, embedding, n2, bucket // 16 AS hi, bucket % 16 AS lo FROM e
+          SELECT vec_id, embedding, n2,
+                 ${bandSql("0", "r - 1", "0")} AS hi,
+                 ${bandSql("r", "2 * r - 1", "r")} AS lo
+          FROM e
         ), cand AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM keyed x JOIN keyed y ON x.hi = y.hi AND x.vec_id < y.vec_id
@@ -551,7 +595,8 @@ object SimilarityQueries {
         SELECT vec_a, vec_b, CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
         FROM scored WHERE sim_q >= 350000
         ORDER BY 1, 2
-      """)),
+      """
+      }),
 
     // ----------------------------------------------------------------
     // q58: blocked fuzzy match — edit-distance pairing with a BLOCKING

@@ -48,17 +48,24 @@ object IncrementalRollup {
     * `read`/`write` plug the storage commit protocol: the default is the
     * local rename-pair swap; pass [[ManifestTable.read]]/`commit` for the
     * object-store-safe manifest-pointer protocol (see [[overwrite]]'s
-    * scaladoc for why the seam exists). */
+    * scaladoc for why the seam exists). `onCommit` fires after each
+    * directory's write lands — the seam that keeps derived sidecars
+    * transactionally consistent with the table (e.g.
+    * `dir => BloomIndex.refresh(spark, dir, key)`): without it, any
+    * merge leaves a sidecar stale and a later indexed lookup silently
+    * degrades to planning the wrong file set. */
   def mergeBatch(spark: SparkSession, batch0: DataFrame, tableDir: String,
                  rollupDir: String,
                  read: (SparkSession, String, StructType) => DataFrame = readOrEmpty,
-                 write: (DataFrame, String) => Unit = overwrite): Unit = {
+                 write: (DataFrame, String) => Unit = overwrite,
+                 onCommit: String => Unit = _ => ()): Unit = {
     if (batch0.isEmpty) return
     val batch = batch0.dropDuplicates("coin_id", "fetch_date")
 
     val current = read(spark, tableDir, batch.schema)
     val merged = Upsert.replaceByKey(current, batch, Seq("coin_id", "fetch_date"))
     write(merged, tableDir)
+    onCommit(tableDir)
 
     // Targeted rollup maintenance: recompute only touched groups.
     val touched = batch.select(
@@ -79,6 +86,7 @@ object IncrementalRollup {
     val mergedRollup = Upsert.replaceByKey(
       rollup, freshGroups, Seq("coin_id", "year", "month"))
     write(mergedRollup, rollupDir)
+    onCommit(rollupDir)
   }
 
   /** [[mergeBatch]] through the [[ManifestTable]] manifest-pointer

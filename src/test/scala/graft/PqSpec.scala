@@ -1,0 +1,56 @@
+package graft
+
+import graft.ml.PqIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Learned-PQ ADC pinned by recall against the exact brute-force
+  * baseline — the same gate pattern as IvfSpec (k-means output is
+  * engine-specific, so a SQL oracle can't replay it; registry q98 keeps
+  * the deterministic sign-pattern PQ that DuckDB hash-checks).
+  *
+  * Fixed inputs (seed 42, sf0.001 = 500 vectors, 5 queries x top-3), so
+  * the recalls are exact reproducible numbers, not statistical bounds.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val brute =
+    SparkEntry.queries("q37_knn_bruteforce_cosine")(spark, sfDir)
+      .where(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("learned PQ (m=8, k=32) ADC + exact re-rank has top-3 recall >= 0.9") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val codebook = PqIndex.train(spark, emb, m = 8, k = 32)
+    val codes = PqIndex.encode(emb, codebook)
+    val pq = PqIndex.searchTopK(emb, codebook, codes,
+        pmod(col("vec_id"), lit(100)) === 0, k = 3, shortlist = 50)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("codes are m one-byte symbols; ADC shortlist never reads raw vectors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val codebook = PqIndex.train(spark, emb, m = 8, k = 32)
+    val codes = PqIndex.encode(emb, codebook)
+    // every vector encodes to exactly m rows with codes in [0, k)
+    val counts = codes.groupBy("vec_id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(8L))
+    val range = codes.agg(min("code"), max("code")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 32)
+    // widening the shortlist monotonically recovers the exact result:
+    // at shortlist = corpus size the re-rank IS the brute-force scan
+    val all = PqIndex.searchTopK(emb, codebook, codes,
+        pmod(col("vec_id"), lit(100)) === 0, k = 3, shortlist = 500)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == brute, "shortlist=corpus must equal the exact baseline")
+  }
+}
