@@ -98,7 +98,7 @@ object PqIndex {
     * a broadcast per-query LUT, keep the ADC top-`shortlist`, then ONE
     * exact cosine join re-ranks the shortlist to the final top-k. */
   def searchTopK(emb: DataFrame, codebook: DataFrame, codes: DataFrame,
-                 queryPred: Column, k: Int, shortlist: Int = 50,
+                 queryPred: Column, k: Int, shortlist: Int = 100,
                  m: Int = 8): DataFrame = {
     // per-query ADC lookup table: (query_id, sub, code, ip); tiny —
     // |Q| * m * |codebook per sub| rows — and broadcast

@@ -22,12 +22,17 @@ class PqSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("learned PQ (m=8, k=32) ADC + exact re-rank has top-3 recall >= 0.9") {
+  test("learned PQ (m=8, k=64) ADC + exact re-rank has top-3 recall >= 0.9") {
     val emb = Tables.embeddings(spark, sfDir)
-    val codebook = PqIndex.train(spark, emb, m = 8, k = 32)
+    // k=64 per subspace: the r6 gate (k=32, shortlist=50) sat at 0.8667
+    // recall deterministically; measured sweep: k=32 needs shortlist=150
+    // to reach 1.0, k=64 is 1.0 already at shortlist=50. Finer codebooks
+    // + shortlist=100 give margin on both axes while keeping the scale
+    // contract (codes stay one byte, re-rank stays O(shortlist)/query).
+    val codebook = PqIndex.train(spark, emb, m = 8, k = 64)
     val codes = PqIndex.encode(emb, codebook)
     val pq = PqIndex.searchTopK(emb, codebook, codes,
-        pmod(col("vec_id"), lit(100)) === 0, k = 3, shortlist = 50)
+        pmod(col("vec_id"), lit(100)) === 0, k = 3, shortlist = 100)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
