@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -31,19 +32,32 @@ import org.apache.spark.util.sketch.BloomFilter
   * MUTATION: the sidecar stays transactionally consistent with the
   * table instead of silently going stale —
   *  - [[refresh]] reconciles incrementally: sketches are rebuilt ONLY
-  *    for files whose (path, size, mtime) is new or changed, entries
-  *    for deleted files drop, untouched entries are carried over
-  *    byte-identically (one row per file — no data rescan);
+  *    for files whose (size, mtime, tail fingerprint) is new or
+  *    changed, entries for deleted files drop, untouched entries are
+  *    carried over byte-identically (one row per file — no data
+  *    rescan); zero-row files get an empty-sketch entry so they are
+  *    carried over too instead of being rescanned forever;
   *  - [[upsertBucketed]] is the partition-preserving write path: a
   *    bucket-partitioned layout lets an upsert rewrite only the
   *    buckets the batch touches, so refresh then rebuilds only those
   *    buckets' sketches — O(batch), not O(table), index maintenance;
+  *  - both mutation entry points first HEAL crash orphans (`.old` /
+  *    `.staging` leftovers from a rename-pair swap interrupted between
+  *    its two renames) — restore when the promote never happened,
+  *    drop when it did — so a crashed mutation never leaves partition
+  *    inference seeing a `gbucket=K.old` dir or a half-built sidecar;
+  *  - all filesystem mutation goes through the Hadoop [[FileSystem]]
+  *    of the table's own path (never `java.io.File`), so the API works
+  *    unchanged for `file:` URIs and non-local filesystems;
   *  - [[graft.streaming.IncrementalRollup.mergeBatch]]'s `onCommit`
   *    hook wires refresh into the streaming merge loop.
   */
 object BloomIndex {
 
   private def indexDir(dir: String) = s"$dir/_bloom_index"
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** One-pass per-group Bloom builder: input = lookup-key string,
     * buffer = the sketch itself (serializable), output = serialized
@@ -69,9 +83,17 @@ object BloomIndex {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  private def emptySketchBytes(expectedPerFile: Long, fpp: Double): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    BloomFilter.create(expectedPerFile, fpp).writeTo(bos)
+    bos.toByteArray
+  }
+
   /** One distributed sketch-building pass over `df` (which must carry
-    * `_metadata`): one output row per file —
-    * (file_path, bloom, n_rows, file_size, file_mtime). */
+    * `_metadata`): one output row per NON-EMPTY file —
+    * (file_path, bloom, n_rows, file_size, file_mtime). Zero-row files
+    * produce no group here; [[refresh]] adds their empty-sketch rows
+    * from the listing so they still get a carried-over entry. */
   private def buildSketches(df: DataFrame, keyCol: String,
                             expectedPerFile: Long, fpp: Double): DataFrame = {
     val bloomAgg = udaf(new BloomAgg(expectedPerFile, fpp))
@@ -89,28 +111,79 @@ object BloomIndex {
   private def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
 
   /** Live data files under `dir` (recursive, so bucket-partition
-    * subdirs are covered), skipping sidecar/hidden entries:
-    * (path, size, mtime ms). Driver-side METADATA listing — one tuple
-    * per file, the same cost class as any planner's file enumeration. */
+    * subdirs are covered): (path, size, mtime ms). Hidden-entry
+    * filtering is on path components BELOW the table root — a table
+    * that itself lives under an underscore-prefixed path (e.g.
+    * `/data/_staging/tbl`) still lists all its files; only sidecar
+    * (`_bloom_index`, `_zorder_manifest`), dot-hidden, and
+    * crash-orphaned `*.old` components inside the table are skipped.
+    * Driver-side METADATA listing — one tuple per file, the same cost
+    * class as any planner's file enumeration. */
   private def listDataFiles(spark: SparkSession,
                             dir: String): Seq[(String, Long, Long)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
+    val path = new Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return Seq.empty
+    val root = fs.makeQualified(path).toUri.getPath.stripSuffix("/")
     val out = Seq.newBuilder[(String, Long, Long)]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      val full = st.getPath.toString
-      // skip hidden files, anything under a `_`-prefixed sidecar dir
-      // (_bloom_index, its crash-orphaned .staging, _zorder_manifest),
-      // and crash-orphaned .old bucket dirs
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          !full.contains("/_") && !full.contains(".old/"))
-        out += ((full, st.getLen, st.getModificationTime))
+      val rel = st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      val hidden = rel.split('/').exists(c =>
+        c.startsWith("_") || c.startsWith(".") || c.endsWith(".old"))
+      if (st.isFile && !hidden)
+        out += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
     out.result()
+  }
+
+  /** 64-bit FNV-1a over the file's last 8 KiB. For parquet that window
+    * holds the footer (row-group offsets, column stats, dictionary
+    * page offsets), so a rewrite with different contents perturbs it
+    * even when byte length AND mtime tick are identical — the case the
+    * (size, mtime) check alone cannot see. One bounded tail read per
+    * carry-over candidate: metadata-class cost, like the listing. */
+  private def fingerprint(fs: FileSystem, p: Path, len: Long): Long = {
+    if (len <= 0L) return 0L
+    val tail = math.min(len, 8192L).toInt
+    val buf = new Array[Byte](tail)
+    val in = fs.open(p)
+    try {
+      in.seek(len - tail)
+      in.readFully(buf)
+    } finally in.close()
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < tail) { h ^= (buf(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Heal crash orphans from an interrupted rename-pair swap, at every
+    * mutation entry point. Invariant of the swap protocol: `X.old`
+    * with `X` present means the promote completed (drop the old);
+    * `X.old` WITHOUT `X` means the crash hit between the two renames
+    * (restore the old — the data was never lost, only staged out). A
+    * leftover sidecar `.staging` is an unpromoted partial build —
+    * dropped; refresh rebuilds it. */
+  private def healOrphans(fs: FileSystem, dirPath: Path): Unit = {
+    if (!fs.exists(dirPath)) return
+    val idx = new Path(dirPath, "_bloom_index")
+    val idxOld = new Path(dirPath, "_bloom_index.old")
+    val idxStaging = new Path(dirPath, "_bloom_index.staging")
+    if (fs.exists(idxOld)) {
+      if (fs.exists(idx)) fs.delete(idxOld, true)
+      else fs.rename(idxOld, idx)
+    }
+    if (fs.exists(idxStaging)) fs.delete(idxStaging, true)
+    fs.listStatus(dirPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.endsWith(".old") && !name.startsWith("_")) {
+        val tgt = new Path(dirPath, name.stripSuffix(".old"))
+        if (fs.exists(tgt)) fs.delete(st.getPath, true)
+        else fs.rename(st.getPath, tgt)
+      }
+    }
   }
 
   /** Write `df` into `nFiles` files clustered on `layoutCol` (the scan-
@@ -125,66 +198,100 @@ object BloomIndex {
   }
 
   /** Reconcile the sidecar with the data directory, incrementally:
-    * entries whose (path, size, mtime) still matches a live file are
-    * CARRIED OVER (byte-identical, no rescan); entries for deleted or
-    * rewritten files drop; sketches are built only for new/changed
-    * files — one distributed pass over exactly those files. Also the
-    * initial build (no sidecar = every file is new). The staged
-    * rename-pair swap means a reader never sees a half-written
-    * sidecar; the sidecar is derived data, so the non-atomic window is
-    * rebuild-from-refresh, never data loss. */
+    * entries whose (size, mtime, tail fingerprint) still matches a
+    * live file are CARRIED OVER (byte-identical, no rescan); entries
+    * for deleted or rewritten files drop; sketches are built only for
+    * new/changed files — one distributed pass over exactly those
+    * files. Also the initial build (no sidecar = every file is new).
+    * The staged rename-pair swap means a reader never sees a
+    * half-written sidecar; the sidecar is derived data, so the
+    * non-atomic window is rebuild-from-refresh, never data loss. */
   def refresh(spark: SparkSession, dir: String, keyCol: String,
               expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
     import spark.implicits._
+    val fs = fileSystem(spark, dir)
+    healOrphans(fs, new Path(dir))
     val live = listDataFiles(spark, dir)
-    val idxPath = new java.io.File(indexDir(dir))
-    val empty = spark.emptyDataset[(String, Array[Byte], Long, Long, Long)]
-      .toDF("file_path", "bloom", "n_rows", "file_size", "file_mtime")
+    val empty = spark
+      .emptyDataset[(String, Array[Byte], Long, Long, Long, Long)]
+      .toDF("file_path", "bloom", "n_rows", "file_size", "file_mtime",
+        "file_fprint")
     val existing: DataFrame =
-      if (!idxPath.exists()) empty
+      if (!fs.exists(new Path(indexDir(dir)))) empty
       else {
         val cur = index(spark, dir)
-        // a sidecar from before the (size, mtime) columns can't prove
-        // any entry still matches its file — rebuild everything once
-        if (cur.columns.contains("file_size")) cur else empty
+        // a sidecar from before the fingerprint column can't prove any
+        // entry still matches its file — rebuild everything once
+        if (cur.columns.contains("file_fprint")) cur else empty
       }
-    val liveDf = live.toDF("live_path", "live_size", "live_mtime")
-      .withColumn("live_norm", expr("regexp_replace(live_path, '^file:/+', '/')"))
 
-    // unchanged rows survive as-is; only changed/new paths reach the
-    // driver (to become the rebuild scan's file list)
-    val normed = existing.withColumn(
-      "norm", expr("regexp_replace(file_path, '^file:/+', '/')"))
-    val kept = normed.join(liveDf,
-        col("norm") === col("live_norm") &&
-          col("file_size") === col("live_size") &&
-          col("file_mtime") === col("live_mtime"),
-        "left_semi")
+    // carry-over decision is driver-side METADATA (never the blooms):
+    // (size, mtime) gate first, then the tail fingerprint — computed
+    // only for candidates that pass the cheap gate
+    val entryMeta = existing
+      .select("file_path", "file_size", "file_mtime", "file_fprint")
+      .collect()
+      .map(r => normPath(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (keptFiles, toBuild) = live.partition { case (p, sz, mt) =>
+      entryMeta.get(normPath(p)) match {
+        case Some((s, m, f)) =>
+          s == sz && m == mt && f == fingerprint(fs, new Path(p), sz)
+        case None => false
+      }
+    }
+    val keptNormsDf = keptFiles.map(t => normPath(t._1)).toDF("live_norm")
+    val kept = existing
+      .withColumn("norm", expr("regexp_replace(file_path, '^file:/+', '/')"))
+      .join(keptNormsDf, col("norm") === col("live_norm"), "left_semi")
       .drop("norm")
-    val keptNorms = kept
-      .select(expr("regexp_replace(file_path, '^file:/+', '/')"))
-      .collect().map(_.getString(0)).toSet
-    val toBuild = live.map(_._1).filterNot(p => keptNorms.contains(normPath(p)))
 
     val fresh =
-      if (toBuild.isEmpty)
-        kept.limit(0)
-      else
-        buildSketches(spark.read.parquet(toBuild: _*), keyCol,
-          expectedPerFile, fpp)
+      if (toBuild.isEmpty) kept.limit(0)
+      else {
+        val buildMeta = toBuild
+          .map { case (p, sz, mt) =>
+            (normPath(p), sz, mt, fingerprint(fs, new Path(p), sz))
+          }
+          .toDF("b_norm", "b_size", "b_mtime", "b_fprint")
+        val built = buildSketches(
+            spark.read.parquet(toBuild.map(_._1): _*), keyCol,
+            expectedPerFile, fpp)
+          .withColumn("norm",
+            expr("regexp_replace(file_path, '^file:/+', '/')"))
+          .join(buildMeta, col("norm") === col("b_norm"), "inner")
+          .select(col("file_path"), col("bloom"), col("n_rows"),
+            col("file_size"), col("file_mtime"),
+            col("b_fprint").as("file_fprint"))
+        // zero-row part files never form a `_metadata` group — give
+        // them an empty-sketch entry so later refreshes carry them
+        // over instead of rescanning them forever
+        val rowless = buildMeta
+          .join(built.select(
+              expr("regexp_replace(file_path, '^file:/+', '/')").as("norm")),
+            col("b_norm") === col("norm"), "left_anti")
+          .select(col("b_norm").as("file_path"),
+            lit(emptySketchBytes(expectedPerFile, fpp)).as("bloom"),
+            lit(0L).as("n_rows"), col("b_size").as("file_size"),
+            col("b_mtime").as("file_mtime"),
+            col("b_fprint").as("file_fprint"))
+        built.unionByName(rowless)
+      }
     val next = kept.unionByName(fresh).coalesce(1)
 
-    // staged swap: never leave a partially-written live sidecar
-    val staging = indexDir(dir) + ".staging"
-    next.write.mode("overwrite").parquet(staging)
-    val target = new java.io.File(indexDir(dir))
-    val old = new java.io.File(indexDir(dir) + ".old")
-    if (old.exists()) delete(old)
-    if (target.exists() && !target.renameTo(old))
-      throw new java.io.IOException(s"cannot stage out ${target.getPath}")
-    if (!new java.io.File(staging).renameTo(target))
+    // staged swap (all through the table's own FileSystem): never
+    // leave a partially-written live sidecar
+    val staging = new Path(indexDir(dir) + ".staging")
+    next.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(indexDir(dir))
+    val old = new Path(indexDir(dir) + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"cannot stage out $target")
+    if (!fs.rename(staging, target))
       throw new java.io.IOException(s"cannot promote $staging")
-    delete(old)
+    fs.delete(old, true)
   }
 
   /** Bucket-partitioned layout (`dir/gbucket=K/`): bucket =
@@ -207,12 +314,18 @@ object BloomIndex {
     * per bucket), and re-sketched (refresh sees every other file
     * byte-unchanged). Index maintenance cost is O(touched buckets) =
     * O(batch), not O(table) — the lakehouse contract the write-once
-    * sidecar lacked. */
+    * sidecar lacked. Re-running after a mid-swap crash is safe: orphan
+    * healing restores un-promoted buckets, and replace-by-key is
+    * idempotent for already-promoted ones. */
   def upsertBucketed(spark: SparkSession, dir: String, batch: DataFrame,
                      layoutCol: String, keyCol: String,
                      keyCols: Seq[String], nBuckets: Int,
                      expectedPerFile: Long = 100000L,
                      fpp: Double = 0.01): Unit = {
+    val fs = fileSystem(spark, dir)
+    healOrphans(fs, new Path(dir))
+    val staging = new Path(dir + ".upsert_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
     val bucket = pmod(hash(col(layoutCol)), lit(nBuckets)).cast("int")
     val touched = batch.select(bucket.as("gbucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
@@ -221,27 +334,27 @@ object BloomIndex {
       .where(col("gbucket").isin(touched.map(Integer.valueOf): _*)) // partition-pruned
       .drop("gbucket")
     val merged = Upsert.replaceByKey(cur, batch, keyCols)
-    val staging = dir + ".upsert_staging"
     merged.withColumn("gbucket", bucket)
       .repartition(touched.length, col("gbucket"))
-      .write.partitionBy("gbucket").mode("overwrite").parquet(staging)
+      .write.partitionBy("gbucket").mode("overwrite")
+      .parquet(staging.toString)
     touched.foreach { k =>
-      val tgt = new java.io.File(dir, s"gbucket=$k")
-      val src = new java.io.File(staging, s"gbucket=$k")
-      val old = new java.io.File(dir, s"gbucket=$k.old")
-      if (old.exists()) delete(old)
-      if (tgt.exists() && !tgt.renameTo(old))
-        throw new java.io.IOException(s"cannot stage out ${tgt.getPath}")
-      if (src.exists() && !src.renameTo(tgt))
-        throw new java.io.IOException(s"cannot promote ${src.getPath}")
-      delete(old)
+      val tgt = new Path(dir, s"gbucket=$k")
+      val src = new Path(staging, s"gbucket=$k")
+      val old = new Path(dir, s"gbucket=$k.old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tgt) && !fs.rename(tgt, old))
+        throw new java.io.IOException(s"cannot stage out $tgt")
+      if (fs.exists(src) && !fs.rename(src, tgt))
+        throw new java.io.IOException(s"cannot promote $src")
+      fs.delete(old, true)
     }
-    delete(new java.io.File(staging))
+    fs.delete(staging, true)
     refresh(spark, dir, keyCol, expectedPerFile, fpp)
   }
 
   /** Sidecar contents: (file_path, bloom, n_rows, file_size,
-    * file_mtime). */
+    * file_mtime, file_fprint). */
   def index(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(indexDir(dir))
 
@@ -276,10 +389,5 @@ object BloomIndex {
       spark.read.parquet(dir).where(residual).limit(0)
     else
       spark.read.parquet(files: _*).where(residual)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
   }
 }

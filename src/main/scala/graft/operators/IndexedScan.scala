@@ -30,8 +30,10 @@ object IndexedScan {
 
   private def norm(p: String): String = p.replaceFirst("^file:/+", "/")
 
-  private def exists(dir: String, sub: String): Boolean =
-    new java.io.File(dir, sub).exists()
+  private def exists(spark: SparkSession, dir: String, sub: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, sub)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** The file set every present, applicable index admits. Indexes the
     * table doesn't have (or predicates the query doesn't carry) simply
@@ -48,12 +50,12 @@ object IndexedScan {
         planned = Some(cur.filter(p => keep.contains(norm(p))))
     }
     box.foreach { b =>
-      if (exists(dir, "_zorder_manifest"))
+      if (exists(spark, dir, "_zorder_manifest"))
         intersect(ZOrderLayout.selectFiles(spark, dir,
           b.aMin, b.aMax, b.bMin, b.bMax))
     }
     keys.foreach { ks =>
-      if (exists(dir, "_bloom_index"))
+      if (exists(spark, dir, "_bloom_index"))
         intersect(BloomIndex.selectFiles(spark, dir, ks))
     }
     planned match {
