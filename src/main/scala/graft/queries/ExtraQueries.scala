@@ -220,34 +220,42 @@ object ExtraQueries {
 
     // ----------------------------------------------------------------
     // q49: IVF approximate nearest neighbor with a DETERMINISTIC coarse
-    // quantizer — 4 integer hyperplanes (the q38 plane family, planes
-    // 0-3) give a 16-cell sign key playing the role of k-means'
-    // nlist=16 cells; multi-probe = the query's own cell plus its four
-    // Hamming-1 neighbors (one sign flip each — the cells a borderline
-    // vector is most likely to land in). Search is an equi-join of the
-    // broadcast exploded (query, probe) side against cell-keyed
-    // candidates: identical scale shape to learned IVF (nprobe·|Q|
-    // bounded work, never all-pairs), but every step is int/md5-free
-    // arithmetic DuckDB replays bit-exactly — unlike the k-means path
-    // (ml/IvfIndex, kept as the learned/library quantizer, gated by
-    // IvfSpec's recall bound). Cells partition the space, so each
+    // quantizer — c ADAPTIVE integer hyperplanes (smallest c in [4, 20]
+    // with 64·2^c >= n; mod-101 plane family — see
+    // [[SimilarityQueries.adaptiveWidthExpr]]) give a 2^c-cell sign key
+    // playing the role of k-means' nlist; multi-probe = the query's own
+    // cell plus its c Hamming-1 neighbors (one sign flip each — the
+    // cells a borderline vector is most likely to land in). Search is
+    // an equi-join of the broadcast exploded (query, probe) side
+    // against cell-keyed candidates: identical scale shape to learned
+    // IVF (nprobe·occupancy bounded work per query, never all-pairs),
+    // but every step is int/md5-free arithmetic DuckDB replays
+    // bit-exactly — unlike the k-means path (ml/IvfIndex, kept as the
+    // learned/library quantizer, gated by IvfSpec's recall bound).
+    // Because 2^c grows with n, expected cell occupancy stays ~64 at
+    // ANY corpus size, so per-query work is ~(c+1)·64 — logarithmic
+    // growth where the round-6 fixed-16-cell version was linear per
+    // query (quadratic overall; the q55 audit lesson, verdict item 7).
+    // Cells partition the space and probe cells are distinct, so each
     // candidate appears through at most one probe — no dedup needed.
     Q(
       "q49_ann_ivf",
       (s, dir) => {
         import graft.functions.DotProductF
-        val cellExpr = (0 to 3)
-          .map(j => s"(case when ${SimilarityQueries.planeDotExpr(j)} > 0 then ${1 << j} else 0 end)")
-          .mkString(" + ")
+        val nDf = Tables.embeddings(s, dir)
+          .agg(count(lit(1)).cast("bigint").as("n"))
         val emb = Tables.embeddings(s, dir)
+          .crossJoin(broadcast(nDf))
+          .withColumn("c", expr(SimilarityQueries.adaptiveWidthExpr(64)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("cell", expr(cellExpr))
+          .withColumn("cell",
+            expr(SimilarityQueries.signKeyExpr("0", "c - 1", "0")))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"),
-            explode(array(col("cell"), col("cell").bitwiseXOR(1),
-              col("cell").bitwiseXOR(2), col("cell").bitwiseXOR(4),
-              col("cell").bitwiseXOR(8))).as("cell"))
+            explode(expr("transform(sequence(0, c), i -> " +
+              "case when i = 0 then cell " +
+              "else cell ^ shiftleft(cast(1 as bigint), i - 1) end)")).as("cell"))
         val cs = emb.select(col("vec_id").as("cand_id"),
           col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
         val cos = DotProductF.dot(col("qe"), col("ce")) /
@@ -265,18 +273,22 @@ object ExtraQueries {
           .orderBy("query_id", "rank")
       },
       Some {
-        val cellSql = (0 to 3)
-          .map(j => s"(CASE WHEN ${SimilarityQueries.planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
         s"""
-        WITH e AS (
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        e0 AS (
           SELECT vec_id, embedding,
                  ${SimilarityQueries.dotSql("embedding", "embedding")} AS n2,
-                 $cellSql AS cell
-          FROM embeddings
+                 ${SimilarityQueries.adaptiveWidthSql(64)} AS c
+          FROM embeddings, nn
+        ), e AS (
+          SELECT vec_id, embedding, n2, c,
+                 ${SimilarityQueries.signKeySql("0", "c - 1", "0")} AS cell
+          FROM e0
         ), q AS (
           SELECT vec_id, embedding, n2,
-                 UNNEST([cell, XOR(cell, 1), XOR(cell, 2), XOR(cell, 4), XOR(cell, 8)]) AS cell
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, c), i ->
+                   CASE WHEN i = 0 THEN cell
+                        ELSE XOR(cell, CAST(POWER(2, i - 1) AS BIGINT)) END)) AS cell
           FROM e WHERE vec_id % 100 = 0
         ), scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

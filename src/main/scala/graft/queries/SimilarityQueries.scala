@@ -93,14 +93,27 @@ object SimilarityQueries {
     else {
       // Keyed on a stable per-session id (identity hash codes can collide
       // between a stopped and a new session, handing back a plan bound to
-      // a dead session — the ids below are never reused); entries for
-      // stopped sessions are evicted first so their persisted plans don't
-      // leak forever.
+      // a dead session — the ids below are never reused). Eviction keeps
+      // the cache from pinning sessions: entries of stopped sessions go
+      // first, and a same-dir entry owned by a DIFFERENT session on the
+      // SAME live context (an abandoned `newSession` clone — its
+      // persisted plan would otherwise stay pinned until the shared
+      // context stops, because the cached DataFrame strongly references
+      // its session) is unpersisted and replaced by the caller's. Two
+      // live sessions alternating over one dir would thrash; fine for an
+      // off-by-default dev cache.
+      val key = sessionId(s) + "|" + dir
       shingleCache.entrySet().removeIf(
-        (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]) =>
-          e.getValue._1.sparkContext.isStopped)
+        (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]) => {
+          val (sess, df) = e.getValue
+          val stopped = sess.sparkContext.isStopped
+          val abandonedClone = !stopped && e.getKey != key &&
+            e.getKey.endsWith("|" + dir) && (sess.sparkContext eq s.sparkContext)
+          if (abandonedClone) df.unpersist(false)
+          stopped || abandonedClone
+        })
       shingleCache.computeIfAbsent(
-        sessionId(s) + "|" + dir,
+        key,
         _ => { val df = build; df.persist(); df.count(); (s, df) })._2
     }
   }
@@ -211,21 +224,48 @@ object SimilarityQueries {
     s"(((cast(seed as bigint) * 1103515245 + 12345) % $mhP) * h" +
       s" + (cast(seed as bigint) * 69069 + 1) % $mhP) % $mhP"
 
-  /** Deterministic integer hyperplane j dotted with the embedding —
-    * shared by q38 (bucketed ANN) and q55 (banded near-dup pairs). */
-  private[queries] def planeDotExpr(j: Int) =
-    s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> " +
-      s"acc + cast(element_at(embedding, d + 1) as double) * cast((($j * 67 + d * 31) % 19) - 9 as double))"
-  private[queries] def planeDotSql(j: Int) =
-    s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
-      s"CAST(embedding[d + 1] AS DOUBLE) * CAST((($j * 67 + d * 31) % 19) - 9 AS DOUBLE)), (x, y) -> x + y)"
-  /** 8-bit sign key over the 8 hyperplanes (256 buckets). */
-  private val bucketExpr = (0 to 7)
-    .map(j => s"(case when ${planeDotExpr(j)} > 0 then ${1 << j} else 0 end)")
-    .mkString(" + ")
-  private val bucketSql = (0 to 7)
-    .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
-    .mkString(" + ")
+  // ------------------------------------------------------------------
+  // Adaptive sign-key machinery, shared by q38 (bucketed ANN), q49
+  // (IVF cells, ExtraQueries) and q55 (banded near-dup pairs): the key
+  // width ADAPTS to the corpus so expected bucket occupancy stays at a
+  // CONSTANT `occ` at any scale — the round-6 scale audit caught q55's
+  // fixed-16-bucket predecessor at 16.4x time for 10x data (pairs per
+  // bucket square in n). `r` is the smallest width in [4, 20] with
+  // occ * 2^r >= n, an integer CASE chain over a broadcast 1-row COUNT
+  // that both engines evaluate exactly (no log2 ulps). Planes come
+  // from a mod-101 weight family (>= 101 distinct planes, so up to 40
+  // slots never repeat; the mod-19 [[planeDotExpr]] family would
+  // repeat after 19 planes).
+
+  /** Smallest r in [4, 20] with occ * 2^r >= n (column `n` in scope). */
+  private[queries] def adaptiveWidthExpr(occ: Long): String = "case " +
+    (4 to 19).map(r => s"when n <= ${occ * (1L << r)}L then $r").mkString(" ") +
+    " else 20 end"
+  private[queries] def adaptiveWidthSql(occ: Long): String = "CASE " +
+    (4 to 19).map(r => s"WHEN n <= ${occ * (1L << r)} THEN $r").mkString(" ") +
+    " ELSE 20 END"
+
+  /** Plane j dot embedding, weights ((j*67 + d*31) % 101) - 50. */
+  private[queries] val planeDot101 =
+    "aggregate(sequence(0, 63), cast(0.0 as double), (acc2, d) -> " +
+      "acc2 + cast(element_at(embedding, d + 1) as double) * " +
+      "cast(((j * 67 + d * 31) % 101) - 50 as double))"
+  private[queries] val planeDotSql101 =
+    "LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
+      "CAST(embedding[d + 1] AS DOUBLE) * " +
+      "CAST(((j * 67 + d * 31) % 101) - 50 AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Sign key over planes [j0, j1] (bit j - base set when plane j's dot
+    * is positive) — column expressions may appear in the bounds. */
+  private[queries] def signKeyExpr(j0: String, j1: String, base: String) =
+    s"aggregate(sequence($j0, $j1), cast(0 as bigint), (acc, j) -> " +
+      s"acc + (case when $planeDot101 > 0 " +
+      s"then shiftleft(cast(1 as bigint), j - ($base)) else cast(0 as bigint) end))"
+  private[queries] def signKeySql(j0: String, j1: String, base: String) =
+    s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES($j0, $j1), j -> " +
+      s"CASE WHEN $planeDotSql101 > 0 " +
+      s"THEN CAST(POWER(2, j - ($base)) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+      "(x, y) -> x + y)"
 
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
@@ -441,16 +481,26 @@ object SimilarityQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q38: hyperplane-LSH bucketed ANN — 8 deterministic integer
-    // hyperplanes give a 256-bucket sign key; search only same-bucket
-    // candidates. This is the scale path: the cross join of q37 becomes
-    // an equi-join on the bucket key.
+    // q38: hyperplane-LSH bucketed ANN — an ADAPTIVE r-plane sign key
+    // (see [[adaptiveWidthExpr]]; occupancy constant 32, mod-101 plane
+    // family) buckets the corpus; search only same-bucket candidates.
+    // This is the scale path: the cross join of q37 becomes an
+    // equi-join on the bucket key, and because 2^r grows with n the
+    // candidates per bucket stay ~32 at ANY corpus size — emitted
+    // pairs grow ~32·|Q|, linear, where the round-6 fixed-256-bucket
+    // version was quadratic at 100x (the q55 audit lesson applied
+    // here, round-6 verdict item 7). At sf0.01 (n=5000) r resolves to
+    // 8, the same 256-bucket granularity the fixed key had.
     Q(
       "q38_ann_hyperplane_lsh",
       (s, dir) => {
+        val nDf = Tables.embeddings(s, dir)
+          .agg(count(lit(1)).cast("bigint").as("n"))
         val emb = Tables.embeddings(s, dir)
+          .crossJoin(broadcast(nDf))
+          .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("bucket", expr(bucketExpr))
+          .withColumn("bucket", expr(signKeyExpr("0", "r - 1", "0")))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"), col("bucket"))
@@ -470,11 +520,16 @@ object SimilarityQueries {
           .orderBy("query_id", "rank")
       },
       Some(s"""
-        WITH e AS (
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        e0 AS (
           SELECT vec_id, embedding,
                  ${dotSql("embedding", "embedding")} AS n2,
-                 $bucketSql AS bucket
-          FROM embeddings
+                 ${adaptiveWidthSql(32)} AS r
+          FROM embeddings, nn
+        ), e AS (
+          SELECT vec_id, embedding, n2,
+                 ${signKeySql("0", "r - 1", "0")} AS bucket
+          FROM e0
         ), scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                  CAST(FLOOR(${dotSql("q.embedding", "c.embedding")}
@@ -514,27 +569,14 @@ object SimilarityQueries {
     Q(
       "q55_embedding_neardup_pairs",
       (s, dir) => {
-        // smallest r in [4, 20] with 32 * 2^r >= n — integer-exact
-        val rExpr = "case " +
-          (4 to 19).map(r => s"when n <= ${32L * (1L << r)}L then $r").mkString(" ") +
-          " else 20 end"
-        // plane j dot embedding, weights ((j*67 + d*31) % 101) - 50
-        val planeDot101 =
-          "aggregate(sequence(0, 63), cast(0.0 as double), (acc2, d) -> " +
-            "acc2 + cast(element_at(embedding, d + 1) as double) * " +
-            "cast(((j * 67 + d * 31) % 101) - 50 as double))"
-        def bandExpr(j0: String, j1: String, base: String) =
-          s"aggregate(sequence($j0, $j1), cast(0 as bigint), (acc, j) -> " +
-            s"acc + (case when $planeDot101 > 0 " +
-            s"then shiftleft(cast(1 as bigint), j - ($base)) else cast(0 as bigint) end))"
         val nDf = Tables.embeddings(s, dir)
           .agg(count(lit(1)).cast("bigint").as("n"))
         val emb = Tables.embeddings(s, dir)
           .crossJoin(broadcast(nDf))
-          .withColumn("r", expr(rExpr))
+          .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("hi", expr(bandExpr("0", "r - 1", "0")))
-          .withColumn("lo", expr(bandExpr("r", "2 * r - 1", "r")))
+          .withColumn("hi", expr(signKeyExpr("0", "r - 1", "0")))
+          .withColumn("lo", expr(signKeyExpr("r", "2 * r - 1", "r")))
         val keyed = emb.select(col("vec_id"), col("hi"), col("lo"))
         def byBand(b: String) = keyed.as("x").join(keyed.as("y"),
             col(s"x.$b") === col(s"y.$b") && col("x.vec_id") < col("y.vec_id"))
@@ -556,29 +598,17 @@ object SimilarityQueries {
           .orderBy("vec_a", "vec_b")
       },
       Some {
-        val rSql = "CASE " +
-          (4 to 19).map(r => s"WHEN n <= ${32L * (1L << r)} THEN $r").mkString(" ") +
-          " ELSE 20 END"
-        val planeDotSql101 =
-          "LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
-            "CAST(embedding[d + 1] AS DOUBLE) * " +
-            "CAST(((j * 67 + d * 31) % 101) - 50 AS DOUBLE)), (x, y) -> x + y)"
-        def bandSql(j0: String, j1: String, base: String) =
-          s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES($j0, $j1), j -> " +
-            s"CASE WHEN $planeDotSql101 > 0 " +
-            s"THEN CAST(POWER(2, j - ($base)) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
-            "(x, y) -> x + y)"
         s"""
         WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
         e AS (
           SELECT vec_id, embedding,
                  ${dotSql("embedding", "embedding")} AS n2,
-                 $rSql AS r
+                 ${adaptiveWidthSql(32)} AS r
           FROM embeddings, nn
         ), keyed AS (
           SELECT vec_id, embedding, n2,
-                 ${bandSql("0", "r - 1", "0")} AS hi,
-                 ${bandSql("r", "2 * r - 1", "r")} AS lo
+                 ${signKeySql("0", "r - 1", "0")} AS hi,
+                 ${signKeySql("r", "2 * r - 1", "r")} AS lo
           FROM e
         ), cand AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
