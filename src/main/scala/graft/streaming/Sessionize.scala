@@ -86,11 +86,19 @@ object Sessionize {
     * @param gapMs          inactivity gap that closes a session
     * @param watermarkDelay how much event-time disorder to tolerate */
   def sessions(events: Dataset[Event], gapMs: Long,
-               watermarkDelay: String): Dataset[Session] = {
+               watermarkDelay: String): Dataset[Session] =
+    sessionsWatermarked(events.withWatermark("ts", watermarkDelay), gapMs)
+
+  /** [[sessions]] for input that ALREADY carries an event-time watermark
+    * on `ts` — Spark disallows redefining the watermark inside one
+    * query, so a composed pipeline (e.g. [[StreamDedup.withinWatermark]]
+    * → sessionize, the StreamComposeSpec loop) sets it once at the
+    * source-most stateful stage and every downstream stage inherits it. */
+  def sessionsWatermarked(events: Dataset[Event],
+                          gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
