@@ -2,7 +2,10 @@ package graft
 
 /** Scale-growth audit (SCALING.md): time a fixed query set on the two
   * [[ScaleGen]] corpora and print one JSON line of per-query times +
-  * ratios. `runMain graft.ScaleAudit <dir1x> <dir10x> [passes]`.
+  * ratios. `runMain graft.ScaleAudit <dirA> <dirB> [passes] [prefixes]`
+  * — `prefixes` (comma-separated, e.g. `q38,q49,q55`) restricts the
+  * measured set, for targeted deep-scale runs (1x vs 100x) where the
+  * full set would take too long.
   *
   * Method: all tables of BOTH corpora are footer-warmed first; the 1x
   * suite runs before the 10x suite so the JIT is hot by the time any
@@ -26,14 +29,17 @@ object ScaleAudit {
     "q99")                             // count-min heavy hitters
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleAudit <dir1x> <dir10x> [passes]")
+    require(args.length >= 2,
+      "usage: ScaleAudit <dirA> <dirB> [passes] [prefixes]")
     val dir1 = args(0)
     val dir10 = args(1)
     val passes = if (args.length > 2) args(2).toInt else 2
+    val subset =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSeq else measured
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = measured.map { p =>
+    val names = subset.map { p =>
       SparkEntry.queries.keys.toSeq.sorted.find(_.startsWith(p))
         .getOrElse(sys.error(s"no query matches prefix $p"))
     }
@@ -45,7 +51,14 @@ object ScaleAudit {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // shuffle files are only reclaimed when the ContextCleaner sees
+      // their ShuffleDependency collected — at deep scale (1x vs 100x)
+      // the accumulated spills of a whole suite otherwise fill the disk
+      // before the run ends; a driver GC between queries bounds the
+      // footprint to one query's shuffles (outside the timed window)
+      System.gc()
+      t
     }
 
     def suite(dir: String): Map[String, Double] = {

@@ -221,11 +221,11 @@ object ExtraQueries {
     // ----------------------------------------------------------------
     // q49: IVF approximate nearest neighbor with a DETERMINISTIC coarse
     // quantizer — c ADAPTIVE integer hyperplanes (smallest c in [4, 20]
-    // with 64·2^c >= n; mod-101 plane family — see
+    // with 64·2^c >= n; decorrelated planeWeights family — see
     // [[SimilarityQueries.adaptiveWidthExpr]]) give a 2^c-cell sign key
     // playing the role of k-means' nlist; multi-probe = the query's own
-    // cell plus its c Hamming-1 neighbors (one sign flip each — the
-    // cells a borderline vector is most likely to land in). Search is
+    // cell plus every Hamming-1 and Hamming-2 neighbor (the cells a
+    // borderline vector is most likely to land in). Search is
     // an equi-join of the broadcast exploded (query, probe) side
     // against cell-keyed candidates: identical scale shape to learned
     // IVF (nprobe·occupancy bounded work per query, never all-pairs),
@@ -249,13 +249,23 @@ object ExtraQueries {
           .withColumn("c", expr(SimilarityQueries.adaptiveWidthExpr(64)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
           .withColumn("cell",
-            expr(SimilarityQueries.signKeyExpr("0", "c - 1", "0")))
+            expr(SimilarityQueries.signKeyLowExpr("c")))
+        // multi-probe = own cell + every Hamming-1 and Hamming-2 flip:
+        // 1 + c + c(c-1)/2 DISTINCT cells, so probe work grows as
+        // log^2(n) while recall stays high even when the uniform
+        // decorrelated cells stop accidentally co-locating neighbors
+        // (the correlated lattice cells hid this by under-splitting)
+        val probes =
+          "concat(array(cell), " +
+            "transform(sequence(0, c - 1), i -> " +
+            "cell ^ shiftleft(cast(1 as bigint), i)), " +
+            "flatten(transform(sequence(0, c - 2), i -> " +
+            "transform(sequence(i + 1, c - 1), j2 -> " +
+            "cell ^ shiftleft(cast(1 as bigint), i) ^ " +
+            "shiftleft(cast(1 as bigint), j2)))))"
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("n2").as("qn2"),
-            explode(expr("transform(sequence(0, c), i -> " +
-              "case when i = 0 then cell " +
-              "else cell ^ shiftleft(cast(1 as bigint), i - 1) end)")).as("cell"))
+            col("n2").as("qn2"), explode(expr(probes)).as("cell"))
         val cs = emb.select(col("vec_id").as("cand_id"),
           col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
         val cos = DotProductF.dot(col("qe"), col("ce")) /
@@ -282,13 +292,17 @@ object ExtraQueries {
           FROM embeddings, nn
         ), e AS (
           SELECT vec_id, embedding, n2, c,
-                 ${SimilarityQueries.signKeySql("0", "c - 1", "0")} AS cell
+                 ${SimilarityQueries.signKeyLowSql("c")} AS cell
           FROM e0
         ), q AS (
           SELECT vec_id, embedding, n2,
-                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, c), i ->
-                   CASE WHEN i = 0 THEN cell
-                        ELSE XOR(cell, CAST(POWER(2, i - 1) AS BIGINT)) END)) AS cell
+                 UNNEST([cell]
+                   || LIST_TRANSFORM(GENERATE_SERIES(0, c - 1), i ->
+                        XOR(cell, CAST(POWER(2, i) AS BIGINT)))
+                   || FLATTEN(LIST_TRANSFORM(GENERATE_SERIES(0, c - 2), i ->
+                        LIST_TRANSFORM(GENERATE_SERIES(i + 1, c - 1), j2 ->
+                          XOR(XOR(cell, CAST(POWER(2, i) AS BIGINT)),
+                              CAST(POWER(2, j2) AS BIGINT)))))) AS cell
           FROM e WHERE vec_id % 100 = 0
         ), scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -232,10 +232,10 @@ object SimilarityQueries {
   // fixed-16-bucket predecessor at 16.4x time for 10x data (pairs per
   // bucket square in n). `r` is the smallest width in [4, 20] with
   // occ * 2^r >= n, an integer CASE chain over a broadcast 1-row COUNT
-  // that both engines evaluate exactly (no log2 ulps). Planes come
-  // from a mod-101 weight family (>= 101 distinct planes, so up to 40
-  // slots never repeat; the mod-19 [[planeDotExpr]] family would
-  // repeat after 19 planes).
+  // that both engines evaluate exactly (no log2 ulps). Planes are the
+  // DECORRELATED [[planeWeights]] rows — adaptive width only delivers
+  // constant occupancy when plane signs are independent (see the
+  // planeWeights scaladoc for the measured lattice failure).
 
   /** Smallest r in [4, 20] with occ * 2^r >= n (column `n` in scope). */
   private[queries] def adaptiveWidthExpr(occ: Long): String = "case " +
@@ -245,27 +245,71 @@ object SimilarityQueries {
     (4 to 19).map(r => s"WHEN n <= ${occ * (1L << r)} THEN $r").mkString(" ") +
     " ELSE 20 END"
 
-  /** Plane j dot embedding, weights ((j*67 + d*31) % 101) - 50. */
-  private[queries] val planeDot101 =
+  /** DECORRELATED pseudo-random plane weights — SplitMix64 from seed 0,
+    * 40 planes x 64 dims, values in [-9, 9] — generated HERE and baked
+    * into both dialects as per-plane literal arrays. This replaces the
+    * ((j*67 + d*31) % 101) - 50 lattice the r6 adaptive rewrite used:
+    * lattice rows are cyclic value-shifts of one another, so plane
+    * signs correlate strongly and band ENTROPY stops growing with r —
+    * measured at 200k vectors (r=13, gen100x corpus) the lattice
+    * occupied only 2,458 of 8,192 hi-band buckets with a 13,333-vector
+    * hot bucket = 5.2e8 candidate pairs in that band alone (the 100x
+    * audit filled 79 GB of shuffle spill before dying). The SplitMix64
+    * weights occupy 8,190 buckets with max 154 = 3.4e6 pairs — the
+    * occupancy-32 design point the adaptive width promises. */
+  private[queries] val planeWeights: Array[Array[Long]] = {
+    var state = 0L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (z & 0x7FFFFFFFL) % 19L - 9L
+    }
+    Array.fill(40, 64)(next())
+  }
+
+  private def planeDotExprAt(j: Int): String = {
+    val row = planeWeights(j).mkString("array(", ", ", ")")
     "aggregate(sequence(0, 63), cast(0.0 as double), (acc2, d) -> " +
       "acc2 + cast(element_at(embedding, d + 1) as double) * " +
-      "cast(((j * 67 + d * 31) % 101) - 50 as double))"
-  private[queries] val planeDotSql101 =
+      s"cast(element_at($row, d + 1) as double))"
+  }
+  private def planeDotSqlAt(j: Int): String = {
+    val row = planeWeights(j).mkString("[", ", ", "]")
     "LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> " +
       "CAST(embedding[d + 1] AS DOUBLE) * " +
-      "CAST(((j * 67 + d * 31) % 101) - 50 AS DOUBLE)), (x, y) -> x + y)"
+      s"CAST(($row)[d + 1] AS DOUBLE)), (x, y) -> x + y)"
+  }
 
-  /** Sign key over planes [j0, j1] (bit j - base set when plane j's dot
-    * is positive) — column expressions may appear in the bounds. */
-  private[queries] def signKeyExpr(j0: String, j1: String, base: String) =
-    s"aggregate(sequence($j0, $j1), cast(0 as bigint), (acc, j) -> " +
-      s"acc + (case when $planeDot101 > 0 " +
-      s"then shiftleft(cast(1 as bigint), j - ($base)) else cast(0 as bigint) end))"
-  private[queries] def signKeySql(j0: String, j1: String, base: String) =
-    s"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES($j0, $j1), j -> " +
-      s"CASE WHEN $planeDotSql101 > 0 " +
-      s"THEN CAST(POWER(2, j - ($base)) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
-      "(x, y) -> x + y)"
+  /** Sign key over planes [0, width-1] (`width` a column name): bit j
+    * set when plane j's dot is positive. Terms are STATIC per plane —
+    * each inlines its own 64-weight literal row — with a lazy `j <
+    * width` guard first in the conjunction, so unused planes' dots are
+    * never evaluated (both engines short-circuit AND). */
+  private[queries] def signKeyLowExpr(width: String): String =
+    (0 to 19).map { j =>
+      s"(case when $j < $width and ${planeDotExprAt(j)} > 0 " +
+        s"then cast(${1L << j} as bigint) else cast(0 as bigint) end)"
+    }.mkString("(", " + ", ")")
+  private[queries] def signKeyLowSql(width: String): String =
+    (0 to 19).map { j =>
+      s"(CASE WHEN $j < $width AND ${planeDotSqlAt(j)} > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  /** Second band: planes [width, 2*width-1], bit j - width. */
+  private[queries] def signKeyHighExpr(width: String): String =
+    (4 to 39).map { j =>
+      s"(case when $j >= $width and $j < 2 * $width and ${planeDotExprAt(j)} > 0 " +
+        s"then shiftleft(cast(1 as bigint), $j - $width) else cast(0 as bigint) end)"
+    }.mkString("(", " + ", ")")
+  private[queries] def signKeyHighSql(width: String): String =
+    (4 to 39).map { j =>
+      s"(CASE WHEN $j >= $width AND $j < 2 * $width AND ${planeDotSqlAt(j)} > 0 " +
+        s"THEN CAST(POWER(2, $j - $width) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
 
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
@@ -482,8 +526,9 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // q38: hyperplane-LSH bucketed ANN — an ADAPTIVE r-plane sign key
-    // (see [[adaptiveWidthExpr]]; occupancy constant 32, mod-101 plane
-    // family) buckets the corpus; search only same-bucket candidates.
+    // (see [[adaptiveWidthExpr]]; occupancy constant 32, decorrelated
+    // [[planeWeights]]) buckets the corpus; search only same-bucket
+    // candidates.
     // This is the scale path: the cross join of q37 becomes an
     // equi-join on the bucket key, and because 2^r grows with n the
     // candidates per bucket stay ~32 at ANY corpus size — emitted
@@ -500,7 +545,7 @@ object SimilarityQueries {
           .crossJoin(broadcast(nDf))
           .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("bucket", expr(signKeyExpr("0", "r - 1", "0")))
+          .withColumn("bucket", expr(signKeyLowExpr("r")))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"), col("bucket"))
@@ -528,7 +573,7 @@ object SimilarityQueries {
           FROM embeddings, nn
         ), e AS (
           SELECT vec_id, embedding, n2,
-                 ${signKeySql("0", "r - 1", "0")} AS bucket
+                 ${signKeyLowSql("r")} AS bucket
           FROM e0
         ), scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -561,11 +606,11 @@ object SimilarityQueries {
     // plan is the occupancy-constant LSH a billion-vector dedup
     // actually runs, and recall at a given threshold is tuned by
     // ADDING BANDS — the standard banding trade; the registry pins 2
-    // bands. Planes come from a mod-101 weight family (>= 101 distinct
-    // planes, so 2r <= 40 plane slots never repeat; the shared mod-19
-    // planeDotExpr family would repeat after 19). Cosine quantized to
-    // 1e-6 (sequential-fold dot product) so the threshold cannot flip
-    // on ulps across engines.
+    // bands. Planes are the decorrelated [[planeWeights]] rows (the r6
+    // lattice family collapsed band entropy at deep scale — see the
+    // planeWeights scaladoc for the 100x measurement). Cosine quantized
+    // to 1e-6 (sequential-fold dot product) so the threshold cannot
+    // flip on ulps across engines.
     Q(
       "q55_embedding_neardup_pairs",
       (s, dir) => {
@@ -575,8 +620,8 @@ object SimilarityQueries {
           .crossJoin(broadcast(nDf))
           .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("hi", expr(signKeyExpr("0", "r - 1", "0")))
-          .withColumn("lo", expr(signKeyExpr("r", "2 * r - 1", "r")))
+          .withColumn("hi", expr(signKeyLowExpr("r")))
+          .withColumn("lo", expr(signKeyHighExpr("r")))
         val keyed = emb.select(col("vec_id"), col("hi"), col("lo"))
         def byBand(b: String) = keyed.as("x").join(keyed.as("y"),
             col(s"x.$b") === col(s"y.$b") && col("x.vec_id") < col("y.vec_id"))
@@ -607,8 +652,8 @@ object SimilarityQueries {
           FROM embeddings, nn
         ), keyed AS (
           SELECT vec_id, embedding, n2,
-                 ${signKeySql("0", "r - 1", "0")} AS hi,
-                 ${signKeySql("r", "2 * r - 1", "r")} AS lo
+                 ${signKeyLowSql("r")} AS hi,
+                 ${signKeyHighSql("r")} AS lo
           FROM e
         ), cand AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
