@@ -421,25 +421,39 @@ object SimilarityQueries {
     // ----------------------------------------------------------------
     // q36: SimHash near-dup pairs — 16-bit simhash from 60-bit md5-derived
     // trigram-shingle hashes (unigrams degenerate on this corpus, see
-    // q34), candidate generation by byte-band buckets (Hamming LSH),
-    // Hamming distance <= 4 filter. Banding keeps the join keyed at
-    // scale; like all LSH it trades recall for never doing all-pairs.
+    // q34), candidate generation by two ADAPTIVE r-bit half-fingerprint
+    // bands (Hamming LSH; occupancy-constant like q55/q38), Hamming
+    // distance <= 4 filter. Banding keeps the join keyed at scale; like
+    // all LSH it trades recall for never doing all-pairs.
     Q(
       "q36_simhash_pairs",
       (s, dir) => {
+        // ADAPTIVE fingerprint width 2r bits, two r-bit bands (smallest
+        // r with 32*2^r >= nDocs): the fixed 16-bit/8-bit-band version
+        // was the q55 disease in SimHash form — 256 buckets per band at
+        // ANY corpus size piles ~n/256 docs per bucket (measured 89x
+        // time for 100x data before this; pairs per bucket square in
+        // n). At sf0.01 r resolves to 8, reproducing the old 16-bit
+        // shape exactly. md5's 15-hex prefix gives 60 bits, so 2r <= 40
+        // sign sums always have source bits.
+        val nDf = Tables.documents(s, dir)
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val rDf = nDf.select(expr(adaptiveWidthExpr(32)).as("r"))
         val toks = docsParallel(s, dir)
           .select(col("doc_id"), explode(expr(trisExpr)).as("tok"))
           .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
         val bits = toks
-          .withColumn("b", explode(expr("sequence(0, 15)")))
+          .crossJoin(broadcast(rDf))
+          .withColumn("b", explode(expr("sequence(0, 2 * r - 1)")))
           .withColumn("sign", expr("2 * cast(shiftright(h, b) & 1 as int) - 1"))
           .groupBy("doc_id", "b")
           .agg(sum(col("sign")).as("ss"))
           .withColumn("bitval",
             when(col("ss") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(lit(0L)))
         val sh = bits.groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
-          .withColumn("hi", expr("shiftright(simhash, 8)"))
-          .withColumn("lo", expr("simhash & 255"))
+          .crossJoin(broadcast(rDf))
+          .withColumn("hi", expr("shiftright(simhash, r)"))
+          .withColumn("lo", expr("simhash & (shiftleft(cast(1 as bigint), r) - 1)"))
         val byHi = sh.as("x").join(sh.as("y"),
           col("x.hi") === col("y.hi") && col("x.doc_id") < col("y.doc_id"))
         val byLo = sh.as("x").join(sh.as("y"),
@@ -452,21 +466,25 @@ object SimilarityQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
-        WITH t AS (
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        rr AS (SELECT ${adaptiveWidthSql(32)} AS r FROM nn),
+        t AS (
           SELECT doc_id, UNNEST($trisSql) AS tok
           FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         ), th AS (
           SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h FROM t
         ), bits AS (
           SELECT doc_id, b, SUM(2 * CAST((h >> b) & 1 AS INT) - 1) AS ss
-          FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS b)
+          FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 2 * r - 1)) AS b FROM rr)
           GROUP BY 1, 2
         ), sh AS (
           SELECT doc_id,
                  SUM(CASE WHEN ss > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
           FROM bits GROUP BY 1
         ), keyed AS (
-          SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM sh
+          SELECT doc_id, simhash, simhash >> r AS hi,
+                 simhash & ((CAST(1 AS BIGINT) << r) - 1) AS lo
+          FROM sh, rr
         ), cand AS (
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                  BIT_COUNT(XOR(x.simhash, y.simhash)) AS hamming
