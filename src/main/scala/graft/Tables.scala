@@ -25,15 +25,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = df(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = df(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = df(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. With spark.sql.legacy.parquet.nanosAsLong
-    * (set in [[Sessions.builder]]) the column arrives as LongType nanos;
-    * every value in the driver's data is microsecond-aligned, so the
-    * truncation to TIMESTAMP_NTZ micros is lossless and matches what the
-    * DuckDB oracle sees. */
-  def events(s: SparkSession, d: String): DataFrame =
-    df(s, d, "events").withColumn(
-      "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** `ts` normalization, adaptive to how the corpus was generated: early
+    * driver data stored ts as INT64 TIMESTAMP(NANOS) — rejected by the
+    * vectorized reader, surfaced as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong (set in [[Sessions.builder]])
+    * and truncated here to micros (lossless: the values are
+    * microsecond-aligned) — while round-8+ data stores TIMESTAMP(MICROS)
+    * directly, which arrives as TIMESTAMP_NTZ and needs only the type
+    * pin. Both paths land on TIMESTAMP_NTZ micros, matching what the
+    * DuckDB oracle reads from the same file. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val base = df(s, d, "events")
+    val norm = base.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    base.withColumn("ts", norm)
+  }
+  /** SQL expression for epoch MICROS from the RAW events `ts` column,
+    * across both generator schemas (see [[events]]): LongType nanos →
+    * integer truncation; TIMESTAMP(MICROS) → unix_micros (session tz is
+    * UTC, so the ntz→timestamp cast is instant-preserving). Matches the
+    * oracles' `epoch_us(CAST(ts AS TIMESTAMP))`. */
+  def eventsTsMicrosSql(s: SparkSession, d: String): String =
+    if (df(s, d, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) "ts div 1000"
+    else "unix_micros(cast(ts as timestamp))"
+
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
 

@@ -242,14 +242,12 @@ object ExtraQueries {
       "q49_ann_ivf",
       (s, dir) => {
         import graft.functions.DotProductF
-        val nDf = Tables.embeddings(s, dir)
-          .agg(count(lit(1)).cast("bigint").as("n"))
+        val cLit = SimilarityQueries.adaptiveWidthLit(
+          SimilarityQueries.embCount(s, dir), 64)
         val emb = Tables.embeddings(s, dir)
-          .crossJoin(broadcast(nDf))
-          .withColumn("c", expr(SimilarityQueries.adaptiveWidthExpr(64)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
           .withColumn("cell",
-            expr(SimilarityQueries.signKeyLowExpr("c")))
+            expr(SimilarityQueries.signKeyLowExpr(cLit.toString)))
         // multi-probe = own cell + every Hamming-1 and Hamming-2 flip:
         // 1 + c + c(c-1)/2 DISTINCT cells, so probe work grows as
         // log^2(n) while recall stays high even when the uniform
@@ -257,10 +255,10 @@ object ExtraQueries {
         // (the correlated lattice cells hid this by under-splitting)
         val probes =
           "concat(array(cell), " +
-            "transform(sequence(0, c - 1), i -> " +
+            s"transform(sequence(0, ${cLit - 1}), i -> " +
             "cell ^ shiftleft(cast(1 as bigint), i)), " +
-            "flatten(transform(sequence(0, c - 2), i -> " +
-            "transform(sequence(i + 1, c - 1), j2 -> " +
+            s"flatten(transform(sequence(0, ${cLit - 2}), i -> " +
+            s"transform(sequence(i + 1, ${cLit - 1}), j2 -> " +
             "cell ^ shiftleft(cast(1 as bigint), i) ^ " +
             "shiftleft(cast(1 as bigint), j2)))))"
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)

@@ -296,7 +296,8 @@ object JoinQueries {
       (s, dir) => {
         val W = 86400000000L // 24 h in micros = band width
         val ev = Tables.df(s, dir, "events")
-          .selectExpr("event_id", "user_id", "ts div 1000 as t_us", "event_type")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
         val purch = ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("t_us").as("p_us"))

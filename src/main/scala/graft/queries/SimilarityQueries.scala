@@ -107,8 +107,13 @@ object SimilarityQueries {
         (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]) => {
           val (sess, df) = e.getValue
           val stopped = sess.sparkContext.isStopped
+          // exact dir equality (key layout is "<sessionId>|<dir>", and
+          // session ids contain no '|'): endsWith would also match a
+          // DIFFERENT dir whose path merely ends with this one's suffix
+          // ("/a/x/tbl" vs "/x/tbl") and evict a live session's entry
           val abandonedClone = !stopped && e.getKey != key &&
-            e.getKey.endsWith("|" + dir) && (sess.sparkContext eq s.sparkContext)
+            e.getKey.substring(e.getKey.indexOf('|') + 1) == dir &&
+            (sess.sparkContext eq s.sparkContext)
           if (abandonedClone) df.unpersist(false)
           stopped || abandonedClone
         })
@@ -127,6 +132,27 @@ object SimilarityQueries {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]())
   private def sessionId(s: org.apache.spark.sql.SparkSession): Long =
     sessionIds.computeIfAbsent(s, _ => sessionSeq.incrementAndGet())
+
+  /** Per-(session, dir) embeddings-count memo — the one table statistic
+    * the adaptive sign keys need at plan time. The count itself is a
+    * parquet-footer metadata job, but it is still a Spark job per query
+    * CONSTRUCTION; real engines cache table stats rather than re-derive
+    * them per query, and so does this. Assumes a dir's contents are
+    * immutable within a session — true for the testdata corpora and for
+    * ScaleGen output (written once per dir). Entries of stopped
+    * sessions are evicted on access; same key layout and hygiene as
+    * [[shingleCache]]. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, Long)]()
+  private[queries] def embCount(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    countCache.entrySet().removeIf(
+      (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, Long)]) =>
+        e.getValue._1.sparkContext.isStopped)
+    countCache.computeIfAbsent(
+      sessionId(s) + "|" + dir,
+      _ => (s, Tables.embeddings(s, dir).count()))._2
+  }
 
   /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
     * then exact capped-shingle Jaccard on candidates only. Returns
@@ -245,6 +271,18 @@ object SimilarityQueries {
     (4 to 19).map(r => s"WHEN n <= ${occ * (1L << r)} THEN $r").mkString(" ") +
     " ELSE 20 END"
 
+  /** Plan-time adaptive width: same formula as [[adaptiveWidthExpr]] but
+    * resolved in Scala from a driver-side `count()` (a parquet-footer
+    * metadata job, same class as the other sanctioned driver collects).
+    * Baking the width as a LITERAL lets the optimizer constant-fold the
+    * per-plane `j < width` guards — dead planes vanish from codegen and
+    * the corpus-count subquery (which the old column form re-ran per
+    * join branch, two scans + BroadcastNestedLoopJoin each) disappears
+    * from the plan. The DuckDB oracle keeps the explicit CASE over
+    * COUNT(*); both resolve the identical integer for the same corpus. */
+  private[queries] def adaptiveWidthLit(n: Long, occ: Long): Int =
+    (4 to 19).find(r => n <= occ * (1L << r)).getOrElse(20)
+
   /** DECORRELATED pseudo-random plane weights — SplitMix64 from seed 0,
     * 40 planes x 64 dims, values in [-9, 9] — generated HERE and baked
     * into both dialects as per-plane literal arrays. This replaces the
@@ -270,11 +308,23 @@ object SimilarityQueries {
     Array.fill(40, 64)(next())
   }
 
+  /** Plane-j dot as the EXACT `aggregate(zip_with(a, b, (x, y) ->
+    * (double)x * (double)y), 0.0d, (acc, v) -> acc + v)` shape that
+    * [[graft.plans.RewriteDotProduct]] collapses into the codegen'd
+    * [[graft.functions.DotProductF]]. The weight row is baked as an
+    * `array<float>` literal (values in [-9, 9] — exact in float), so the
+    * rule's float-array guard matches and each plane dot runs as a tight
+    * 64-iteration primitive loop inside whole-stage codegen instead of
+    * the per-element lambda dispatch the previous `aggregate(sequence…)`
+    * form paid (the r7-measured 1.8-2.8x constant-factor regression on
+    * q38/q49/q55). Fold order (sequential from index 0, 0.0 seed) and
+    * values are bit-identical to the old form and to the DuckDB oracle. */
   private def planeDotExprAt(j: Int): String = {
-    val row = planeWeights(j).mkString("array(", ", ", ")")
-    "aggregate(sequence(0, 63), cast(0.0 as double), (acc2, d) -> " +
-      "acc2 + cast(element_at(embedding, d + 1) as double) * " +
-      s"cast(element_at($row, d + 1) as double))"
+    val row = planeWeights(j)
+      .map(w => s"cast($w as float)").mkString("array(", ", ", ")")
+    s"aggregate(zip_with(embedding, $row, " +
+      "(x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
   }
   private def planeDotSqlAt(j: Int): String = {
     val row = planeWeights(j).mkString("[", ", ", "]")
@@ -557,13 +607,10 @@ object SimilarityQueries {
     Q(
       "q38_ann_hyperplane_lsh",
       (s, dir) => {
-        val nDf = Tables.embeddings(s, dir)
-          .agg(count(lit(1)).cast("bigint").as("n"))
+        val r = adaptiveWidthLit(embCount(s, dir), 32)
         val emb = Tables.embeddings(s, dir)
-          .crossJoin(broadcast(nDf))
-          .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("bucket", expr(signKeyLowExpr("r")))
+          .withColumn("bucket", expr(signKeyLowExpr(r.toString)))
         val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("n2").as("qn2"), col("bucket"))
@@ -632,14 +679,11 @@ object SimilarityQueries {
     Q(
       "q55_embedding_neardup_pairs",
       (s, dir) => {
-        val nDf = Tables.embeddings(s, dir)
-          .agg(count(lit(1)).cast("bigint").as("n"))
+        val r = adaptiveWidthLit(embCount(s, dir), 32)
         val emb = Tables.embeddings(s, dir)
-          .crossJoin(broadcast(nDf))
-          .withColumn("r", expr(adaptiveWidthExpr(32)))
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-          .withColumn("hi", expr(signKeyLowExpr("r")))
-          .withColumn("lo", expr(signKeyHighExpr("r")))
+          .withColumn("hi", expr(signKeyLowExpr(r.toString)))
+          .withColumn("lo", expr(signKeyHighExpr(r.toString)))
         val keyed = emb.select(col("vec_id"), col("hi"), col("lo"))
         def byBand(b: String) = keyed.as("x").join(keyed.as("y"),
             col(s"x.$b") === col(s"y.$b") && col("x.vec_id") < col("y.vec_id"))

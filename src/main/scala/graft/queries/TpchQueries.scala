@@ -169,7 +169,7 @@ object TpchQueries {
       (s, dir) => {
         val ev = Tables.df(s, dir, "events").selectExpr(
           "user_id as key",
-          "ts div 1000 as t_us",
+          s"${Tables.eventsTsMicrosSql(s, dir)} as t_us",
           "cast(cast(value as decimal(18,2)) * 100 as double) as value")
         graft.streaming.Sessionize.replayBatchMicros(ev, 21600000000L)
           .select(
