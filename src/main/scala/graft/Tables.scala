@@ -36,21 +36,45 @@ object Tables {
     * DuckDB oracle reads from the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     val base = df(s, d, "events")
-    val norm = base.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    val norm =
+      if (eventsTsIsNanosLong(s, d))
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-      case _ => col("ts").cast("timestamp_ntz")
-    }
+      else col("ts").cast("timestamp_ntz")
     base.withColumn("ts", norm)
   }
+
+  /** Memoized `ts`-is-LongType-nanos detection per dir. The detection is
+    * a parquet footer/schema read — driver-side metadata work that
+    * [[events]] and [[eventsTsMicrosSql]] would otherwise repeat on
+    * EVERY query construction (the same table-stats-caching rationale as
+    * SimilarityQueries.embCount). Keyed on dir alone: a file's schema is
+    * a property of the files, not the session, and a Boolean pins
+    * nothing — no session-hygiene machinery needed. Assumes dir contents
+    * are immutable within a JVM (true: testdata and ScaleGen corpora are
+    * written once, before any query runs). The probe runs outside the
+    * map lock (get-then-putIfAbsent): a rare duplicate footer read
+    * beats holding a bin lock through I/O. */
+  private val eventsTsKind =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanosLong(s: SparkSession, d: String): Boolean = {
+    val cached = eventsTsKind.get(d)
+    if (cached != null) cached.booleanValue()
+    else {
+      val v: java.lang.Boolean =
+        df(s, d, "events").schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+      val prev = eventsTsKind.putIfAbsent(d, v)
+      (if (prev != null) prev else v).booleanValue()
+    }
+  }
+
   /** SQL expression for epoch MICROS from the RAW events `ts` column,
     * across both generator schemas (see [[events]]): LongType nanos →
     * integer truncation; TIMESTAMP(MICROS) → unix_micros (session tz is
     * UTC, so the ntz→timestamp cast is instant-preserving). Matches the
     * oracles' `epoch_us(CAST(ts AS TIMESTAMP))`. */
   def eventsTsMicrosSql(s: SparkSession, d: String): String =
-    if (df(s, d, "events").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) "ts div 1000"
+    if (eventsTsIsNanosLong(s, d)) "ts div 1000"
     else "unix_micros(cast(ts as timestamp))"
 
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")

@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * element lambda dispatch + intermediate array allocation) that
   * dominates the brute-force KNN profile.
   *
-  * Null semantics: null if either array is null (NullIntolerant); array
-  * ELEMENTS are assumed non-null (embedding vectors), matching zip_with
-  * on the same data. Lengths must match; extra elements on the longer
-  * side are ignored like zip_with's null-padding folded into +0 would NOT
-  * be — we instead take the min length, which is identical when inputs
-  * are well-formed fixed-dimension embeddings.
+  * Null semantics: null if either array is null; array ELEMENTS are
+  * assumed non-null (embedding vectors), matching zip_with on the same
+  * data. A LENGTH MISMATCH yields null — exactly what the replaced
+  * `aggregate(zip_with(...))` shape computes (zip_with null-pads the
+  * shorter side, the null poisons the product and then the running sum)
+  * and what the DuckDB oracle's out-of-range `element_at` produces. A
+  * malformed (≠ fixed-dimension) corpus therefore nulls out identically
+  * whether or not the rewrite rule is registered, instead of silently
+  * diverging into a min-length partial sum.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,18 +32,23 @@ case class DotProductF(left: Expression, right: Expression)
   // private[sql] in Spark 4, so validation lives at the API layer.)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product_f"
+  // null on null input, but ALSO on length mismatch with non-null inputs
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
-      i += 1
+    val n = xs.numElements()
+    if (ys.numElements() != n) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +57,16 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -138,21 +138,59 @@ object SimilarityQueries {
     * parquet-footer metadata job, but it is still a Spark job per query
     * CONSTRUCTION; real engines cache table stats rather than re-derive
     * them per query, and so does this. Assumes a dir's contents are
-    * immutable within a session — true for the testdata corpora and for
-    * ScaleGen output (written once per dir). Entries of stopped
-    * sessions are evicted on access; same key layout and hygiene as
-    * [[shingleCache]]. */
+    * immutable within a session — true by construction today: no
+    * registry query writes into a scanned embeddings dir (writers go to
+    * per-query scratch dirs; the testdata and ScaleGen corpora are
+    * written once, before any query runs). If a future query ever
+    * rewrites an embeddings dir it must evict that dir's entries here —
+    * this map is the enforcement point. Same key layout and hygiene as
+    * [[shingleCache]]: stopped-session entries go on access, and a
+    * same-dir entry owned by a different live session on the SAME
+    * context (an abandoned `newSession` clone — its strong session
+    * reference would otherwise pin the clone until the shared context
+    * stops) is dropped and replaced by the caller's. The count runs
+    * OUTSIDE any map lock (get-then-putIfAbsent): a rare duplicate
+    * footer count is cheaper than holding a ConcurrentHashMap bin lock
+    * through a Spark job. */
   private val countCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, Long)]()
   private[queries] def embCount(
       s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val key = sessionId(s) + "|" + dir
     countCache.entrySet().removeIf(
-      (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, Long)]) =>
-        e.getValue._1.sparkContext.isStopped)
-    countCache.computeIfAbsent(
-      sessionId(s) + "|" + dir,
-      _ => (s, Tables.embeddings(s, dir).count()))._2
+      (e: java.util.Map.Entry[String, (org.apache.spark.sql.SparkSession, Long)]) => {
+        val sess = e.getValue._1
+        val stopped = sess.sparkContext.isStopped
+        // exact dir equality after the first '|' (session ids contain no
+        // '|'), as in shingleCache's eviction
+        val abandonedClone = !stopped && e.getKey != key &&
+          e.getKey.substring(e.getKey.indexOf('|') + 1) == dir &&
+          (sess.sparkContext eq s.sparkContext)
+        stopped || abandonedClone
+      })
+    val cached = countCache.get(key)
+    if (cached != null) cached._2
+    else {
+      val n = Tables.embeddings(s, dir).count()
+      val prev = countCache.putIfAbsent(key, (s, n))
+      if (prev != null) prev._2 else n
+    }
   }
+
+  /** Band-bucket occupancy cap — [[dfCap]] one level up. Band keys are
+    * md5 digests of 4-minhash tuples, so bucket mass tracks TRUE
+    * similarity structure in the corpus: a large cluster of
+    * moderately-similar docs lands whole in one bucket, and pair
+    * emission from that bucket is quadratic in cluster size (measured
+    * 36x time for 100x data on the round-7 audit — the engine's one
+    * super-linear trend before this cap). Capping membership at
+    * `bucketCap` docs per (band, bkey) — deterministic first-N by
+    * doc_id, mirrored exactly in the oracle — bounds per-bucket pairs
+    * at bucketCap² regardless of corpus size. Recall cost is confined
+    * to clusters larger than the cap, whose pairs transitively
+    * reconnect through the kept members' OTHER bands (and, in the q84
+    * consumer, through connected components). */
+  private val bucketCap = 20
 
   /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
     * then exact capped-shingle Jaccard on candidates only. Returns
@@ -160,7 +198,7 @@ object SimilarityQueries {
     * feeds it into connected components for end-to-end dedup. */
   private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ex = cappedShingles(s, dir)
-    val bands = ex.withColumn("h", expr(shingleHashExpr))
+    val bands0 = ex.withColumn("h", expr(shingleHashExpr))
       .withColumn("seed", explode(expr("sequence(0, 11)")))
       .groupBy("doc_id", "seed")
       .agg(min(expr(affineExpr)).as("mh"))
@@ -170,6 +208,14 @@ object SimilarityQueries {
       .agg(md5(concat_ws(",",
         sort_array(collect_list(struct(col("seed"), col("mh"))))
           .getField("mh").cast("array<string>"))).as("bkey"))
+    // Occupancy cap BEFORE pair emission (see [[bucketCap]]). The window
+    // partitions on the same (band, bkey) key the self-join below
+    // shuffles on, so the cap adds no new exchange.
+    val bands = bands0
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .where(col("rk") <= bucketCap)
+      .drop("rk")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -197,10 +243,13 @@ object SimilarityQueries {
           SELECT doc_id, seed, MIN($affineExpr) AS mh
           FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
           GROUP BY 1, 2
-        ), b AS (
+        ), b0 AS (
           SELECT doc_id, seed // 4 AS band,
                  MD5(STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
           FROM s GROUP BY 1, 2
+        ), b AS (
+          SELECT doc_id, band, bkey FROM b0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $bucketCap
         ), cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey

@@ -38,4 +38,20 @@ class DotProductFSpec extends AnyFunSuite {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
     assert(df.select(DotProductF.dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  test("length mismatch yields null, matching zip_with null-padding") {
+    // A malformed (short) vector must null out the same way the HOF
+    // fold does — zip_with pads the shorter side with null, the null
+    // poisons the product, then the running sum — so results cannot
+    // depend on whether RewriteDotProduct replaced the expression.
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array.empty[Float], Array(1.0f))).toDF("a", "b")
+    val got = df.select(
+      DotProductF.dot(col("a"), col("b")).as("fast"), expr(hof).as("ref"))
+    got.collect().foreach { r =>
+      assert(r.isNullAt(0), "DotProductF must be null on length mismatch")
+      assert(r.isNullAt(1), "HOF reference must be null on length mismatch")
+    }
+  }
 }
