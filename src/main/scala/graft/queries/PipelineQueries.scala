@@ -537,18 +537,21 @@ object PipelineQueries {
 
     // ----------------------------------------------------------------
     // q85: incremental rollup maintenance ≡ full recompute — the
-    // classic view-maintenance theorem, proven on the REAL machinery:
-    // the orders table is split into 4 batches (by orderkey mod, so
-    // batches overlap keys and later batches overwrite earlier ones —
-    // genuine late-data-wins upsert traffic), each replayed through
-    // IncrementalRollup.mergeBatch (dedup → Upsert.replaceByKey →
-    // touched-group-only recompute → crash-safe rename-pair swap, the
-    // streaming foreachBatch path q54's spec exercises). The final
-    // rollup table must equal the oracle's one-shot recompute that
-    // models the same overwrite order (max batch per key wins).
-    // Deterministic: keys are pre-aggregated to one row per
-    // (coin_id, fetch_date) per batch, so the dedup inside mergeBatch
-    // never chooses among rows; min/max are order-free.
+    // classic view-maintenance theorem, proven on the REAL machinery,
+    // now through the BUCKETED merge path (round-8 verdict item 4: the
+    // full-snapshot rewrite was the weakest 100 TB write path). The
+    // replay models how late data actually arrives — in overlapping
+    // TIME windows: 4 batches over year windows [1995-96], [1996-98],
+    // [1998-2000], [2000-01]; boundary years (1996/1998/2000) are
+    // written twice with batch-dependent values (a +0.01*batch
+    // correction), so later batches genuinely overwrite earlier ones
+    // and the oracle must model the replay order (the CASE picks each
+    // year's LAST covering batch). Table and rollup are bucketed by
+    // YEAR and each mergeBatchBucketed rewrites only its window's 2-3
+    // year buckets — O(batch) write volume; at 100 TB the replay
+    // rewrites the touched slice, not 4x the whole table. Numeric
+    // determinism: max is exact in DECIMAL(18,2); the correction is one
+    // IEEE multiply + add on identical operands in both engines.
     Q(
       "q85_incremental_rollup_replay",
       (s, dir) => {
@@ -559,15 +562,19 @@ object PipelineQueries {
         }
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
-        (0 until 4).foreach { b =>
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           val batch = orders
-            .where(col("o_orderkey") % 4 === b)
+            .where(year(col("o_orderdate")).between(y0, y1))
             .groupBy(
               col("o_custkey").cast("string").as("coin_id"),
               col("o_orderdate").as("fetch_date"))
-            .agg(max(col("o_totalprice")).as("price_usd"))
-          graft.streaming.IncrementalRollup.mergeBatch(
-            s, batch, s"$out/table", s"$out/rollup")
+            .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+              + lit(0.01) * lit(b)).as("price_usd"))
+          graft.streaming.IncrementalRollup.mergeBatchBucketed(
+            s, batch, s"$out/table", s"$out/rollup",
+            tableBucket = year(col("fetch_date")),
+            rollupBucket = col("year"))
         }
         s.read.parquet(s"$out/rollup")
           .select(col("coin_id"), col("year"), col("month"),
@@ -575,28 +582,22 @@ object PipelineQueries {
           .orderBy("coin_id", "year", "month")
       },
       Some("""
-        WITH b AS (
+        WITH g AS (
           SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
                  o_orderdate AS fetch_date,
-                 o_orderkey % 4 AS batch, o_totalprice
-          FROM orders),
-        perkeybatch AS (
-          SELECT coin_id, fetch_date, batch, MAX(o_totalprice) AS price
-          FROM b GROUP BY 1, 2, 3),
-        winning AS (
-          SELECT coin_id, fetch_date, MAX(batch) AS wb
-          FROM perkeybatch GROUP BY 1, 2),
-        final_rows AS (
-          SELECT p.coin_id, p.fetch_date, p.price
-          FROM perkeybatch p
-          JOIN winning w ON p.coin_id = w.coin_id
-                        AND p.fetch_date = w.fetch_date AND p.batch = w.wb)
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   + CAST(0.01 AS DOUBLE) *
+                     (CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                        WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                        WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END) AS price
+          FROM orders
+          GROUP BY 1, 2)
         SELECT coin_id,
                CAST(EXTRACT(YEAR FROM fetch_date) AS INT) AS year,
                CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
                MIN(price) AS min_price_usd,
                MAX(price) AS max_price_usd
-        FROM final_rows
+        FROM g
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
       """)),
@@ -1033,14 +1034,19 @@ object PipelineQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q92: q85's 4-batch late-data-wins replay through the MANIFEST-
-    // POINTER commit protocol (ManifestTable) instead of the rename-pair
-    // swap — the storage path that deploys unchanged on an object store,
-    // where directories cannot be renamed. Identical oracle to q85: the
-    // maintenance result must not depend on the commit protocol, so one
-    // green row here certifies the protocol swap end-to-end through the
-    // driver gate (epoch prefixes + atomic single-file pointer moves,
-    // 8 commits, 2 tables).
+    // q92: q85's windowed late-data-wins replay through the BUCKET-
+    // MANIFEST pointer commit protocol (ManifestTable.commitBuckets)
+    // instead of the rename-pair swap — the storage path that deploys
+    // unchanged on an object store, where directories cannot be
+    // renamed. Each commit writes ONLY the touched year buckets under a
+    // new epoch prefix, carries the other buckets' manifest entries
+    // forward, and moves ONE pointer — O(batch) write volume while
+    // keeping whole-table snapshot atomicity (the property per-bucket
+    // pointers would lose). Identical oracle to q85: the maintenance
+    // result must not depend on the commit protocol, so one green row
+    // here certifies the protocol swap end-to-end through the driver
+    // gate (bucket epoch prefixes + atomic pointer moves, 8 commits,
+    // 2 tables).
     Q(
       "q92_manifest_rollup_replay",
       (s, dir) => {
@@ -1051,47 +1057,110 @@ object PipelineQueries {
         }
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
-        (0 until 4).foreach { b =>
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           val batch = orders
-            .where(col("o_orderkey") % 4 === b)
+            .where(year(col("o_orderdate")).between(y0, y1))
             .groupBy(
               col("o_custkey").cast("string").as("coin_id"),
               col("o_orderdate").as("fetch_date"))
-            .agg(max(col("o_totalprice")).as("price_usd"))
-          graft.streaming.IncrementalRollup.mergeBatchManifest(
-            s, batch, s"$out/table", s"$out/rollup")
+            .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+              + lit(0.01) * lit(b)).as("price_usd"))
+          graft.streaming.IncrementalRollup.mergeBatchBucketed(
+            s, batch, s"$out/table", s"$out/rollup",
+            tableBucket = year(col("fetch_date")),
+            rollupBucket = col("year"),
+            manifest = true)
         }
-        val epoch = graft.streaming.ManifestTable.currentEpoch(s"$out/rollup")
-        s.read.parquet(s"$out/rollup/epoch=$epoch")
+        graft.streaming.ManifestTable.readBucketed(s, s"$out/rollup", null)
           .select(col("coin_id"), col("year"), col("month"),
             col("min_price_usd"), col("max_price_usd"))
           .orderBy("coin_id", "year", "month")
       },
       Some("""
-        WITH b AS (
+        WITH g AS (
           SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
                  o_orderdate AS fetch_date,
-                 o_orderkey % 4 AS batch, o_totalprice
-          FROM orders),
-        perkeybatch AS (
-          SELECT coin_id, fetch_date, batch, MAX(o_totalprice) AS price
-          FROM b GROUP BY 1, 2, 3),
-        winning AS (
-          SELECT coin_id, fetch_date, MAX(batch) AS wb
-          FROM perkeybatch GROUP BY 1, 2),
-        final_rows AS (
-          SELECT p.coin_id, p.fetch_date, p.price
-          FROM perkeybatch p
-          JOIN winning w ON p.coin_id = w.coin_id
-                        AND p.fetch_date = w.fetch_date AND p.batch = w.wb)
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   + CAST(0.01 AS DOUBLE) *
+                     (CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                        WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                        WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END) AS price
+          FROM orders
+          GROUP BY 1, 2)
         SELECT coin_id,
                CAST(EXTRACT(YEAR FROM fetch_date) AS INT) AS year,
                CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
                MIN(price) AS min_price_usd,
                MAX(price) AS max_price_usd
-        FROM final_rows
+        FROM g
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // ----------------------------------------------------------------
+    // q100: INDEX-INTERSECTION scan — the planning seam that stacks
+    // BOTH sidecar families on one physical table. The table is written
+    // Z-ordered on (px, sx) with its min/max manifest (the range index,
+    // q80's machinery), then BloomIndex.refresh sidecars the SAME files
+    // on the point-lookup key (q97's machinery, building over existing
+    // files instead of laying them out). The query carries a 2-D range
+    // box AND a key set; IndexedScan.planFiles intersects what each
+    // index admits — each index only ever REMOVES files and neither
+    // can false-negative (min/max boxes contain every value in the
+    // file; Bloom never misses a member), so the intersection still
+    // covers every matching row and the exact residual predicate keeps
+    // results row-exact. At 100 TB this is "only the keys' files inside
+    // the time/key box are read" instead of whichever single index the
+    // caller consulted. The oracle is the plain doubly-filtered scan:
+    // a file wrongly pruned by either index, a bad intersection, or a
+    // residual bug flips the hash. IndexedScanSpec asserts the planning
+    // itself (planned files < either index alone) on its own corpus;
+    // PLANS.md records the counts for this table.
+    Q(
+      "q100_index_intersection_scan",
+      (s, dir) => {
+        val out = scratch(s, "q100_idx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val data = Tables.lineitem(s, dir).selectExpr(
+          "l_partkey % 256 as px", "l_suppkey % 256 as sx",
+          "l_orderkey as okey", "l_quantity as qty",
+          "l_extendedprice as price")
+        // flat Z-ordered layout (not writeBucketed: its __zb=K partition
+        // dirs are underscore-hidden to the Bloom sidecar's file lister)
+        graft.operators.ZOrderLayout.write(data, "px", "sx", out, 64)
+        graft.operators.BloomIndex.refresh(s, out, "okey")
+        graft.operators.IndexedScan.scan(s, out, "px", "sx", "okey",
+            box = Some(graft.operators.IndexedScan.Box(64, 191, 2, 59)),
+            keys = Some(q100Keys))
+          .select(col("okey"), col("px"), col("sx"), col("qty"), col("price"))
+          .orderBy("okey", "px", "sx", "qty", "price")
+      },
+      Some(s"""
+        SELECT l_orderkey AS okey,
+               l_partkey % 256 AS px,
+               l_suppkey % 256 AS sx,
+               l_quantity AS qty,
+               l_extendedprice AS price
+        FROM lineitem
+        WHERE l_partkey % 256 BETWEEN 64 AND 191
+          AND l_suppkey % 256 BETWEEN 2 AND 59
+          AND CAST(l_orderkey AS VARCHAR) IN (${q100Keys.map("'" + _ + "'").mkString(", ")})
+        ORDER BY 1, 2, 3, 4, 5
       """))
   )
+
+  /** q100's point-lookup key set: literal orderkeys in [0, 1499], so
+    * every key exists at every TESTDATA scale (orderkeys are dense from
+    * 0 at all of them). Kept SMALL on purpose: each orderkey's ~4
+    * lineitems land in ~4 of the 64 files, so the Bloom side admits a
+    * sparse scattered file set and the intersection with the box is
+    * strictly smaller than either index alone (measured at sf0.01:
+    * 64 files total, box 24, keys 23, intersection 8 — PLANS.md). */
+  private val q100Keys: Seq[String] = Seq(
+    "3", "240", "618", "901", "1202", "1480")
 }

@@ -195,10 +195,28 @@ object SimilarityQueries {
   /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
     * then exact capped-shingle Jaccard on candidates only. Returns
     * (doc_a, doc_b, shingle_jaccard) unsorted — q35 reports it, q84
-    * feeds it into connected components for end-to-end dedup. */
+    * feeds it into connected components for end-to-end dedup.
+    *
+    * Plan-shape note (the round-9 100x finding): this pipeline has
+    * THREE consumers of the capped shingle table — the minhash bands
+    * and both verify sides — and its first form fed each straight from
+    * [[cappedShingles]]. Different column pruning per consumer defeats
+    * ReuseExchange, so the explode+md5+df-join pipeline (the dominant
+    * cost: ~20 s alone on the 100x corpus) planned and EXECUTED once
+    * per consumer — measured 143 s at 100x with candidate volume a
+    * non-factor (max bucket occupancy 11, 230k candidate pairs).
+    * Now everything derives from the single `sets` aggregation: all
+    * three consumers sit above one identical exchange subplan with one
+    * pruned schema, ReuseExchange dedups it, and the shingle pipeline
+    * runs once. Exploding `ts` back out for the minhash is the same
+    * (doc_id, tri) multiset (tris are array_distinct per doc and min()
+    * is order-free), so band keys — and the oracle — are unchanged. */
   private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val ex = cappedShingles(s, dir)
-    val bands0 = ex.withColumn("h", expr(shingleHashExpr))
+    val sets = cappedShingles(s, dir)
+      .groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
+    val bands0 = sets
+      .select(col("doc_id"), explode(col("ts")).as("tri"))
+      .withColumn("h", expr(shingleHashExpr))
       .withColumn("seed", explode(expr("sequence(0, 11)")))
       .groupBy("doc_id", "seed")
       .agg(min(expr(affineExpr)).as("mh"))
@@ -223,7 +241,6 @@ object SimilarityQueries {
       .distinct()
     // Exact verify over the SAME capped sets the candidates came from
     // (capped Jaccard, consistent with q33).
-    val sets = ex.groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))

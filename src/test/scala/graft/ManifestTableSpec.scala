@@ -72,4 +72,73 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(m(("btc", 2024, 2)) == (20.0, 20.0))
     assert(m(("eth", 2024, 1)) == (4.0, 7.0))
   }
+
+  test("commitBuckets rewrites only touched buckets and carries the rest forward") {
+    val dir = tmp() + "/t"
+    def rows(xs: (Int, String)*) =
+      xs.toDF("k", "v").withColumn("gbucket", col("k") % 3)
+    // epoch 0: buckets 0, 1, 2
+    assert(ManifestTable.commitBuckets(rows(0 -> "a", 1 -> "b", 2 -> "c"), dir) == 0L)
+    // epoch 1: only bucket 1 changes
+    assert(ManifestTable.commitBuckets(rows(4 -> "B"), dir) == 1L)
+    // PRUNING EVIDENCE: the new epoch prefix holds ONLY the touched
+    // bucket; untouched buckets' bytes were not rewritten — their
+    // manifest entries still name the epoch-0 prefix
+    val e1 = new java.io.File(dir, "epoch=1").listFiles()
+      .filter(_.getName.startsWith("gbucket=")).map(_.getName).toSeq
+    assert(e1 == Seq("gbucket=1"), s"epoch 1 should hold only bucket 1: $e1")
+    val snap = ManifestTable.readBucketed(spark, dir, null)
+      .select("k", "v").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(snap == Map(0 -> "a", 4 -> "B", 2 -> "c"),
+      s"bucket 1 replaced, others carried: $snap")
+    // pruned read plans only the asked bucket
+    val b2 = ManifestTable.readBuckets(spark, dir, null, Some(Seq(2)))
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(b2 == Seq("c"))
+    // a third commit touching bucket 0 must keep epoch=0 alive while
+    // bucket 2 still references it
+    assert(ManifestTable.commitBuckets(rows(3 -> "A"), dir) == 2L)
+    assert(new java.io.File(dir, "epoch=0").exists(),
+      "epoch 0 still referenced by bucket 2's entry — GC must keep it")
+    val snap2 = ManifestTable.readBucketed(spark, dir, null)
+      .select("k", "v").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(snap2 == Map(3 -> "A", 4 -> "B", 2 -> "c"))
+  }
+
+  test("mergeBatchBucketed matches mergeBatch on both protocols") {
+    val base = tmp()
+    def batch(rows: Seq[(String, String, Double)]) =
+      rows.toDF("coin_id", "d", "price_usd")
+        .select(col("coin_id"), col("d").cast("date").as("fetch_date"), col("price_usd"))
+    // keys collide across batches (late wins) and span two buckets
+    val batches = Seq(
+      batch(Seq(("btc", "2024-01-03", 10.0), ("eth", "2024-01-05", 5.0))),
+      batch(Seq(("btc", "2024-01-03", 12.0), ("btc", "2024-02-01", 20.0))),
+      batch(Seq(("eth", "2024-01-09", 4.0), ("eth", "2024-01-05", 7.0))))
+    val tb = pmod(hash(col("coin_id")), lit(4))
+    val rb = pmod(hash(col("coin_id")), lit(4))
+    batches.foreach(b =>
+      IncrementalRollup.mergeBatch(spark, b, s"$base/rp/table", s"$base/rp/rollup"))
+    batches.foreach(b =>
+      IncrementalRollup.mergeBatchBucketed(
+        spark, b, s"$base/bk/table", s"$base/bk/rollup", tb, rb))
+    batches.foreach(b =>
+      IncrementalRollup.mergeBatchBucketed(
+        spark, b, s"$base/bm/table", s"$base/bm/rollup", tb, rb, manifest = true))
+    val rp = spark.read.parquet(s"$base/rp/rollup")
+      .select("coin_id", "year", "month", "min_price_usd", "max_price_usd")
+      .orderBy("coin_id", "year", "month").collect().toSeq
+    val bk = spark.read.parquet(s"$base/bk/rollup")
+      .select("coin_id", "year", "month", "min_price_usd", "max_price_usd")
+      .orderBy("coin_id", "year", "month").collect().toSeq
+    val bm = graft.streaming.ManifestTable.readBucketed(spark, s"$base/bm/rollup", null)
+      .select("coin_id", "year", "month", "min_price_usd", "max_price_usd")
+      .orderBy("coin_id", "year", "month").collect().toSeq
+    assert(rp == bk, s"rename-pair bucketed diverges:\n$rp\n$bk")
+    assert(rp == bm, s"bucket-manifest diverges:\n$rp\n$bm")
+    // and the bucketed table dirs really are bucket-partitioned
+    val bkDirs = new java.io.File(s"$base/bk/table").listFiles()
+      .map(_.getName).filter(_.startsWith("gbucket=")).toSeq
+    assert(bkDirs.nonEmpty, "rename-pair table should hold gbucket=K dirs")
+  }
 }
