@@ -175,6 +175,48 @@ object MlQueries {
                     * FLOOR(ABS(ybar - beta*mu/sd)*1000000 + 0.5) AS BIGINT) AS intercept_q
         FROM fit
         ORDER BY source
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q101: LEARNED product-quantization ANN (FAISS IVFADC's PQ half,
+    // ml/PqIndex) as a bench-visible registry entry. K-means codebook
+    // output is engine-specific, so no SQL oracle can replay it (q44's
+    // class — the driver records rows>0; PqSpec pins recall >= 0.9 vs
+    // the exact baseline); registering it puts the learned path's
+    // BUILD + ENCODE + ADC-scan + exact-re-rank cost under BENCH and
+    // the scale audit every round instead of only its spec. Query set
+    // is the fixed scale-invariant workload (see q37).
+    Q(
+      "q101_pq_learned_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val codebook = graft.ml.PqIndex.train(s, emb, m = 8, k = 64)
+        val codes = graft.ml.PqIndex.encode(emb, codebook)
+        graft.ml.PqIndex.searchTopK(emb, codebook, codes,
+            pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") <= 2000,
+            k = 5, shortlist = 100)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ----------------------------------------------------------------
+    // q102: LEARNED k-means IVF ANN (ml/IvfIndex; the trained
+    // counterpart of q49's deterministic sign-plane cells) as a
+    // bench-visible registry entry — same q44-class rationale as q101
+    // (IvfSpec pins recall; the driver checks rows>0). nlist=16,
+    // nprobe=4 matches the spec's >=0.9-recall operating region at
+    // bench scale; production picks nlist ~ sqrt(n) at build time the
+    // same way q49's plane count adapts.
+    Q(
+      "q102_ivf_learned_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (cells, centroids) = graft.ml.IvfIndex.buildIndex(s, emb, nlist = 16)
+        graft.ml.IvfIndex.searchTopK(cells, centroids,
+            pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") <= 2000,
+            k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None)
   )
 }

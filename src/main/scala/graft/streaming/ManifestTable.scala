@@ -105,10 +105,14 @@ object ManifestTable {
     * manifest entry forward, move the one pointer. Unchanged buckets'
     * bytes are never rewritten — their prefixes are shared between
     * epochs until GC drops the last manifest referencing them. */
-  def commitBuckets(changed: DataFrame, dir: String): Long = {
+  def commitBuckets(changed: DataFrame, dir: String,
+                    within: Seq[org.apache.spark.sql.Column] = Nil): Long = {
     val next = currentEpoch(dir) + 1
     val prev = readManifestAt(dir, next - 1)
-    changed.repartition(col("gbucket"))
+    // within: intra-bucket clustering — without it the staging shuffle's
+    // parallelism is capped at the changed-bucket count (see
+    // BucketedSnapshot.replaceBuckets)
+    changed.repartition((col("gbucket") +: within): _*)
       .write.partitionBy("gbucket").mode("overwrite")
       .parquet(s"$dir/epoch=$next")
     // which buckets actually landed (empty buckets write no dir)
