@@ -63,22 +63,44 @@ object PqIndex {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Train per-subspace codebooks: (sub, code, centroid ARRAY<DOUBLE>).
-    * m*k rows total — broadcast-sized by construction. */
+    * m*k rows total — broadcast-sized by construction.
+    *
+    * The m sub-trainings are independent, and each KMeans iteration on a
+    * subspace slice is a small job that leaves most of the cluster idle
+    * — run sequentially, m*maxIter tiny jobs serialize into the
+    * dominant cost of the whole PQ path (measured 34.5 s of q101's
+    * bench time at 2k vectors). Submitting the m fits CONCURRENTLY
+    * (Spark's scheduler interleaves jobs from multiple driver threads)
+    * collapses wall time to roughly the slowest fit. Results are
+    * unchanged: each fit is independently seeded (seed + s) and
+    * deterministic given its seed and the shared cached slice, and the
+    * codebook union preserves subspace order. */
   def train(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 32,
             seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val subs = subvectors(emb, m).cache()
     try {
-      (0 until m).map { s =>
-        val model = new KMeans()
-          .setK(k).setSeed(seed + s).setMaxIter(20)
-          .setFeaturesCol("features").setPredictionCol("code")
-          .fit(subs.where(col("sub") === s)
-            .withColumn("features", array_to_vector(col("subvec"))))
-        model.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (s, i, c.toArray) }
-          .toDF("sub", "code", "centroid")
-      }.reduce(_ unionByName _)
+      // materialize the shared slice ONCE before fanning out — per-block
+      // cache locks would otherwise serialize (or duplicate) the first
+      // concurrent computation
+      subs.count()
+      val fits = (0 until m).map { s =>
+        Future {
+          val model = new KMeans()
+            .setK(k).setSeed(seed + s).setMaxIter(20)
+            .setFeaturesCol("features").setPredictionCol("code")
+            .fit(subs.where(col("sub") === s)
+              .withColumn("features", array_to_vector(col("subvec"))))
+          model.clusterCenters.zipWithIndex.toSeq
+            .map { case (c, i) => (s, i, c.toArray) }
+        }
+      }
+      fits.map(Await.result(_, Duration.Inf))
+        .map(_.toDF("sub", "code", "centroid"))
+        .reduce(_ unionByName _)
     } finally subs.unpersist(blocking = false)
   }
 

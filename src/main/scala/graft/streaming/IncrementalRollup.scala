@@ -123,18 +123,19 @@ object IncrementalRollup {
                          tableDir: String, rollupDir: String,
                          tableBucket: Column, rollupBucket: Column,
                          manifest: Boolean = false): Unit = {
-    if (batch0.isEmpty) return
-    // The batch feeds FOUR actions in this procedure (touched-bucket
-    // collect, table write, touched-group derivation, rollup-bucket
-    // collect); without pinning it, each action re-executes the
-    // batch's full lineage — at 100x that recompute dominated the
-    // merge. A merge is an imperative multi-action protocol, so an
-    // explicit persist for its duration is the right tool (unlike in
-    // declarative query code).
+    // The batch feeds FIVE actions in this procedure (emptiness check,
+    // touched-bucket collect, table write, touched-group derivation,
+    // rollup-bucket collect); without pinning it, each action
+    // re-executes the batch's full lineage — at 100x that recompute
+    // dominated the merge. A merge is an imperative multi-action
+    // protocol, so an explicit persist for its duration is the right
+    // tool (unlike in declarative query code). The persist comes BEFORE
+    // the isEmpty probe so even that first touch fills the cache.
     val batch = batch0.dropDuplicates("coin_id", "fetch_date").persist()
-    try mergeBatchBucketedPinned(
-      spark, batch, tableDir, rollupDir, tableBucket, rollupBucket, manifest)
-    finally batch.unpersist(false)
+    try {
+      if (!batch.isEmpty) mergeBatchBucketedPinned(
+        spark, batch, tableDir, rollupDir, tableBucket, rollupBucket, manifest)
+    } finally batch.unpersist(false)
   }
 
   private def mergeBatchBucketedPinned(
