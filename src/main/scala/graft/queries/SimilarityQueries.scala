@@ -214,18 +214,21 @@ object SimilarityQueries {
   private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sets = cappedShingles(s, dir)
       .groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
+    // All 12 minhashes as aggregate COLUMNS of one groupBy (see
+    // [[affineAtExpr]] — no 12x seed explode, no second (doc, band)
+    // aggregation: band keys are plain projections over the 12 columns,
+    // unpivoted to (doc_id, band, bkey) rows by a narrow stack()).
+    val mhCols = (0 to 11).map(i => min(expr(affineAtExpr(i))).as(s"mh$i"))
     val bands0 = sets
       .select(col("doc_id"), explode(col("ts")).as("tri"))
       .withColumn("h", expr(shingleHashExpr))
-      .withColumn("seed", explode(expr("sequence(0, 11)")))
-      .groupBy("doc_id", "seed")
-      .agg(min(expr(affineExpr)).as("mh"))
-      .withColumn("band", expr("seed div 4"))
-      .groupBy("doc_id", "band")
-      // seed order within the band fixes the concat order
-      .agg(md5(concat_ws(",",
-        sort_array(collect_list(struct(col("seed"), col("mh"))))
-          .getField("mh").cast("array<string>"))).as("bkey"))
+      .groupBy("doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), expr(
+        "stack(3, " +
+          "0, md5(concat_ws(',', mh0, mh1, mh2, mh3)), " +
+          "1, md5(concat_ws(',', mh4, mh5, mh6, mh7)), " +
+          "2, md5(concat_ws(',', mh8, mh9, mh10, mh11))) as (band, bkey)"))
     // Occupancy cap BEFORE pair emission (see [[bucketCap]]). The window
     // partitions on the same (band, bkey) key the self-join below
     // shuffles on, so the cap adds no new exchange.
@@ -315,6 +318,20 @@ object SimilarityQueries {
   private val affineExpr =
     s"(((cast(seed as bigint) * 1103515245 + 12345) % $mhP) * h" +
       s" + (cast(seed as bigint) * 69069 + 1) % $mhP) % $mhP"
+
+  /** [[affineExpr]] with the seed folded to Scala-side constants — the
+    * per-seed form that lets all 12 minhashes compute as 12 aggregate
+    * COLUMNS of one groupBy instead of exploding every shingle row 12x
+    * before the aggregation (the explode multiplied the shuffled
+    * minhash stream to 12·|shingles| rows — ~263M at the 100x audit
+    * corpus; the column form shuffles |docs| rows of 12 longs). Same
+    * a_i, b_i, same values, bit-identical to the oracle's exploded
+    * spelling. */
+  private def affineAtExpr(seed: Int): String = {
+    val a = (seed.toLong * 1103515245L + 12345L) % mhP
+    val b = (seed.toLong * 69069L + 1L) % mhP
+    s"(($a * h) + $b) % $mhP"
+  }
 
   // ------------------------------------------------------------------
   // Adaptive sign-key machinery, shared by q38 (bucketed ANN), q49
@@ -485,18 +502,19 @@ object SimilarityQueries {
     Q(
       "q34_minhash_bands",
       (s, dir) => {
-        val hashed = cappedShingles(s, dir).withColumn("h", expr(shingleHashExpr))
-        val seeded = hashed
-          .withColumn("seed", explode(expr("sequence(0, 11)")))
-          .groupBy("doc_id", "seed")
-          .agg(min(expr(affineExpr)).as("mh"))
-        val piv = seeded.groupBy("doc_id")
-          .pivot("seed", 0 to 11).agg(first(col("mh")))
-        piv.select(
-          col("doc_id"),
-          md5(concat_ws(",", col("0"), col("1"), col("2"), col("3"))).as("band0"),
-          md5(concat_ws(",", col("4"), col("5"), col("6"), col("7"))).as("band1"),
-          md5(concat_ws(",", col("8"), col("9"), col("10"), col("11"))).as("band2"))
+        // one aggregation, 12 minhash COLUMNS (see [[affineAtExpr]]):
+        // the former explode(seed)+groupBy+pivot shuffled 12x the
+        // shingle stream and then pivoted it back — three shuffles of
+        // inflated rows doing the work of one
+        val mhCols = (0 to 11).map(i => min(expr(affineAtExpr(i))).as(s"mh$i"))
+        cappedShingles(s, dir).withColumn("h", expr(shingleHashExpr))
+          .groupBy("doc_id")
+          .agg(mhCols.head, mhCols.tail: _*)
+          .select(
+            col("doc_id"),
+            md5(concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("band0"),
+            md5(concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("band1"),
+            md5(concat_ws(",", col("mh8"), col("mh9"), col("mh10"), col("mh11"))).as("band2"))
           .orderBy("doc_id")
       },
       Some(s"""
