@@ -192,6 +192,39 @@ object SimilarityQueries {
     * consumer, through connected components). */
   private val bucketCap = 20
 
+  /** Block-occupancy cap for the levenshtein name-pair family
+    * (q58/q62/q63/q73) — [[dfCap]]'s move on the entity-resolution
+    * blocking key. The block key (the name's second token) has
+    * vocabulary-bound cardinality, so block sizes grow with corpus
+    * size over vocabulary and per-block levenshtein pairing is
+    * quadratic in them — measured n^(5/3) pair volume on the 100x
+    * audit corpus (127k pairs at 1x → 13.05M at 100x). Deterministic
+    * first-N-by-name membership per block, mirrored exactly in every
+    * consumer's oracle, bounds per-block work at cap²/2; capped-out
+    * names simply produce no pairs (they never reach the edge list,
+    * in either engine). A no-op at every committed-corpus scale (max
+    * block size 8 in the TESTDATA dirs, 64 at the 1x audit corpus). */
+  private val blockCap = 64
+
+  /** Distinct part names with the blocking key, block-capped (see
+    * [[blockCap]]); the shared pair source of q58/q62/q63/q73. */
+  private def blockedNames(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.part(s, dir).select(col("p_name")).distinct()
+      .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("blk").orderBy("p_name")))
+      .where(col("rk") <= blockCap)
+      .drop("rk")
+
+  /** Oracle CTEs mirroring [[blockedNames]]: `n` distinct names, `blk`
+    * the capped blocked names. */
+  private def blkCappedSql =
+    s"""n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= $blockCap)"""
+
   /** The q35 pipeline as a reusable stage: MinHash band LSH candidates,
     * then exact capped-shingle Jaccard on candidates only. Returns
     * (doc_a, doc_b, shingle_jaccard) unsorted — q35 reports it, q84
@@ -832,13 +865,14 @@ object SimilarityQueries {
     // dedup first (distinct names), block on a cheap key (the noun — the
     // name's second token) so the quadratic levenshtein comparison runs
     // only within blocks, never across the corpus. At 100 TB the block
-    // key is the shuffle key and per-block work is bounded by block size,
-    // same argument as the shingle df cap.
+    // key is the shuffle key and per-block work is bounded by
+    // [[blockCap]] (see there — without the cap, block sizes track the
+    // name vocabulary's growth and per-block pairing is quadratic in
+    // them; the round-9 100x audit measured pair volume at n^(5/3)).
     Q(
       "q58_fuzzy_name_pairs",
       (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val names = blockedNames(s, dir)
         names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
@@ -846,12 +880,11 @@ object SimilarityQueries {
             levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
           .orderBy("name_a", "name_b")
       },
-      Some("""
-        WITH n AS (SELECT DISTINCT p_name FROM part),
-        b AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n)
+      Some(s"""
+        WITH $blkCappedSql
         SELECT a.p_name AS name_a, b.p_name AS name_b,
                CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS edit_dist
-        FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+        FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
                          AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
         ORDER BY 1, 2
       """)),
@@ -872,8 +905,7 @@ object SimilarityQueries {
     Q(
       "q62_dedup_components",
       (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val names = blockedNames(s, dir)
         val pairs = names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
@@ -884,7 +916,10 @@ object SimilarityQueries {
       },
       Some("""
         WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
-        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= 64),
         p AS (
           SELECT a.p_name AS x, b.p_name AS y
           FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
@@ -910,8 +945,7 @@ object SimilarityQueries {
     Q(
       "q63_dedup_components_star",
       (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val names = blockedNames(s, dir)
         val pairs = names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
@@ -922,7 +956,10 @@ object SimilarityQueries {
       },
       Some("""
         WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
-        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= 64),
         p AS (
           SELECT a.p_name AS x, b.p_name AS y
           FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
@@ -953,8 +990,7 @@ object SimilarityQueries {
     Q(
       "q73_dedup_centrality",
       (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", expr("element_at(split(p_name, ' '), 2)"))
+        val names = blockedNames(s, dir)
         val pairs = names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
@@ -988,7 +1024,10 @@ object SimilarityQueries {
         }.mkString(",\n        ")
         s"""
         WITH n AS (SELECT DISTINCT p_name FROM part),
-        blk AS (SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= 64),
         p AS (
           SELECT a.p_name AS x, b.p_name AS y
           FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
