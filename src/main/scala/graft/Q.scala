@@ -29,6 +29,16 @@ object Q {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types._
 
+  /** Scratch root for queries that exercise physical commit protocols
+    * (the imperative I/O IS the thing under test). Derives from
+    * `spark.graft.scratch.dir` (falling back to `java.io.tmpdir`) so two
+    * concurrent gates against the same scale dir can point at disjoint
+    * scratch roots instead of colliding on a hard-coded /tmp path. */
+  def scratch(s: SparkSession, tag: String, dir: String): String =
+    s.conf.get("spark.graft.scratch.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")).stripSuffix("/") +
+      s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   val Dec: DecimalType = DecimalType(18, 2)
   def dec2(c: Column): Column = c.cast(Dec)
   /** Exact sum of a 2-decimal double column, emitted as double. */

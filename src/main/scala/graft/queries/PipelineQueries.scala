@@ -26,17 +26,10 @@ object PipelineQueries {
     "LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2), " +
       "i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
 
-  /** Scratch root for queries that exercise physical commit protocols
-    * (q85/q91/q92/q96/q97 — the imperative I/O IS the thing under
-    * test). Derives from `spark.graft.scratch.dir` (falling back to
-    * `java.io.tmpdir`) so two concurrent gates against the same scale
-    * dir can point at disjoint scratch roots instead of colliding on a
-    * hard-coded /tmp path. */
+  /** Scratch root for the commit-protocol queries — shared helper, see
+    * [[graft.Q.scratch]]. */
   private def scratch(s: org.apache.spark.sql.SparkSession, tag: String,
-                      dir: String): String =
-    s.conf.get("spark.graft.scratch.dir",
-        System.getProperty("java.io.tmpdir", "/tmp")).stripSuffix("/") +
-      s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+                      dir: String): String = graft.Q.scratch(s, tag, dir)
 
   def defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------

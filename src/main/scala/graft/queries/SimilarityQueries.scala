@@ -28,11 +28,11 @@ import org.apache.spark.sql.types._
   */
 object SimilarityQueries {
 
-  private val toksExpr = "split(trim(text), ' +')"
+  private[graft] val toksExpr = "split(trim(text), ' +')"
   private val toksSql = "STRING_SPLIT_REGEX(TRIM(text), ' +')"
 
   /** Word-trigram set, Spark and oracle spellings. */
-  private val trisExpr =
+  private[graft] val trisExpr =
     s"array_distinct(transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
   private val trisSql =
@@ -341,7 +341,7 @@ object SimilarityQueries {
     * vocabularies; MinHash tolerates them (they bias Jaccard estimates by
     * O(1/p), far below the banding noise floor). */
   private val mhP = 2147483647L // 2^31 - 1, prime
-  private val shingleHashExpr =
+  private[graft] val shingleHashExpr =
     s"cast(conv(substring(md5(tri), 1, 15), 16, 10) as bigint) % $mhP"
   private val shingleHashSql =
     s"CAST('0x' || SUBSTR(MD5(tri), 1, 15) AS BIGINT) % $mhP"
@@ -360,7 +360,7 @@ object SimilarityQueries {
     * corpus; the column form shuffles |docs| rows of 12 longs). Same
     * a_i, b_i, same values, bit-identical to the oracle's exploded
     * spelling. */
-  private def affineAtExpr(seed: Int): String = {
+  private[graft] def affineAtExpr(seed: Int): String = {
     val a = (seed.toLong * 1103515245L + 12345L) % mhP
     val b = (seed.toLong * 69069L + 1L) % mhP
     s"(($a * h) + $b) % $mhP"
@@ -1339,6 +1339,85 @@ object SimilarityQueries {
                cand_id AS neighbor_id, approx_score
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+      """)),
+
+    // ----------------------------------------------------------------
+    // q103: INCREMENTAL LSH dedup index replay — the maintenance story
+    // of the q35 family. Four ingest batches (doc_id % 4) upsert into
+    // graft.operators.LshIndex's bucketed state (df counts, frozen
+    // capped sets, band buckets); each batch's near-dup pairs against
+    // everything indexed so far are emitted ONCE, at the later member's
+    // batch, verified with exact Jaccard over the FROZEN stored sets —
+    // per-batch work is O(batch + touched state buckets), never a
+    // corpus recompute. Incremental semantics differ from q35's batch
+    // semantics BY DESIGN and the oracle models them exactly: a doc's
+    // capped shingle set uses the df counts CUMULATIVE THROUGH ITS OWN
+    // batch (index entries are immutable; later batches may heat a
+    // shingle past the cap without rewriting old sets), and bucket
+    // occupancy caps by ARRIVAL order (batch, doc_id), not global
+    // doc_id order.
+    Q(
+      "q103_incremental_lsh_dedup",
+      (s, dir) => {
+        val out = Q.scratch(s, "q103_lshidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val docs = Tables.documents(s, dir)
+        (0 to 3).foreach { k =>
+          graft.operators.LshIndex.upsertBatch(
+              s, docs.where(col("doc_id") % 4 === k), s"$out/index",
+              batchId = k, dfCap = dfCap, bucketCap = bucketCap)
+            .write.mode("overwrite").parquet(s"$out/emit/bt=$k")
+        }
+        s.read.parquet((0 to 3).map(k => s"$out/emit/bt=$k"): _*)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INT) AS bt, UNNEST($trisSql) AS tri
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        ), dfc AS (
+          SELECT tri, bt, COUNT(*) AS c FROM e0 GROUP BY 1, 2
+        ), dfcum AS (
+          SELECT tri, bt, SUM(c) OVER (PARTITION BY tri ORDER BY bt) AS cum
+          FROM dfc
+        ), e AS (
+          SELECT e0.doc_id, e0.bt, e0.tri
+          FROM e0 JOIN dfcum ON e0.tri = dfcum.tri AND e0.bt = dfcum.bt
+          WHERE dfcum.cum <= $dfCap
+        ), t AS (
+          SELECT doc_id, bt, $shingleHashSql AS h FROM e
+        ), s AS (
+          SELECT doc_id, bt, seed, MIN($affineExpr) AS mh
+          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS seed)
+          GROUP BY 1, 2, 3
+        ), b0 AS (
+          SELECT doc_id, bt, seed // 4 AS band,
+                 MD5(STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM s GROUP BY 1, 2, 3
+        ), b AS (
+          SELECT doc_id, bt, band, bkey FROM b0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY bt, doc_id)
+                    <= $bucketCap
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(GREATEST(x.bt, y.bt) AS INT) AS emit_batch
+          FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+        ), sets AS (
+          SELECT doc_id, LIST(tri) AS ts FROM e GROUP BY 1
+        )
+        SELECT doc_a, doc_b, emit_batch,
+               LEN(LIST_INTERSECT(sa.ts, sb.ts))
+                 / (LEN(sa.ts) + LEN(sb.ts) - LEN(LIST_INTERSECT(sa.ts, sb.ts)))
+                 AS shingle_jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+        ORDER BY doc_a, doc_b
       """))
   )
 }
