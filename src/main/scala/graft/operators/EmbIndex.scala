@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DotProductF
+import graft.queries.SimilarityQueries
+
+/** Incremental embedding near-dup index — the q55 family's maintenance
+  * story: dedup a NEW batch of vectors against the already-indexed
+  * corpus in O(batch) write work and bucket-pruned reads, using the
+  * same decorrelated hyperplane sign keys (two bands of `width` bits)
+  * and the same quantized-cosine verification, so incremental results
+  * are bit-compatible with the batch pipeline's.
+  *
+  * Unlike the shingle index's df cap, a vector's sign keys depend ONLY
+  * on its own embedding and the fixed plane family — so incremental
+  * keys equal batch keys exactly, PROVIDED `width` is frozen at index
+  * creation. That is the one capacity decision this index forces: the
+  * batch q55 adapts width to the corpus count at plan time, but stored
+  * keys are immutable, so a deployment provisions width for the
+  * expected corpus (the q104 registry computes it from the full table
+  * count — the capacity number an operator knows) and RE-INDEXES if
+  * the corpus outgrows it; the arrival-order occupancy cap bounds the
+  * damage of under-provisioning in the meantime (bucketCap² per
+  * bucket, exactly like the shingle bands).
+  *
+  * State is two [[DeltaStore]] tables under `root/`:
+  *   - `vecs/` (vec_id, embedding, n2) bucketed on the vector id —
+  *     the verification side (embeddings are immutable, so frozen
+  *     entries are simply the data);
+  *   - `keys/` (vec_id, batch, band, bkey, rk) bucketed on the sign
+  *     key — band 0 = planes [0, width), band 1 = planes
+  *     [width, 2·width); only occupancy-cap winners (arrival order =
+  *     (batch, vec_id)) are stored or paired.
+  */
+object EmbIndex {
+
+  private val vecsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("n2", DoubleType)))
+  private val keysSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("batch", IntegerType),
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("rk", IntegerType)))
+
+  private def stores(root: String, buckets: Int) =
+    (DeltaStore(s"$root/vecs", buckets), DeltaStore(s"$root/keys", buckets))
+
+  def heal(root: String, buckets: Int = 16): Unit = {
+    val (vecs, keys) = stores(root, buckets)
+    vecs.heal(); keys.heal()
+  }
+
+  /** Ingest one batch of vectors (`vec_id` long, `embedding`
+    * array<float>) into the index at `root`, returning the batch's
+    * near-dup pairs against everything indexed so far:
+    * (vec_a, vec_b, emit_batch, cosine_sim), vec_a < vec_b, cosine
+    * quantized to 1e-6 (cross-engine exactness, as q55) and
+    * thresholded at 0.35. Emitted exactly once, at the later member's
+    * batch; materialized before return. */
+  def upsertBatch(spark: SparkSession, vecs: DataFrame, root: String,
+                  batchId: Int, width: Int, bucketCap: Int,
+                  buckets: Int = 16): DataFrame = {
+    val (vecsStore, keysStore) = stores(root, buckets)
+    heal(root, buckets)
+    val w = width.toString
+    val emb = vecs
+      .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
+      .persist()
+    try {
+      vecsStore.append(
+        emb.withColumn("gbucket", vecsStore.gb(col("vec_id"))),
+        batchId, within = Seq(col("vec_id")))
+
+      val keysB = emb
+        .withColumn("klo", expr(SimilarityQueries.signKeyLowExpr(w)))
+        .withColumn("khi", expr(SimilarityQueries.signKeyHighExpr(w)))
+        .select(col("vec_id"),
+          expr("stack(2, 0, klo, 1, khi) as (band, bkey)"))
+        .withColumn("batch", lit(batchId))
+        .persist()
+      try {
+        val kTouched = keysStore.touched(keysB, col("bkey"))
+        val priorKeys = keysStore.read(
+          spark, keysSchema, Some(kTouched)).persist()
+        try {
+          val occ = priorKeys.groupBy("band", "bkey").agg(max("rk").as("base"))
+          val kept = keysB
+            .join(occ, Seq("band", "bkey"), "left")
+            .withColumn("rk",
+              (coalesce(col("base"), lit(0)) + row_number().over(
+                Window.partitionBy("band", "bkey").orderBy("vec_id"))).cast("int"))
+            .where(col("rk") <= bucketCap)
+            .select(col("vec_id"), col("batch"), col("band"), col("bkey"), col("rk"))
+            .persist()
+          try {
+            val all = priorKeys.select("vec_id", "band", "bkey")
+              .unionByName(kept.select("vec_id", "band", "bkey"))
+            val cand = kept.as("n").join(all.as("o"),
+                col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
+                  col("n.vec_id") =!= col("o.vec_id"))
+              .select(
+                least(col("n.vec_id"), col("o.vec_id")).as("vec_a"),
+                greatest(col("n.vec_id"), col("o.vec_id")).as("vec_b"))
+              .distinct()
+              .withColumn("emit_batch", lit(batchId))
+              .persist()
+
+            val idBuckets = cand
+              .select(explode(array(vecsStore.gb(col("vec_a")),
+                vecsStore.gb(col("vec_b")))).as("g"))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            val sides = vecsStore.read(spark, vecsSchema, Some(idBuckets))
+            val dot = DotProductF.dot(col("ea"), col("eb"))
+            val simq = floor(dot / (sqrt(col("na")) * sqrt(col("nb")))
+              * lit(1000000.0) + lit(0.5)).cast("bigint")
+            val verified = cand
+              .join(sides.select(col("vec_id").as("vec_a"),
+                col("embedding").as("ea"), col("n2").as("na")), Seq("vec_a"))
+              .join(sides.select(col("vec_id").as("vec_b"),
+                col("embedding").as("eb"), col("n2").as("nb")), Seq("vec_b"))
+              .select(col("vec_a"), col("vec_b"), col("emit_batch"), simq.as("sim_q"))
+              .where(col("sim_q") >= 350000)
+              .select(col("vec_a"), col("vec_b"), col("emit_batch"),
+                (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+              .localCheckpoint()
+
+            cand.unpersist()
+            keysStore.append(
+              kept.withColumn("gbucket", keysStore.gb(col("bkey"))),
+              batchId, within = Seq(col("bkey")))
+            verified
+          } finally kept.unpersist()
+        } finally priorKeys.unpersist()
+      } finally keysB.unpersist()
+    } finally emb.unpersist()
+  }
+
+  /** Fold each state table's deltas into one base — rows are immutable
+    * in both tables, so the fold is the identity union. */
+  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
+    val (vecsStore, keysStore) = stores(root, buckets)
+    vecsStore.compact(spark, vecsSchema, col("vec_id"), identity)
+    keysStore.compact(spark, keysSchema, col("bkey"), identity)
+  }
+}

@@ -454,7 +454,7 @@ object SimilarityQueries {
     * each inlines its own 64-weight literal row — with a lazy `j <
     * width` guard first in the conjunction, so unused planes' dots are
     * never evaluated (both engines short-circuit AND). */
-  private[queries] def signKeyLowExpr(width: String): String =
+  private[graft] def signKeyLowExpr(width: String): String =
     (0 to 19).map { j =>
       s"(case when $j < $width and ${planeDotExprAt(j)} > 0 " +
         s"then cast(${1L << j} as bigint) else cast(0 as bigint) end)"
@@ -466,7 +466,7 @@ object SimilarityQueries {
     }.mkString("(", " + ", ")")
 
   /** Second band: planes [width, 2*width-1], bit j - width. */
-  private[queries] def signKeyHighExpr(width: String): String =
+  private[graft] def signKeyHighExpr(width: String): String =
     (4 to 39).map { j =>
       s"(case when $j >= $width and $j < 2 * $width and ${planeDotExprAt(j)} > 0 " +
         s"then shiftleft(cast(1 as bigint), $j - $width) else cast(0 as bigint) end)"
@@ -1418,6 +1418,69 @@ object SimilarityQueries {
         JOIN sets sa ON sa.doc_id = doc_a
         JOIN sets sb ON sb.doc_id = doc_b
         ORDER BY doc_a, doc_b
+      """)),
+
+    // ----------------------------------------------------------------
+    // q104: INCREMENTAL embedding near-dup index replay — q103's move
+    // applied to the q55 family. Sign keys depend only on a vector's
+    // own embedding, so incremental keys equal batch keys exactly —
+    // the one capacity decision is the band WIDTH, frozen at index
+    // creation (stored keys are immutable; the registry provisions it
+    // from the full table count, the number a deployment plans with,
+    // and the oracle mirrors that with the same CASE over COUNT(*)).
+    // Four vec_id % 4 batches upsert into graft.operators.EmbIndex;
+    // pairs are emitted once, at the later member's batch, verified
+    // with the q55-quantized cosine over the stored vectors.
+    Q(
+      "q104_incremental_embedding_neardup",
+      (s, dir) => {
+        val out = Q.scratch(s, "q104_embidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val r = adaptiveWidthLit(embCount(s, dir), 32)
+        val vecs = Tables.embeddings(s, dir)
+        (0 to 3).foreach { k =>
+          graft.operators.EmbIndex.upsertBatch(
+              s, vecs.where(col("vec_id") % 4 === k), s"$out/index",
+              batchId = k, width = r, bucketCap = 128)
+            .write.mode("overwrite").parquet(s"$out/emit/bt=$k")
+        }
+        s.read.parquet((0 to 3).map(k => s"$out/emit/bt=$k"): _*)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        e AS (
+          SELECT vec_id, CAST(vec_id % 4 AS INT) AS bt, embedding,
+                 ${dotSql("embedding", "embedding")} AS n2,
+                 ${adaptiveWidthSql(32)} AS r
+          FROM embeddings, nn
+        ), keyed0 AS (
+          SELECT vec_id, bt, 0 AS band, ${signKeyLowSql("r")} AS bkey FROM e
+          UNION ALL
+          SELECT vec_id, bt, 1 AS band, ${signKeyHighSql("r")} AS bkey FROM e
+        ), keyed AS (
+          SELECT vec_id, bt, band, bkey FROM keyed0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY bt, vec_id)
+                    <= 128
+        ), cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 CAST(GREATEST(x.bt, y.bt) AS INT) AS emit_batch
+          FROM keyed x JOIN keyed y ON x.band = y.band AND x.bkey = y.bkey
+                                   AND x.vec_id < y.vec_id
+        ), scored AS (
+          SELECT vec_a, vec_b, emit_batch,
+                 CAST(FLOOR(${dotSql("a.embedding", "b.embedding")}
+                   / (SQRT(a.n2) * SQRT(b.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+        )
+        SELECT vec_a, vec_b, emit_batch,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM scored WHERE sim_q >= 350000
+        ORDER BY 1, 2
       """))
   )
 }

@@ -144,10 +144,19 @@ class LshIndexSpec extends AnyFunSuite {
     val src = spark.readStream.schema(df.schema).parquet(inDir)
     val q = src.writeStream
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.operators.LshIndex.upsertBatch(
-            spark, b, s"$base/stream", id.toInt, dfCap = 20, bucketCap = 20)
-          .write.mode("overwrite").parquet(s"$base/emit/bt=$id")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the INDEX batch id comes from the data, not the stream epoch:
+        // under load the source can fire an empty epoch before the first
+        // file is listed, and epoch ids must not shift the replay's
+        // batch numbering (an empty micro-batch is simply skipped)
+        val ks = b.select((col("doc_id") % 3).cast("int").as("k"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        ks.foreach { k =>
+          graft.operators.LshIndex.upsertBatch(
+              spark, b.where(col("doc_id") % 3 === k), s"$base/stream", k,
+              dfCap = 20, bucketCap = 20)
+            .write.mode("overwrite").parquet(s"$base/emit/bt=$k")
+        }
       }
       .start()
     q.processAllAvailable()
