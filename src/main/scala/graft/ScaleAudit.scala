@@ -25,7 +25,8 @@ object ScaleAudit {
     "q32", "q33", "q34", "q35", "q36", // shingle/minhash dedup family
     "q37", "q38", "q49", "q55", "q98", // embedding ANN family
     "q62", "q84", "q88", "q95",        // components + curation composites
-    "q85", "q92",                      // incremental rollup protocols
+    "q85", "q92", "q105",              // upsert-protocol family (rename-pair / manifest / LSM MOR)
+    "q103", "q104",                    // incremental index maintenance
     "q99")                             // count-min heavy hitters
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** Last-write-wins keyed table as an LSM merge-on-read store — the
+  * third commit protocol in the upsert family, after the rename-pair
+  * snapshot swap ([[graft.streaming.BucketedSnapshot]]) and the
+  * manifest-pointer commit ([[graft.streaming.ManifestTable]]).
+  *
+  * Those two scale their write volume to the touched BUCKETS: a batch
+  * that touches a bucket rewrites that whole bucket (read-merge-
+  * rewrite). This one scales writes to the BATCH unconditionally — an
+  * upsert appends one [[DeltaStore]] delta (O(batch) bytes, one atomic
+  * rename) and never rereads or rewrites stored data, so a hot bucket
+  * costs the same as a cold one. The merge moves to the READ side:
+  * [[snapshot]] unions the live dirs and keeps each key's row from the
+  * highest batch (the LSM/ReplacingMergeTree trade — cheap writes,
+  * fold-on-read), and [[compact]] folds the fold into a new base so
+  * read cost stops growing with replay depth. Readers see only
+  * promoted dirs at every instant, so a crash mid-upsert leaves the
+  * previous snapshot intact and a checkpoint REPLAY of the same batch
+  * id replaces its own delta (idempotent).
+  *
+  * Rows within one batch must be unique per key (dedup the batch
+  * first, as every upsert path here does): the LWW fold orders by the
+  * batch id alone, so (key, batch) uniqueness is what makes the
+  * snapshot deterministic.
+  */
+final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
+
+  /** `schema` + the `_batch` lineage column the fold orders by. */
+  private def stored(schema: StructType): StructType =
+    schema.add("_batch", IntegerType, nullable = false)
+
+  /** Append `batch` (unique per key) as the delta for `batchId` —
+    * O(batch) write bytes, one rename, no stored-data reads. */
+  def upsert(batch: DataFrame, batchId: Int): Unit =
+    store.append(
+      batch
+        .withColumn("_batch", lit(batchId))
+        .withColumn("gbucket", store.gb(struct(keyCols.map(col): _*))),
+      batchId,
+      within = keyCols.map(col))
+
+  /** The current table: every key's latest-batch row, folded from the
+    * live base + deltas. `schema` is the DATA schema (no `_batch`). */
+  def snapshot(spark: SparkSession, schema: StructType): DataFrame =
+    lww(store.read(spark, stored(schema), None))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Bucket-pruned snapshot restricted to `keys`' buckets — the point-
+    * lookup path: reads only the `gbucket` dirs the probe keys hash
+    * into, then folds and inner-joins. `keys` must carry `keyCols`. */
+  def lookup(spark: SparkSession, schema: StructType,
+             keys: DataFrame): DataFrame = {
+    val touched = store.touched(keys, struct(keyCols.map(col): _*))
+    lww(store.read(spark, stored(schema), Some(touched)))
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Fold live dirs into one base holding just each key's winning row
+    * (the `_batch` column is kept: later deltas must still outrank the
+    * base). Compact only batches whose upstream checkpoint is durable —
+    * a replayed batch j <= base K would stack `delta=j` on a base that
+    * already folded it, and the LWW order would then prefer the base's
+    * row from a HIGHER-numbered original batch, which is correct, but
+    * the replayed delta's bytes are dead weight until the next compact. */
+  def compact(spark: SparkSession, schema: StructType): Unit =
+    store.compact(spark, stored(schema),
+      struct(keyCols.map(col): _*), lww)
+
+  /** Keep each key's highest-`_batch` row. */
+  private def lww(all: DataFrame): DataFrame =
+    all
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch").desc)))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+}

@@ -1144,6 +1144,81 @@ object PipelineQueries {
           AND l_suppkey % 256 BETWEEN 2 AND 59
           AND CAST(l_orderkey AS VARCHAR) IN (${q100Keys.map("'" + _ + "'").mkString(", ")})
         ORDER BY 1, 2, 3, 4, 5
+      """)),
+
+    // ----------------------------------------------------------------
+    // q105: q85's late-data-wins replay through the LSM MERGE-ON-READ
+    // protocol (MorTable on DeltaStore) — the third member of the
+    // upsert-protocol family. The bucketed protocols (q85 rename-pair,
+    // q92 manifest-pointer) rewrite every TOUCHED bucket per merge;
+    // here an upsert appends one O(batch) delta and never rereads or
+    // rewrites stored data — the write path whose cost is independent
+    // of both table size AND key spread (a batch hitting every bucket,
+    // the worst case for read-merge-rewrite, costs the same as one
+    // hitting a single bucket). The merge moves to the read side: the
+    // final snapshot folds base + live deltas last-write-wins, and the
+    // mid-replay compact (after batch 1) proves later deltas still
+    // outrank a folded base. The monthly rollup becomes a VIEW over
+    // the snapshot — merge-on-read defers derived state instead of
+    // maintaining it per batch. Identical oracle to q85/q92: the
+    // maintenance result must not depend on the commit protocol, so
+    // one green row certifies LWW fold order, delta/base covering
+    // rules, and compaction end-to-end through the driver gate.
+    Q(
+      "q105_mor_rollup_replay",
+      (s, dir) => {
+        val out = scratch(s, "q105_mor", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b)
+          if (b == 1) mor.compact(s, schema)
+        }
+        mor.snapshot(s, schema)
+          .groupBy(
+            col("coin_id"),
+            year(col("fetch_date")).as("year"),
+            month(col("fetch_date")).as("month"))
+          .agg(
+            min(col("price_usd")).as("min_price_usd"),
+            max(col("price_usd")).as("max_price_usd"))
+          .orderBy("coin_id", "year", "month")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   + CAST(0.01 AS DOUBLE) *
+                     (CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                        WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                        WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END) AS price
+          FROM orders
+          GROUP BY 1, 2)
+        SELECT coin_id,
+               CAST(EXTRACT(YEAR FROM fetch_date) AS INT) AS year,
+               CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
+               MIN(price) AS min_price_usd,
+               MAX(price) AS max_price_usd
+        FROM g
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{DeltaStore, MorTable}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** MorTable: LSM merge-on-read last-write-wins table — fold order
+  * across batches, replay idempotence, compaction covering rules, and
+  * bucket-pruned point lookups. */
+class MorTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_mor_").toString
+
+  private def mor(root: String) =
+    MorTable(DeltaStore(root, buckets = 8), Seq("k"))
+
+  private def rows(df: DataFrame): Seq[(String, Int)] =
+    df.select("k", "v").as[(String, Int)].collect().sorted.toSeq
+
+  private val schema = Seq(("x", 0)).toDF("k", "v").schema
+
+  test("later batches win per key; untouched keys survive") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("b", 2)).toDF("k", "v"), 1)
+    t.upsert(Seq(("a", 3), ("d", 3)).toDF("k", "v"), 2)
+    assert(rows(t.snapshot(spark, schema)) ==
+      Seq(("a", 3), ("b", 2), ("c", 1), ("d", 3)))
+  }
+
+  test("re-upserting a batch id replaces its own delta (replay idempotence)") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    val before = rows(t.snapshot(spark, schema))
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1) // checkpoint replay of batch 1
+    assert(rows(t.snapshot(spark, schema)) == before)
+    assert(before == Seq(("a", 2), ("b", 1)))
+  }
+
+  test("compaction preserves the snapshot and later deltas outrank the base") {
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    val before = rows(t.snapshot(spark, schema))
+    t.compact(spark, schema)
+    // deltas folded away: exactly one live base dir remains
+    val names = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(names.count(_.startsWith("base=")) == 1)
+    assert(!names.exists(_.startsWith("delta=")))
+    assert(rows(t.snapshot(spark, schema)) == before)
+    t.upsert(Seq(("a", 9)).toDF("k", "v"), 2)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 9), ("b", 1)))
+  }
+
+  test("lookup equals the snapshot restricted to the probe keys") {
+    val t = mor(tmp())
+    t.upsert((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"), 0)
+    t.upsert(Seq(("k7", 700)).toDF("k", "v"), 1)
+    val probe = Seq("k7", "k42", "nope").toDF("k")
+    assert(rows(t.lookup(spark, schema, probe)) ==
+      Seq(("k42", 42), ("k7", 700)))
+  }
+}
