@@ -47,27 +47,40 @@ final case class DeltaStore(dir: String, buckets: Int = 16) {
   }
 
   /** Live dirs: the newest `base=K` plus `delta=J` with J > K; deltas
-    * a base covers are ignored even if still on disk. */
-  private def liveDirs(): Seq[java.io.File] = {
+    * a base covers are ignored even if still on disk. With `asOf`,
+    * deltas above that batch are also excluded — the time-travel read.
+    * History BELOW the newest base is folded away (compaction is the
+    * retention boundary, as in any LSM/table-format log), so an `asOf`
+    * older than the base is refused rather than answered wrongly. */
+  private def liveDirs(asOf: Option[Int] = None): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     val all = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(_.isDirectory)
     val bases = all.filter(_.getName.startsWith("base="))
-    bases.map(f => f.getName.stripPrefix("base=").toInt).sorted.lastOption match {
+    val live = bases.map(f => f.getName.stripPrefix("base=").toInt).sorted.lastOption match {
       case None => all.filter(_.getName.startsWith("delta="))
       case Some(k) =>
+        asOf.foreach(j => require(j >= k,
+          s"as-of batch $j predates base=$k — compaction folded that history away"))
         bases.filter(_.getName == s"base=$k") ++
           all.filter(f => f.getName.startsWith("delta=") &&
             f.getName.stripPrefix("delta=").toInt > k)
     }
+    asOf match {
+      case None => live
+      case Some(j) => live.filter(f => f.getName.startsWith("base=") ||
+        f.getName.stripPrefix("delta=").toInt <= j)
+    }
   }
 
   /** Bucket-pruned union of the live dirs (every bucket if `buckets`
-    * is None); empty frame with `schema` when none exist. */
+    * is None); empty frame with `schema` when none exist. `asOf`
+    * restricts to deltas <= that batch (time travel back to the last
+    * compact; older as-of values are refused — see [[liveDirs]]). */
   def read(spark: SparkSession, schema: StructType,
-           touched: Option[Seq[Int]]): DataFrame = {
+           touched: Option[Seq[Int]], asOf: Option[Int] = None): DataFrame = {
     val paths = for {
-      d <- liveDirs()
+      d <- liveDirs(asOf)
       sub <- Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
       if sub.isDirectory && sub.getName.startsWith("gbucket=")
       if touched.forall(_.exists(k => sub.getName == s"gbucket=$k"))

@@ -51,6 +51,37 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     lww(store.read(spark, stored(schema), None))
       .select(schema.fieldNames.map(col).toSeq: _*)
 
+  /** Time travel: the table as of `batch` — deltas above it are
+    * excluded from the fold. History is retained back to the last
+    * [[compact]] (an older `batch` is refused, not answered wrongly):
+    * the reproducible-training-snapshot read, pinned by batch id
+    * instead of copying the corpus. */
+  def snapshotAsOf(spark: SparkSession, schema: StructType,
+                   batch: Int): DataFrame =
+    lww(store.read(spark, stored(schema), None, asOf = Some(batch)))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Continuous ingestion: upsert each micro-batch under its stream
+    * batch id. Checkpoint replay of a batch re-appends the SAME delta
+    * (replace-by-batch-id in [[DeltaStore.append]]), so the sink is
+    * idempotent end-to-end — the exactly-once story without any sink-
+    * side transaction log beyond the delta dirs themselves. The batch
+    * is deduped on the key (LWW needs (key, batch) uniqueness). */
+  def sink(input: DataFrame, checkpointDir: String,
+           availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = input.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.dropDuplicates(keyCols)
+        if (!b.isEmpty) upsert(b, id.toInt)
+      }
+    (if (availableNow) writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Bucket-pruned snapshot restricted to `keys`' buckets — the point-
     * lookup path: reads only the `gbucket` dirs the probe keys hash
     * into, then folds and inner-joins. `keys` must carry `keyCols`. */

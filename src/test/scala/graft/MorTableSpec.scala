@@ -65,4 +65,35 @@ class MorTableSpec extends AnyFunSuite {
     assert(rows(t.lookup(spark, schema, probe)) ==
       Seq(("k42", 42), ("k7", 700)))
   }
+
+  test("snapshotAsOf time-travels back to the last compact, not past it") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    t.upsert(Seq(("b", 3)).toDF("k", "v"), 2)
+    assert(rows(t.snapshotAsOf(spark, schema, 1)) == Seq(("a", 2), ("b", 1)))
+    assert(rows(t.snapshotAsOf(spark, schema, 0)) == Seq(("a", 1), ("b", 1)))
+    t.compact(spark, schema) // folds through batch 2: history below is gone
+    assert(rows(t.snapshotAsOf(spark, schema, 2)) == Seq(("a", 2), ("b", 3)))
+    intercept[IllegalArgumentException] {
+      t.snapshotAsOf(spark, schema, 1).collect()
+    }
+  }
+
+  test("streaming sink drains, resumes with new data, and late batches win") {
+    val root = tmp()
+    val in = root + "/in"
+    val t = mor(root + "/tbl")
+    Seq(("a", 1), ("b", 1)).toDF("k", "v").write.parquet(in)
+    val stream = () => spark.readStream.schema(schema).parquet(in)
+    val q1 = t.sink(stream(), root + "/ckpt")
+    q1.awaitTermination(120000)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 1), ("b", 1)))
+    // second drain from the SAME checkpoint: only the new file, next batch id
+    Seq(("a", 9), ("c", 9)).toDF("k", "v").write.mode("append").parquet(in)
+    val q2 = t.sink(stream(), root + "/ckpt")
+    q2.awaitTermination(120000)
+    assert(rows(t.snapshot(spark, schema)) ==
+      Seq(("a", 9), ("b", 1), ("c", 9)))
+  }
 }
