@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StructType}
 
 /** Last-write-wins keyed table as an LSM merge-on-read store — the
   * third commit protocol in the upsert family, after the rename-pair
@@ -31,15 +31,41 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
 
-  /** `schema` + the `_batch` lineage column the fold orders by. */
+  /** `schema` + the `_batch` lineage column the fold orders by and the
+    * `_deleted` tombstone marker. */
   private def stored(schema: StructType): StructType =
     schema.add("_batch", IntegerType, nullable = false)
+      .add("_deleted", BooleanType, nullable = false)
 
   /** Append `batch` (unique per key) as the delta for `batchId` —
     * O(batch) write bytes, one rename, no stored-data reads. */
   def upsert(batch: DataFrame, batchId: Int): Unit =
+    write(batch.withColumn("_deleted", lit(false)), batchId)
+
+  /** Delete `keys` as the delta for `batchId`: appends TOMBSTONE rows
+    * (key columns + `_deleted = true`, data columns null-filled from
+    * `schema`) that the LWW fold lets outrank every earlier version.
+    * The delete is logical until the next [[compact]], which drops
+    * tombstone-winning keys from the base — the point where the bytes
+    * physically leave storage (the GDPR clock's stop condition; run a
+    * compact to make a deletion durable). A batch id carries EITHER an
+    * upsert or a delete (a delta is replaced whole by its batch id);
+    * union key-disjoint changes into one frame first if both are
+    * needed in one batch. */
+  def delete(keys: DataFrame, batchId: Int, schema: StructType): Unit = {
+    val tomb = schema.fields.foldLeft(
+      keys.select(keyCols.map(col): _*).distinct()) { (df, f) =>
+        if (keyCols.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .withColumn("_deleted", lit(true))
+    write(tomb, batchId)
+  }
+
+  private def write(df: DataFrame, batchId: Int): Unit =
     store.append(
-      batch
+      df
         .withColumn("_batch", lit(batchId))
         .withColumn("gbucket", store.gb(struct(keyCols.map(col): _*))),
       batchId,
@@ -49,6 +75,7 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     * live base + deltas. `schema` is the DATA schema (no `_batch`). */
   def snapshot(spark: SparkSession, schema: StructType): DataFrame =
     lww(store.read(spark, stored(schema), None))
+      .where(!col("_deleted"))
       .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Time travel: the table as of `batch` — deltas above it are
@@ -59,6 +86,7 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
   def snapshotAsOf(spark: SparkSession, schema: StructType,
                    batch: Int): DataFrame =
     lww(store.read(spark, stored(schema), None, asOf = Some(batch)))
+      .where(!col("_deleted"))
       .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Continuous ingestion: upsert each micro-batch under its stream
@@ -89,20 +117,25 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
              keys: DataFrame): DataFrame = {
     val touched = store.touched(keys, struct(keyCols.map(col): _*))
     lww(store.read(spark, stored(schema), Some(touched)))
+      .where(!col("_deleted"))
       .join(keys.select(keyCols.map(col): _*).distinct(), keyCols)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Fold live dirs into one base holding just each key's winning row
     * (the `_batch` column is kept: later deltas must still outrank the
-    * base). Compact only batches whose upstream checkpoint is durable —
-    * a replayed batch j <= base K would stack `delta=j` on a base that
-    * already folded it, and the LWW order would then prefer the base's
-    * row from a HIGHER-numbered original batch, which is correct, but
-    * the replayed delta's bytes are dead weight until the next compact. */
+    * base). Tombstone-winning keys are dropped entirely — the base
+    * folds ALL surviving history, so no older version can resurface,
+    * and this is where deleted bytes physically leave storage. Compact
+    * only batches whose upstream checkpoint is durable — a replayed
+    * batch j <= base K would stack `delta=j` on a base that already
+    * folded it, and the LWW order would then prefer the base's row
+    * from a HIGHER-numbered original batch, which is correct, but the
+    * replayed delta's bytes are dead weight until the next compact. */
   def compact(spark: SparkSession, schema: StructType): Unit =
     store.compact(spark, stored(schema),
-      struct(keyCols.map(col): _*), lww)
+      struct(keyCols.map(col): _*),
+      df => lww(df).where(!col("_deleted")))
 
   /** Keep each key's highest-`_batch` row. */
   private def lww(all: DataFrame): DataFrame =

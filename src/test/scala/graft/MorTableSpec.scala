@@ -80,6 +80,24 @@ class MorTableSpec extends AnyFunSuite {
     }
   }
 
+  test("delete tombstones hide keys now, time travel still sees them, compaction removes the bytes") {
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.delete(Seq("a").toDF("k"), 1, schema)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("b", 1)))
+    assert(rows(t.snapshotAsOf(spark, schema, 0)) == Seq(("a", 1), ("b", 1)))
+    // a later upsert resurrects the key
+    t.upsert(Seq(("a", 5)).toDF("k", "v"), 2)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 5), ("b", 1)))
+    // delete again, then compact: the key's bytes physically leave storage
+    t.delete(Seq("a").toDF("k"), 3, schema)
+    t.compact(spark, schema)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("b", 1)))
+    assert(spark.read.parquet(root + "/base=3")
+      .where($"k" === "a").count() == 0, "no tombstone or version of 'a' survives compaction")
+  }
+
   test("streaming sink drains, resumes with new data, and late batches win") {
     val root = tmp()
     val in = root + "/in"
