@@ -94,9 +94,20 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     * (replace-by-batch-id in [[DeltaStore.append]]), so the sink is
     * idempotent end-to-end — the exactly-once story without any sink-
     * side transaction log beyond the delta dirs themselves. The batch
-    * is deduped on the key (LWW needs (key, batch) uniqueness). */
+    * is deduped on the key (LWW needs (key, batch) uniqueness).
+    *
+    * `compactEvery = Some(n)` folds the store after every n-th batch
+    * (ids n-1, 2n-1, ...) — the retention policy that keeps read-side
+    * fold cost and delta-listing cost bounded on an endless stream.
+    * Crash-safe even though the batch's commit-log entry lands after
+    * foreachBatch returns: if the stream dies between this compact and
+    * that commit, the batch REPLAYS under the same id and re-appends
+    * `delta=id` — which the covering rule ignores (id <= base K), so
+    * the replayed bytes are dead weight, never a double-count. The
+    * trade: compaction truncates time travel to the compact point. */
   def sink(input: DataFrame, checkpointDir: String,
-           availableNow: Boolean = true)
+           availableNow: Boolean = true,
+           compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = input.writeStream
       .outputMode("update")
@@ -104,6 +115,10 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.dropDuplicates(keyCols)
         if (!b.isEmpty) upsert(b, id.toInt)
+        compactEvery.foreach { n =>
+          if (id % n == n - 1) compact(batch.sparkSession,
+            StructType(batch.schema.fields.toSeq))
+        }
       }
     (if (availableNow) writer.trigger(
       org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -114,4 +114,37 @@ class MorTableSpec extends AnyFunSuite {
     assert(rows(t.snapshot(spark, schema)) ==
       Seq(("a", 9), ("b", 1), ("c", 9)))
   }
+
+  test("sink auto-compacts every n batches and the folded state stays right") {
+    val root = tmp()
+    val in = root + "/in"
+    val tbl = root + "/tbl"
+    val t = mor(tbl)
+    Seq(("a", 1)).toDF("k", "v").write.parquet(in)
+    val stream = () => spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    t.sink(stream(), root + "/ckpt", compactEvery = Some(2))
+      .awaitTermination(120000)
+    Seq(("b", 2)).toDF("k", "v").write.mode("append").parquet(in)
+    Seq(("a", 3)).toDF("k", "v").write.mode("append").parquet(in)
+    t.sink(stream(), root + "/ckpt", compactEvery = Some(2))
+      .awaitTermination(120000)
+    // batches 0,1,2 ran; compact fired after batch 1 → base=1 + delta=2
+    val names = new java.io.File(tbl).listFiles().map(_.getName).toSet
+    assert(names.contains("base=1"), s"expected base=1 in $names")
+    assert(!names.contains("delta=0") && !names.contains("delta=1"), names.toString)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 3), ("b", 2)))
+  }
+
+  test("schema evolution: a column added in later deltas null-fills older ones") {
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    val wide = Seq(("b", 2, "x")).toDF("k", "v", "w")
+    t.upsert(wide, 1)
+    val got = t.snapshot(spark, wide.schema)
+      .select("k", "v", "w").as[(String, Int, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1, None), ("b", 2, Some("x"))))
+  }
 }
