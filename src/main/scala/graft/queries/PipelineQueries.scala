@@ -1219,6 +1219,107 @@ object PipelineQueries {
         FROM g
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // ----------------------------------------------------------------
+    // q106: MorTable's tombstone deletes + time travel under the hash
+    // gate. Same 4-window upsert replay as q105, then TWO reads the
+    // oracle must model independently: (a) 'asof2' — the rollup over
+    // snapshotAsOf(batch 2), i.e. batch 3's [2000-01] window not yet
+    // applied (2000 carries b2's correction, 2001 absent) — taken
+    // BEFORE compaction, which truncates that history; (b) 'current' —
+    // after batch 4 DELETES every 1997 daily key (tombstones) and a
+    // compact makes the deletion physical, the full rollup minus 1997.
+    // A wrong LWW order, a tombstone that leaks into either view, an
+    // as-of bound off by one batch, or a compaction that resurrects or
+    // over-deletes history each flips the hash. Both views come off
+    // the SAME store instance the replay wrote — this is the
+    // GDPR-delete + reproducible-snapshot read path, end-to-end.
+    Q(
+      "q106_mor_delete_time_travel",
+      (s, dir) => {
+        val out = scratch(s, "q106_mor", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b)
+        }
+        def rollup(snap: org.apache.spark.sql.DataFrame, view: String) = snap
+          .groupBy(
+            col("coin_id"),
+            year(col("fetch_date")).as("year"),
+            month(col("fetch_date")).as("month"))
+          .agg(
+            min(col("price_usd")).as("min_price_usd"),
+            max(col("price_usd")).as("max_price_usd"))
+          .withColumn("vw", lit(view))
+        // time travel BEFORE compaction truncates the history
+        val asof = rollup(mor.snapshotAsOf(s, schema, 2), "asof2")
+          .localCheckpoint()
+        mor.delete(
+          orders.where(year(col("o_orderdate")) === 1997)
+            .select(
+              col("o_custkey").cast("string").as("coin_id"),
+              col("o_orderdate").as("fetch_date"))
+            .distinct(),
+          4, schema)
+        mor.compact(s, schema)
+        rollup(mor.snapshot(s, schema), "current")
+          .unionByName(asof)
+          .orderBy("vw", "coin_id", "year", "month")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS base
+          FROM orders
+          GROUP BY 1, 2, 3),
+        cur AS (
+          SELECT coin_id, yr,
+                 CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
+                 MIN(base + CAST(0.01 AS DOUBLE) *
+                     (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1
+                              WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END)) AS mn,
+                 MAX(base + CAST(0.01 AS DOUBLE) *
+                     (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1
+                              WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END)) AS mx
+          FROM g WHERE yr != 1997
+          GROUP BY 1, 2, 3),
+        av AS (
+          SELECT coin_id, yr,
+                 CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS month,
+                 MIN(base + CAST(0.01 AS DOUBLE) *
+                     (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                              ELSE 2 END)) AS mn,
+                 MAX(base + CAST(0.01 AS DOUBLE) *
+                     (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                              ELSE 2 END)) AS mx
+          FROM g WHERE yr <= 2000
+          GROUP BY 1, 2, 3)
+        SELECT coin_id, yr AS year, month, mn AS min_price_usd,
+               mx AS max_price_usd, 'current' AS vw FROM cur
+        UNION ALL
+        SELECT coin_id, yr AS year, month, mn AS min_price_usd,
+               mx AS max_price_usd, 'asof2' AS vw FROM av
+        ORDER BY vw, coin_id, year, month
       """))
   )
 
