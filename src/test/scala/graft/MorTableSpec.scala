@@ -14,8 +14,8 @@ class MorTableSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft_mor_").toString
 
-  private def mor(root: String) =
-    MorTable(DeltaStore(root, buckets = 8), Seq("k"))
+  private def mor(root: String, manifest: Boolean = false) =
+    MorTable(DeltaStore(root, buckets = 8, manifest = manifest), Seq("k"))
 
   private def rows(df: DataFrame): Seq[(String, Int)] =
     df.select("k", "v").as[(String, Int)].collect().sorted.toSeq
@@ -134,6 +134,43 @@ class MorTableSpec extends AnyFunSuite {
     assert(names.contains("base=1"), s"expected base=1 in $names")
     assert(!names.contains("delta=0") && !names.contains("delta=1"), names.toString)
     assert(rows(t.snapshot(spark, schema)) == Seq(("a", 3), ("b", 2)))
+  }
+
+  test("manifest protocol: same LWW/compact/as-of/replay semantics, zero renames of data") {
+    val root = tmp()
+    val t = mor(root, manifest = true)
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 2), ("b", 1)))
+    assert(rows(t.snapshotAsOf(spark, schema, 0)) == Seq(("a", 1), ("b", 1)))
+    // replay of batch 1 replaces its manifest entry (new epoch prefix)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 2), ("b", 1)))
+    t.compact(spark, schema)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 2), ("b", 1)))
+    // a replayed delta at/below the base id is ignored by the covering rule
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    t.upsert(Seq(("b", 9)).toDF("k", "v"), 2)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 2), ("b", 9)))
+    // layout is pointer + manifests + data prefixes — no delta=/base= dirs
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names.contains("_current") && names.contains("data"), names.toString)
+    assert(!names.exists(n => n.startsWith("delta=") || n.startsWith("base=")))
+  }
+
+  test("manifest protocol: unreferenced prefixes are invisible and GC'd by heal") {
+    val root = tmp()
+    val t = mor(root, manifest = true)
+    t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    // simulate a crash mid-append: a data prefix written but never committed
+    val orphan = new java.io.File(root, "data/d9_e99/gbucket=0")
+    orphan.mkdirs()
+    Seq(("zz", 666)).toDF("k", "v").write.mode("overwrite")
+      .parquet(orphan.getPath)
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 1)), "orphan invisible")
+    t.store.heal()
+    assert(!new java.io.File(root, "data/d9_e99").exists(), "orphan GC'd")
+    assert(rows(t.snapshot(spark, schema)) == Seq(("a", 1)))
   }
 
   test("schema evolution: a column added in later deltas null-fills older ones") {
