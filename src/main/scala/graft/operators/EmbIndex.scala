@@ -47,11 +47,11 @@ object EmbIndex {
     StructField("band", IntegerType), StructField("bkey", LongType),
     StructField("rk", IntegerType)))
 
-  private def stores(root: String, buckets: Int) =
-    (DeltaStore(s"$root/vecs", buckets), DeltaStore(s"$root/keys", buckets))
+  private def stores(root: String, buckets: Int, manifest: Boolean) =
+    (DeltaStore(s"$root/vecs", buckets, manifest), DeltaStore(s"$root/keys", buckets, manifest))
 
-  def heal(root: String, buckets: Int = 16): Unit = {
-    val (vecs, keys) = stores(root, buckets)
+  def heal(root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
+    val (vecs, keys) = stores(root, buckets, manifest)
     vecs.heal(); keys.heal()
   }
 
@@ -64,9 +64,9 @@ object EmbIndex {
     * batch; materialized before return. */
   def upsertBatch(spark: SparkSession, vecs: DataFrame, root: String,
                   batchId: Int, width: Int, bucketCap: Int,
-                  buckets: Int = 16): DataFrame = {
-    val (vecsStore, keysStore) = stores(root, buckets)
-    heal(root, buckets)
+                  buckets: Int = 16, manifest: Boolean = false): DataFrame = {
+    val (vecsStore, keysStore) = stores(root, buckets, manifest)
+    heal(root, buckets, manifest)
     val w = width.toString
     val emb = vecs
       .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
@@ -142,8 +142,8 @@ object EmbIndex {
 
   /** Fold each state table's deltas into one base — rows are immutable
     * in both tables, so the fold is the identity union. */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
-    val (vecsStore, keysStore) = stores(root, buckets)
+  def compact(spark: SparkSession, root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
+    val (vecsStore, keysStore) = stores(root, buckets, manifest)
     vecsStore.compact(spark, vecsSchema, col("vec_id"), identity)
     keysStore.compact(spark, keysSchema, col("bkey"), identity)
   }

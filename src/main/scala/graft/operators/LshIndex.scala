@@ -64,13 +64,13 @@ object LshIndex {
     StructField("band", IntegerType), StructField("bkey", StringType),
     StructField("rk", IntegerType)))
 
-  private def stores(root: String, buckets: Int) =
-    (DeltaStore(s"$root/df", buckets), DeltaStore(s"$root/sets", buckets),
-      DeltaStore(s"$root/bands", buckets))
+  private def stores(root: String, buckets: Int, manifest: Boolean) =
+    (DeltaStore(s"$root/df", buckets, manifest), DeltaStore(s"$root/sets", buckets, manifest),
+      DeltaStore(s"$root/bands", buckets, manifest))
 
   /** Drop dead staging dirs of all three state tables. */
-  def heal(root: String, buckets: Int = 16): Unit = {
-    val (df, sets, bands) = stores(root, buckets)
+  def heal(root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
+    val (df, sets, bands) = stores(root, buckets, manifest)
     df.heal(); sets.heal(); bands.heal()
   }
 
@@ -85,9 +85,9 @@ object LshIndex {
     */
   def upsertBatch(spark: SparkSession, docs: DataFrame, root: String,
                   batchId: Int, dfCap: Int, bucketCap: Int,
-                  buckets: Int = 16): DataFrame = {
-    val (dfStore, setsStore, bandsStore) = stores(root, buckets)
-    heal(root, buckets)
+                  buckets: Int = 16, manifest: Boolean = false): DataFrame = {
+    val (dfStore, setsStore, bandsStore) = stores(root, buckets, manifest)
+    heal(root, buckets, manifest)
     // -- batch shingles: same tokenizer/trigram family as q33-q35,
     //    distinct per doc, computed for the BATCH only. Persisted: the
     //    explode+regex pipeline is the dominant per-batch compute and
@@ -227,8 +227,8 @@ object LshIndex {
     * df deltas sum-merge on the shingle key; sets/bands rows are
     * immutable and union as-is. Only compact batches whose emissions
     * are durably committed (see the store's replay contract). */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
-    val (dfStore, setsStore, bandsStore) = stores(root, buckets)
+  def compact(spark: SparkSession, root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
+    val (dfStore, setsStore, bandsStore) = stores(root, buckets, manifest)
     dfStore.compact(spark, dfSchema, col("tri"),
       all => all.groupBy("tri").agg(sum("cnt").as("cnt")))
     setsStore.compact(spark, setsSchema, col("doc_id"), identity)

@@ -23,13 +23,14 @@ class LshIndexSpec extends AnyFunSuite {
       s"tail one two $salt")
 
   private def replay(docs: Seq[(Long, String)], root: String,
-                     batchOf: Long => Int, nBatches: Int): Seq[DataFrame] = {
+                     batchOf: Long => Int, nBatches: Int,
+                     manifest: Boolean = false): Seq[DataFrame] = {
     val df = docs.toDF("doc_id", "text")
     (0 until nBatches).map { k =>
       val ids = docs.collect { case (id, _) if batchOf(id) == k => id }
       val out = LshIndex.upsertBatch(
         spark, df.where(col("doc_id").isin(ids: _*)), root,
-        batchId = k, dfCap = 20, bucketCap = 20)
+        batchId = k, dfCap = 20, bucketCap = 20, manifest = manifest)
       out
     }
   }
@@ -66,6 +67,26 @@ class LshIndexSpec extends AnyFunSuite {
     assert(all.distinct.size == all.size, "a pair must be emitted exactly once")
     // every cross-batch near-dup combination of the 6 docs is found
     assert(all.size == 15, s"expected all 15 pairs, got ${all.size}")
+  }
+
+  test("manifest protocol replays emit bit-identical pairs (with mid-replay compact)") {
+    val docs = Seq(doc(1, "aa"), doc(2, "ab"), doc(3, "ac"), doc(4, "ad"),
+                   doc(5, "ae"), doc(6, "af"))
+    def run(manifest: Boolean): Seq[Seq[String]] = {
+      val root = tmp()
+      val df = docs.toDF("doc_id", "text")
+      (0 until 3).map { k =>
+        val ids = docs.collect { case (id, _) if (id % 3).toInt == k => id }
+        val out = LshIndex.upsertBatch(
+          spark, df.where(col("doc_id").isin(ids: _*)), root,
+          batchId = k, dfCap = 20, bucketCap = 20, manifest = manifest)
+          .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+        if (k == 1) LshIndex.compact(spark, root, manifest = manifest)
+        out
+      }
+    }
+    assert(run(manifest = true) == run(manifest = false),
+      "commit protocol must not change emitted pairs")
   }
 
   test("capped sets freeze at insert: a shingle heated past the cap by a later batch still counts for earlier docs") {
