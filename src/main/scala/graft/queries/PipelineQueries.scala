@@ -1326,6 +1326,66 @@ object PipelineQueries {
         SELECT coin_id, yr AS year, month, mn AS min_price_usd,
                mx AS max_price_usd, 'asof2' AS vw FROM av
         ORDER BY vw, coin_id, year, month
+      """)),
+
+    // ----------------------------------------------------------------
+    // q107: bucket-pruned MOR point lookup — the read path that makes
+    // an LSM table usable as a serving store: probe keys hash to their
+    // gbuckets, ONLY those bucket dirs of the live base+deltas are
+    // read (1-2 of 16 at sf0.01 — the probe is o_custkey % 997 = 3, a
+    // scale-invariant sparse id set), the LWW fold runs over that
+    // pruned slice, and an inner join restricts to the probe. Gates
+    // lookup()'s whole contract: pruning must not lose any covering
+    // delta for a probed key (a bucket function inconsistency between
+    // write and read would silently drop updates — the hash catches
+    // it), and fold order must still pick each key's LAST covering
+    // batch. Completes MorTable's read-API gate coverage: snapshot
+    // (q105), as-of + deletes (q106), point lookup (q107).
+    Q(
+      "q107_mor_point_lookup",
+      (s, dir) => {
+        val out = scratch(s, "q107_mor", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b)
+        }
+        val probe = orders
+          .where(col("o_custkey") % 997 === 3)
+          .select(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+        mor.lookup(s, schema, probe)
+          .orderBy("coin_id", "fetch_date")
+      },
+      Some("""
+        SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+               o_orderdate AS fetch_date,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 + CAST(0.01 AS DOUBLE) *
+                   (CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                      WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                      WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END) AS price_usd
+        FROM orders
+        WHERE o_custkey % 997 = 3
+        GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 
