@@ -1386,6 +1386,64 @@ object PipelineQueries {
         WHERE o_custkey % 997 = 3
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q108: incremental table statistics — ANALYZE maintenance at
+    // O(batch). A planner's column stats (min/max/nulls/rowcount; what
+    // drives pruning, join sizing, and this engine's own table-stats
+    // caches) must not cost a full-table rescan per ingest at 100 TB.
+    // Four DISJOINT year batches each scan only their own rows, unpivot
+    // the three profiled columns with ONE stack inside the scan's
+    // codegen stage, and append a 3-row partial-profile delta; the
+    // current profile is the fold (min of mins / max of maxes / summed
+    // counts — all mergeable exactly, no sketches needed). A compact
+    // after batch 2 folds history into a base mid-replay. Oracle =
+    // the ONE-SHOT profile over the whole table: maintenance ≡
+    // recompute, the view-maintenance theorem for statistics.
+    Q(
+      "q108_incremental_stats",
+      (s, dir) => {
+        val out = scratch(s, "q108_stats", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val store = graft.operators.DeltaStore(out + "/stats", 4)
+        val windows = Seq((1995, 1996), (1997, 1998), (1999, 1999), (2000, 2001))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          graft.operators.IncrementalStats.appendBatch(
+            store,
+            orders.where(year(col("o_orderdate")).between(y0, y1)),
+            cols, b)
+          if (b == 2) graft.operators.IncrementalStats.compact(s, store)
+        }
+        graft.operators.IncrementalStats.profile(s, store)
+          .orderBy("col_name")
+      },
+      Some("""
+        SELECT 'o_custkey' AS col_name,
+               MIN(CAST(o_custkey AS DOUBLE)) AS mn,
+               MAX(CAST(o_custkey AS DOUBLE)) AS mx,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey',
+               MIN(CAST(o_orderkey AS DOUBLE)), MAX(CAST(o_orderkey AS DOUBLE)),
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE)),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        ORDER BY col_name
       """))
   )
 
