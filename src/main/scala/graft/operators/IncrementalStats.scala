@@ -35,6 +35,10 @@ object IncrementalStats {
     * append the per-column partials as the delta for `batchId`. */
   def appendBatch(store: DeltaStore, batch: DataFrame, cols: Seq[String],
                   batchId: Int): Unit = {
+    // column names are spliced into a SQL expression — refuse anything
+    // that is not a plain identifier rather than mis-parse it
+    require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profiled columns must be plain identifiers: $cols")
     val stackExpr = s"stack(${cols.size}, " +
       cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
       ") as (col_name, v)"
