@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.StructType
 /** LSM-style append-only bucketed table: per-batch delta dirs holding
   * hash-bucketed subdirs (`dir/delta=K/gbucket=B/part-*.parquet`),
   * periodically folded into a `base=K` dir. The state-store seam the
-  * incremental index family ([[LshIndex]], [[EmbIndex]]) and the
-  * merge-on-read table ([[MorTable]]) build on.
+  * incremental index family ([[LshIndex]], [[EmbIndex]]), the
+  * merge-on-read table ([[MorTable]]), and incremental statistics
+  * ([[IncrementalStats]]) build on.
   *
   * Design point (vs [[graft.streaming.BucketedSnapshot]]'s
   * read-merge-rewrite buckets): when a batch's keys hash into every
