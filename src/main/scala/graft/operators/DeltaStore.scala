@@ -31,18 +31,27 @@ import org.apache.spark.sql.types.StructType
   *     readable, non-double-counting state. [[heal]] drops dead
   *     staging dirs.
   *   - `manifest = true` (object-store-safe, NO renames anywhere):
-  *     data prefixes are written DIRECTLY to their final, epoch-unique
+  *     data prefixes are written DIRECTLY to their final, unique
   *     paths (`data/d<K>_e<E>/gbucket=B/...`) — invisible until a
   *     manifest object (`manifest=<E>`) listing the live (kind, id,
-  *     prefix) entries is written and the `_current` pointer is moved
-  *     to E (here a tmp-file rename standing in for the object
-  *     store's atomic PUT / conditional copy, exactly
-  *     [[graft.streaming.ManifestTable]]'s move). Replay rewrites the
-  *     same batch id under a NEW epoch prefix and the manifest entry
-  *     is replaced, so in-place overwrites never happen; a crash
-  *     mid-write leaves an unreferenced prefix that readers never see
-  *     and [[heal]] garbage-collects. Single-writer assumption, as in
-  *     every manifest-pointer design.
+  *     prefix) entries is COMMITTED: an atomic create-if-absent of
+  *     the complete object (a hard link of a privately-written tmp —
+  *     POSIX's stand-in for an object store's if-none-match
+  *     conditional PUT). The newest manifest is authoritative; the
+  *     `_current` pointer is a lagging hint. The create-if-absent IS
+  *     the optimistic-concurrency control: epoch E+1 has exactly one
+  *     winner, a loser re-reads the newest manifest, REBASES its
+  *     entries (append keeps everything and replaces its own batch;
+  *     compact keeps concurrent deltas above its fold horizon), and
+  *     retries at the next epoch — so concurrent ingest and
+  *     compaction interleave without dropping each other's committed
+  *     entries. Replay rewrites the same batch id under a NEW unique
+  *     prefix and the manifest entry is replaced, so in-place
+  *     overwrites never happen; a crash mid-write leaves an
+  *     unreferenced prefix that readers never see and [[heal]]
+  *     garbage-collects — but GC is maintenance-only (never
+  *     concurrent with in-flight appends; see [[healManifest]]).
+  *     The rename protocol remains single-writer.
   */
 final case class DeltaStore(dir: String, buckets: Int = 16,
                             manifest: Boolean = false) {
@@ -55,6 +64,22 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
   def touched(df: DataFrame, key: Column): Seq[Int] =
     df.select(gb(key).as("g")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** A store dir is permanently owned by the protocol that first wrote
+    * it. Opening it under the OTHER protocol would find none of that
+    * protocol's artifacts and silently read an EMPTY table — data
+    * appearing lost with no error — so every read/write path refuses
+    * a dir carrying the other protocol's markers instead. */
+  private def checkProtocol(): Unit = {
+    val names = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    if (manifest)
+      require(!names.exists(n => n.startsWith("delta=") || n.startsWith("base=")),
+        s"$dir holds rename-protocol dirs but was opened with manifest = true")
+    else
+      require(!names.contains("_current"),
+        s"$dir holds a manifest-protocol pointer but was opened with manifest = false")
+  }
 
   def heal(): Unit =
     if (manifest) healManifest()
@@ -72,6 +97,7 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * log), so an `asOf` older than the base is refused rather than
     * answered wrongly. */
   private def liveEntries(asOf: Option[Int]): Seq[(Boolean, Int, java.io.File)] = {
+    checkProtocol()
     val raw: Seq[(Boolean, Int, java.io.File)] =
       if (manifest) {
         readManifest() match {
@@ -114,11 +140,31 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
   /** Bucket-pruned union of the live dirs (every bucket if `touched`
     * is None); empty frame with `schema` when none exist. `asOf`
     * restricts to deltas <= that batch (time travel back to the last
-    * compact; older as-of values are refused — see [[liveEntries]]). */
+    * compact; older as-of values are refused — see [[liveEntries]]).
+    *
+    * `table` selects one sub-table of a grouped store (the
+    * `tbl=<name>` level [[appendTables]] writes below each delta).
+    *
+    * `excludeDelta` drops that one delta id from the read — the
+    * PRIOR-state read of a writer about to (re)append that batch:
+    * without it, a checkpoint replay of an already-committed batch
+    * would read its own previous delta as "prior" state and derive
+    * different rows than the original run, breaking replay
+    * determinism; with it, the replay recomputes bit-identical state
+    * and replaces the delta identically.
+    *
+    * Deltas written before a column existed read as null for that
+    * column (parquet scans fill requested-but-absent columns) — the
+    * added-column schema-evolution path; a TYPE change to an existing
+    * column is not supported and fails loudly at scan time. */
   def read(spark: SparkSession, schema: StructType,
-           touched: Option[Seq[Int]], asOf: Option[Int] = None): DataFrame = {
+           touched: Option[Seq[Int]], asOf: Option[Int] = None,
+           table: Option[String] = None,
+           excludeDelta: Option[Int] = None): DataFrame = {
     val paths = for {
-      (_, _, d) <- liveEntries(asOf)
+      (isBase, id, d0) <- liveEntries(asOf)
+      if !(!isBase && excludeDelta.contains(id))
+      d = table.map(t => new java.io.File(d0, s"tbl=$t")).getOrElse(d0)
       sub <- Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
       if sub.isDirectory && sub.getName.startsWith("gbucket=")
       if touched.forall(_.exists(k => sub.getName == s"gbucket=$k"))
@@ -142,17 +188,41 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * delta — measured as a dominant replay cost (file-open overhead on
     * both sides). At production batch sizes the partition count scales
     * with batch bytes over target file size instead. */
-  def append(df: DataFrame, batchId: Int, within: Seq[Column]): Unit = {
+  def append(df: DataFrame, batchId: Int, within: Seq[Column]): Unit =
+    appendWith(df, batchId, within, Seq("gbucket"))
+
+  /** Grouped-commit append: `union` carries a `tbl` discriminator
+    * column (plus `gbucket`), holding several logical tables' delta
+    * rows in ONE frame — written as ONE Spark job and promoted by ONE
+    * atomic commit (`delta=K/tbl=<name>/gbucket=B/...`). This is the
+    * multi-table transaction the incremental indexes need: [[LshIndex]]
+    * maintains three state tables per ingest batch, and three separate
+    * append cycles cost three shuffles + three commits per batch
+    * (measured ~20% of the sf0.1 bench as fixed orchestration) AND can
+    * crash between commits, leaving tables at different batches. One
+    * grouped commit is all-or-nothing across the tables. Read back one
+    * table via `read(..., table = Some(name))`; fold with
+    * [[compactTables]]. */
+  def appendTables(union: DataFrame, batchId: Int,
+                   within: Seq[Column]): Unit =
+    appendWith(union, batchId, within, Seq("tbl", "gbucket"))
+
+  private def appendWith(df: DataFrame, batchId: Int, within: Seq[Column],
+                         partCols: Seq[String]): Unit = {
+    checkProtocol()
     def write(target: java.io.File): Unit =
       df.repartition(buckets, col("gbucket"))
-        .sortWithinPartitions((col("gbucket") +: within): _*)
-        .write.partitionBy("gbucket").mode("overwrite")
+        .sortWithinPartitions((partCols.map(col) ++ within): _*)
+        .write.partitionBy(partCols: _*).mode("overwrite")
         .parquet(target.getPath)
     if (manifest) {
-      val (epoch, entries) = readManifest().getOrElse((0L, Nil))
-      val rel = s"data/d${batchId}_e${epoch + 1}"
+      // the prefix name only needs uniqueness (it is data-invisible
+      // until referenced); the basing epoch serves, even if the commit
+      // later lands at a higher one after conflict retries
+      val (epoch0, _) = readManifest().getOrElse((0L, Nil))
+      val rel = s"data/d${batchId}_e${epoch0 + 1}"
       write(new java.io.File(dir, rel))
-      commitManifest(epoch + 1,
+      commitManifest(entries =>
         entries.filterNot { case (isBase, id, _) => !isBase && id == batchId } :+
           ((false, batchId, rel)))
     } else {
@@ -177,47 +247,96 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * replayed bytes are ignored by the covering rule / replaced entry,
     * but they are dead weight until the next compact). */
   def compact(spark: SparkSession, schema: StructType, key: Column,
-              fold: DataFrame => DataFrame): Unit = {
+              fold: DataFrame => DataFrame): Unit =
+    compactWith(Seq("gbucket"), Seq(key)) { _ =>
+      fold(read(spark, schema, None))
+        .withColumn("gbucket", gb(key))
+    }
+
+  /** Grouped-commit fold of a multi-table store ([[appendTables]]):
+    * each (name, schema, key, fold) is folded independently, and all
+    * folds land in ONE base written by ONE Spark job and promoted by
+    * ONE atomic commit — the tables can never be compacted to
+    * different batch horizons. */
+  def compactTables(spark: SparkSession,
+                    tables: Seq[(String, StructType, Column, DataFrame => DataFrame)]): Unit =
+    // per-table sort keys, masked to their own tbl slice so another
+    // table's key column (possibly shared, e.g. vec_id) cannot steal
+    // sort precedence inside a slice
+    compactWith(Seq("tbl", "gbucket"),
+        tables.map { case (n, _, key, _) => when(col("tbl") === lit(n), key) }) { _ =>
+      tables.map { case (name, schema, key, fold) =>
+        fold(read(spark, schema, None, table = Some(name)))
+          .withColumn("tbl", lit(name))
+          .withColumn("gbucket", gb(key))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  private def compactWith(partCols: Seq[String], within: Seq[Column])
+                         (mkFolded: Unit => DataFrame): Unit = {
     heal()
     val live = liveEntries(None)
     if (live.nonEmpty) {
       val k = live.map(_._2).max
-      val folded = fold(read(spark, schema, None))
-        .withColumn("gbucket", gb(key))
+      val folded = mkFolded(())
         .repartition(buckets, col("gbucket"))
-        .sortWithinPartitions(col("gbucket"), key)
+        .sortWithinPartitions((partCols.map(col) ++ within): _*)
       if (manifest) {
-        val (epoch, _) = readManifest().getOrElse((0L, Nil))
-        val rel = s"data/b${k}_e${epoch + 1}"
-        folded.write.partitionBy("gbucket").mode("overwrite")
+        val (epoch0, _) = readManifest().getOrElse((0L, Nil))
+        val rel = s"data/b${k}_e${epoch0 + 1}"
+        folded.write.partitionBy(partCols: _*).mode("overwrite")
           .parquet(new java.io.File(dir, rel).getPath)
-        commitManifest(epoch + 1, Seq((true, k, rel)))
+        // rebase on conflict: keep every delta a concurrent ingest
+        // committed ABOVE the fold horizon k; a concurrently-replayed
+        // delta <= k is covered by the new base (the covering rule
+        // would ignore it anyway) and is dropped
+        commitManifest(entries =>
+          ((true, k, rel)) +: entries.filter {
+            case (isBase, id, _) => !isBase && id > k })
         healManifest() // old prefixes are now unreferenced — GC them
       } else {
         val d = new java.io.File(dir)
         val staging = new java.io.File(d, s".staging_compact_$k")
         if (staging.exists()) DeltaStore.delete(staging)
-        folded.write.partitionBy("gbucket").mode("overwrite")
+        folded.write.partitionBy(partCols: _*).mode("overwrite")
           .parquet(staging.getPath)
         val target = new java.io.File(d, s"base=$k")
         if (target.exists()) DeltaStore.delete(target)
         if (!staging.renameTo(target))
           throw new java.io.IOException(s"cannot promote $staging to $target")
-        live.map(_._3).filter(_.getName != s"base=$k").foreach(DeltaStore.delete)
+        // GC every dir the new base covers — including previously-dead
+        // replayed deltas (id <= an OLDER base) that were never in the
+        // live set and would otherwise accrue forever.
+        Option(d.listFiles()).foreach(_.foreach { f =>
+          val n = f.getName
+          if ((n.startsWith("delta=") && n.stripPrefix("delta=").toInt <= k) ||
+              (n.startsWith("base=") && n.stripPrefix("base=").toInt < k))
+            DeltaStore.delete(f)
+        })
       }
     }
   }
 
   // ---- manifest protocol internals -------------------------------
 
-  /** (epoch, entries) from the current pointer; None before the first
-    * commit. Entry = (isBase, id, relative data prefix). */
+  /** Test seam: invoked between a commit attempt's epoch read and its
+    * CAS — the window where a concurrent writer can slip in. Specs use
+    * it to force deterministic interleavings; production leaves it a
+    * no-op. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** (epoch, entries) of the NEWEST committed manifest; None before
+    * the first commit. Entry = (isBase, id, relative data prefix).
+    * The max `manifest=<E>` object is authoritative — a manifest
+    * exists only fully written (commit is an atomic create of the
+    * complete object), so the newest one is always readable; the
+    * `_current` pointer is a lagging hint (it cannot be written
+    * race-free by concurrent winners), kept for GC and operators. */
   private def readManifest(): Option[(Long, Seq[(Boolean, Int, String)])] = {
-    val cur = new java.io.File(dir, "_current")
-    if (!cur.exists()) None
-    else {
-      val epoch = new String(java.nio.file.Files.readAllBytes(cur.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    val epochs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("manifest="))
+      .map(_.stripPrefix("manifest=").toLong)
+    epochs.maxOption.map { epoch =>
       val mf = new java.io.File(dir, s"manifest=$epoch")
       val entries = new String(java.nio.file.Files.readAllBytes(mf.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -225,36 +344,82 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
           val Array(kind, id, rel) = line.split("\t")
           (kind == "base", id.toInt, rel)
         }
-      Some((epoch, entries))
+      (epoch, entries)
     }
   }
 
-  /** Write `manifest=<epoch>` (a new object), then move the pointer —
-    * the single atomic step. Deltas sort by id for deterministic read
-    * order. */
-  private def commitManifest(epoch: Long,
-                             entries: Seq[(Boolean, Int, String)]): Unit = {
+  /** ONE optimistic-concurrency commit attempt: write the complete
+    * manifest body to a private tmp, then atomically create
+    * `manifest=<epoch>` from it (hard link — create-if-absent is
+    * atomic on POSIX, and is exactly an object store's if-none-match
+    * conditional PUT). Returns false when another writer already owns
+    * that epoch — the caller re-reads the newest manifest, REBASES its
+    * entries on it, and retries at the next epoch, so concurrent
+    * ingest and compaction interleave without dropping each other's
+    * entries. Deltas sort by id for deterministic read order. */
+  private def tryCommitManifest(epoch: Long,
+                                entries: Seq[(Boolean, Int, String)]): Boolean = {
     val d = new java.io.File(dir)
     d.mkdirs()
+    onBeforeCommit()
     val body = entries.sortBy { case (isBase, id, _) => (!isBase, id) }
       .map { case (isBase, id, rel) =>
         s"${if (isBase) "base" else "delta"}\t$id\t$rel" }
       .mkString("\n")
-    java.nio.file.Files.write(
-      new java.io.File(d, s"manifest=$epoch").toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val tmp = new java.io.File(d, "_current.tmp")
+    val tmp = new java.io.File(d,
+      s".mf_${epoch}_${Thread.currentThread().getId}_${System.nanoTime()}.tmp")
     java.nio.file.Files.write(tmp.toPath,
-      epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(d, "_current").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val won =
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(d, s"manifest=$epoch").toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally tmp.delete()
+    if (won) {
+      // advance the pointer hint monotonically; losers of this benign
+      // read-check-write race are corrected by the next winner or heal
+      val cur = new java.io.File(d, "_current")
+      val curEpoch =
+        if (!cur.exists()) -1L
+        else new String(java.nio.file.Files.readAllBytes(cur.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      if (curEpoch < epoch) {
+        val ptmp = new java.io.File(d, s"._current_${System.nanoTime()}.tmp")
+        java.nio.file.Files.write(ptmp.toPath,
+          epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(ptmp.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    won
   }
 
-  /** GC: delete data prefixes and manifest objects the current pointer
+  /** Commit with rebase-and-retry: `rebase` maps the newest committed
+    * entry list to the desired one; retried until a CAS wins. */
+  private def commitManifest(
+      rebase: Seq[(Boolean, Int, String)] => Seq[(Boolean, Int, String)]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 1000, s"manifest commit on $dir live-locked")
+      val (epoch, entries) = readManifest().getOrElse((0L, Nil))
+      done = tryCommitManifest(epoch + 1, rebase(entries))
+    }
+  }
+
+  /** GC: delete data prefixes and manifest objects the NEWEST manifest
     * does not reference (crash orphans, replaced replay prefixes,
-    * pre-compact history). Single-writer, so nothing unreferenced can
-    * become referenced again. */
+    * pre-compact history, superseded manifests, commit-attempt tmps).
+    * Committed entries are never lost to concurrent writers (the CAS
+    * protocol), but GC itself is a MAINTENANCE-ONLY operation: it must
+    * not run while an append is between its data write and its commit,
+    * or it would collect the not-yet-referenced prefix — the same rule
+    * every table format applies to orphan-file cleanup. */
   private def healManifest(): Unit = {
     readManifest().foreach { case (epoch, entries) =>
       val liveRel = entries.map(_._3).toSet
@@ -263,14 +428,26 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
         if (!liveRel.contains(s"data/${f.getName}")) DeltaStore.delete(f)
       })
       Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith("manifest=") &&
-          f.getName.stripPrefix("manifest=").toLong != epoch) f.delete()
+        if ((f.getName.startsWith("manifest=") &&
+              f.getName.stripPrefix("manifest=").toLong != epoch) ||
+            f.getName.startsWith(".mf_") || f.getName.startsWith("._current_"))
+          f.delete()
       })
     }
   }
 }
 
 object DeltaStore {
+  /** Open an EXISTING store, detecting its commit protocol from the
+    * artifacts on disk (`_current` pointer → manifest; otherwise
+    * rename) — the reader-side complement of [[DeltaStore.checkProtocol]]:
+    * a consumer that only reads should not have to know which protocol
+    * the writer chose. An empty/missing dir opens as rename (reads
+    * empty). */
+  def open(dir: String, buckets: Int = 16): DeltaStore =
+    DeltaStore(dir, buckets,
+      manifest = new java.io.File(dir, "_current").exists())
+
   private[operators] def delete(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
     f.delete()

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * Batches must PARTITION the table (each row counted once) — the
   * same contract as any additive accumulator; upsert-style overlap
   * belongs in [[MorTable]], whose snapshot can be profiled instead.
+  *
+  * Load-bearing consumer: a profile stored at the `<dir>/_stats`
+  * convention location of an embeddings dir is read by
+  * `SimilarityQueries.embCount` (protocol auto-detected via
+  * [[DeltaStore.open]]) to resolve the adaptive sign-key width without
+  * a footer-count job — the first planner decision in this engine
+  * driven by maintained statistics rather than a scan.
   */
 object IncrementalStats {
 
@@ -39,6 +46,16 @@ object IncrementalStats {
     // that is not a plain identifier rather than mis-parse it
     require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"profiled columns must be plain identifiers: $cols")
+    // the profile casts to double — a non-numeric column would silently
+    // profile as all-null (nulls == cnt, mn/mx null) and feed a planner
+    // wrong null fractions with no signal, so refuse it up front
+    cols.foreach { c =>
+      val f = batch.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"profiled column $c is not in the batch schema: ${batch.schema.fieldNames.mkString(", ")}"))
+      require(f.dataType.isInstanceOf[NumericType] || f.dataType == BooleanType,
+        s"profiled column $c has non-numeric type ${f.dataType.simpleString}")
+    }
     val stackExpr = s"stack(${cols.size}, " +
       cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
       ") as (col_name, v)"

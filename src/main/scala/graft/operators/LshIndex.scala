@@ -8,39 +8,53 @@ import org.apache.spark.sql.types._
 import graft.queries.SimilarityQueries
 
 /** Incremental MinHash-LSH dedup index — dedup a NEW ingest batch
-  * against the already-indexed corpus in O(batch) WRITE work and
-  * bucket-pruned read work, without recomputing shingles, minhashes,
-  * or band buckets for anything previously ingested. This is the
-  * maintenance story of the q33–q35/q84 batch dedup family (the
-  * reference runs one-shot corpus jobs; a production training-data
-  * pipeline re-dedups every crawl increment, which at 100 TB must not
-  * be a corpus recompute).
+  * against the already-indexed corpus in O(batch) WRITE work, without
+  * recomputing shingles, minhashes, or band buckets for anything
+  * previously ingested. This is the maintenance story of the
+  * q33–q35/q84 batch dedup family (the reference runs one-shot corpus
+  * jobs; a production training-data pipeline re-dedups every crawl
+  * increment, which at 100 TB must not be a corpus recompute).
   *
-  * State is three [[DeltaStore]] tables under `root/` (LSM append-only
-  * delta dirs, staged-rename commits, base-folding compaction):
+  * State is ONE grouped [[DeltaStore]] at `root` holding three logical
+  * tables as `tbl=` slices of each delta (`delta=K/tbl=<t>/gbucket=B`),
+  * so a batch's whole state advance is ONE write job and ONE atomic
+  * commit — all three tables move to batch K together or not at all
+  * (three separate stores could crash between commits and leave the
+  * df counts a batch ahead of the sets; they also cost three shuffles
+  * and three commit cycles per batch, measured as ~20% of the sf0.1
+  * bench in fixed orchestration):
   *
-  *   - `df/`    (tri, cnt)      bucketed on the shingle — PER-BATCH
+  *   - `tbl=df`    (tri, cnt)      bucketed on the shingle — PER-BATCH
   *     count deltas; the corpus-global document frequency behind the
   *     hot-shingle cap is their running sum, merged at read for just
   *     the probing batch's shingles;
-  *   - `sets/`  (doc_id, ts)    bucketed on the doc — each doc's
+  *   - `tbl=sets`  (doc_id, ts)    bucketed on the doc — each doc's
   *     capped shingle set FROZEN at its insert batch (index entries
   *     are immutable: later batches may push a shingle past the df
   *     cap, but an already-written set is not revisited — the
   *     standard incremental-index trade, mirrored exactly by the q103
   *     oracle's cumulative-df-at-insert-batch semantics);
-  *   - `bands/` (doc_id, batch, band, bkey, rk) bucketed on the band
-  *     key — only rows that won a bucket slot (rk <= bucketCap,
+  *   - `tbl=bands` (doc_id, batch, band, bkey, rk) bucketed on the
+  *     band key — only rows that won a bucket slot (rk <= bucketCap,
   *     arrival order = (batch, doc_id)) are stored, so the occupancy
   *     cap the batch pipeline applies with one window is enforced
   *     here by construction of the persisted state.
   *
-  * Per-batch compute: shingle + minhash work is O(batch docs) only;
-  * bucket-id collects are driver-side metadata bounded by the store's
-  * bucket count. Candidate-pair emission is bounded by bucketCap² per
-  * band bucket exactly as in the batch pipeline, and candidates come
-  * from ONE keyed equi-join of the batch's kept bands against the
-  * pruned band buckets — never a scan of the corpus.
+  * Prior-state reads exclude the batch's own delta id
+  * ([[DeltaStore.read]]'s `excludeDelta`), so a checkpoint REPLAY of
+  * an already-committed batch recomputes bit-identical state and
+  * emissions. They are NOT gbucket-pruned: an ingest batch's shingle
+  * vocabulary, band keys, and candidate ids hash into essentially
+  * every bucket (measured: zero pruning at sf0.1 for the price of one
+  * extra distinct+collect job per read — bucket pruning is the POINT-
+  * probe path, [[MorTable.lookup]]); the reads stay bounded because
+  * each is immediately joined against batch-derived keys.
+  *
+  * Per-batch compute: shingle + minhash work is O(batch docs) only.
+  * Candidate-pair emission is bounded by bucketCap² per band bucket
+  * exactly as in the batch pipeline, and candidates come from ONE
+  * keyed equi-join of the batch's kept bands against the stored bands
+  * — never an all-pairs scan of the corpus.
   */
 object LshIndex {
 
@@ -64,15 +78,9 @@ object LshIndex {
     StructField("band", IntegerType), StructField("bkey", StringType),
     StructField("rk", IntegerType)))
 
-  private def stores(root: String, buckets: Int, manifest: Boolean) =
-    (DeltaStore(s"$root/df", buckets, manifest), DeltaStore(s"$root/sets", buckets, manifest),
-      DeltaStore(s"$root/bands", buckets, manifest))
-
-  /** Drop dead staging dirs of all three state tables. */
-  def heal(root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
-    val (df, sets, bands) = stores(root, buckets, manifest)
-    df.heal(); sets.heal(); bands.heal()
-  }
+  /** Drop dead staging dirs of the grouped state store. */
+  def heal(root: String, buckets: Int = 16, manifest: Boolean = false): Unit =
+    DeltaStore(root, buckets, manifest).heal()
 
   /** Ingest one batch of documents (`doc_id` long, `text` string) into
     * the index at `root`, returning the batch's emitted near-dup
@@ -81,13 +89,15 @@ object LshIndex {
     * A pair is emitted exactly once, at the LATER member's batch.
     * The returned frame is materialized (eager localCheckpoint) before
     * this call returns, so it stays valid after later upserts rewrite
-    * the state it was derived from.
+    * the state it was derived from. Emission precedes the state
+    * commit: a crash between them replays the batch against unchanged
+    * prior state and re-derives identical pairs.
     */
   def upsertBatch(spark: SparkSession, docs: DataFrame, root: String,
                   batchId: Int, dfCap: Int, bucketCap: Int,
                   buckets: Int = 16, manifest: Boolean = false): DataFrame = {
-    val (dfStore, setsStore, bandsStore) = stores(root, buckets, manifest)
-    heal(root, buckets, manifest)
+    val store = DeltaStore(root, buckets, manifest)
+    store.heal()
     // -- batch shingles: same tokenizer/trigram family as q33-q35,
     //    distinct per doc, computed for the BATCH only. Persisted: the
     //    explode+regex pipeline is the dominant per-batch compute and
@@ -102,17 +112,14 @@ object LshIndex {
       .persist()
 
     // -- cumulative df for the batch's shingles: prior delta sum +
-    //    this batch's counts. The batch's counts are appended as the
-    //    next delta — an O(batch) write; the running total is never
-    //    materialized as a table. df reads are NOT bucket-pruned: a
-    //    text batch's shingle vocabulary hashes into essentially every
-    //    bucket, so the pruning pre-pass is a pure extra job (measured
-    //    ~1-2 s/batch at sf0.1 for zero pruning); the lookup stays
-    //    bounded because the read is immediately semi-joined against
-    //    the batch's tris and aggregated.
+    //    this batch's counts. The running total is never materialized
+    //    as a table; the lookup stays bounded because the read is
+    //    immediately semi-joined against the batch's tris and
+    //    aggregated.
     val batchCnt = shingles.groupBy("tri").agg(count(lit(1)).as("bcnt"))
       .persist()
-    val priorDf = dfStore.read(spark, dfSchema, None)
+    val priorDf = store.read(spark, dfSchema, None,
+        table = Some("df"), excludeDelta = Some(batchId))
       .join(batchCnt.select("tri"), Seq("tri"), "left_semi")
       .groupBy("tri").agg(sum("cnt").as("cnt"))
     val merged = priorDf.join(batchCnt, Seq("tri"), "full_outer")
@@ -121,22 +128,12 @@ object LshIndex {
         col("bcnt"))
       .persist()
     try {
-      timed("df append")(dfStore.append(
-        merged.where(col("bcnt").isNotNull)
-          .select(col("tri"), col("bcnt").as("cnt"),
-            dfStore.gb(col("tri")).as("gbucket")),
-        batchId, within = Seq(col("tri"))))
-
       // -- capped batch sets, frozen at this batch's cumulative df.
       val setsB = shingles
         .join(merged.where(col("cnt") <= dfCap).select("tri"), Seq("tri"))
         .groupBy("doc_id").agg(collect_list(col("tri")).as("ts"))
         .persist()
       try {
-        timed("sets append")(setsStore.append(
-          setsB.withColumn("gbucket", setsStore.gb(col("doc_id"))),
-          batchId, within = Seq(col("doc_id"))))
-
         // -- batch band keys: the 12 minhash permutations as aggregate
         //    columns of ONE groupBy (the r9 q34 form), 3 bands of 4.
         val mhCols = (0 to 11).map(i =>
@@ -152,16 +149,13 @@ object LshIndex {
               "1, md5(concat_ws(',', mh4, mh5, mh6, mh7)), " +
               "2, md5(concat_ws(',', mh8, mh9, mh10, mh11))) as (band, bkey)"))
           .withColumn("batch", lit(batchId))
-          .persist()
 
         // -- occupancy: arrival rank = stored bucket occupancy (max rk
         //    of the KEPT rows — identical to true arrivals wherever it
         //    matters, since both saturate at the cap) + in-batch
         //    row_number by doc_id. Only winners are stored or paired.
-        val bTouched = timed("bTouched")(
-          bandsStore.touched(bandsB0, col("bkey")))
-        val priorBands = bandsStore.read(
-          spark, bandsSchema, Some(bTouched)).persist()
+        val priorBands = store.read(spark, bandsSchema, None,
+          table = Some("bands"), excludeDelta = Some(batchId)).persist()
         try {
           val occ = priorBands.groupBy("band", "bkey").agg(max("rk").as("base"))
           val kept = bandsB0
@@ -189,18 +183,16 @@ object LshIndex {
                 greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
               .distinct()
               .withColumn("emit_batch", lit(batchId))
-              .persist()
 
-            // -- exact verify against the FROZEN stored sets (pruned to
-            //    the pair ids' buckets; the batch's own delta is already
-            //    promoted above, so batch docs are present). MATERIALIZED
-            //    (eager localCheckpoint): the returned frame must stay
-            //    independent of state dirs later batches extend.
-            val idBuckets = timed("idBuckets")(
-              cand.select(explode(array(setsStore.gb(col("doc_a")),
-                setsStore.gb(col("doc_b")))).as("g"))
-                .distinct().collect().map(_.getInt(0)).toSeq.sorted)
-            val sets = setsStore.read(spark, setsSchema, Some(idBuckets))
+            // -- exact verify against the FROZEN sets: stored sets for
+            //    previously-indexed docs ∪ the in-memory batch sets
+            //    (disjoint by construction — the batch is not yet
+            //    committed). MATERIALIZED (eager localCheckpoint): the
+            //    returned frame must stay independent of state dirs
+            //    later batches extend.
+            val sets = store.read(spark, setsSchema, None,
+                table = Some("sets"), excludeDelta = Some(batchId))
+              .unionByName(setsB)
             val inter = size(array_intersect(col("ta"), col("tb")))
             val verified = timed("verify+ckpt")(cand
               .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
@@ -210,12 +202,30 @@ object LshIndex {
                   .as("shingle_jaccard"))
               .localCheckpoint())
 
-            cand.unpersist()
-            timed("bands append")(bandsStore.append(
-              kept.withColumn("gbucket", bandsStore.gb(col("bkey"))),
-              batchId, within = Seq(col("bkey"))))
+            // -- ONE grouped commit advances all three state tables to
+            //    this batch atomically: one shuffle, one write job, one
+            //    promote (vs three append cycles = ~24 small serial
+            //    jobs per batch before the consolidation).
+            timed("state commit")(store.appendTables(
+              merged.where(col("bcnt").isNotNull)
+                .select(col("tri"), col("bcnt").as("cnt"))
+                .withColumn("tbl", lit("df"))
+                .withColumn("gbucket", store.gb(col("tri")))
+                .unionByName(
+                  setsB.withColumn("tbl", lit("sets"))
+                    .withColumn("gbucket", store.gb(col("doc_id"))),
+                  allowMissingColumns = true)
+                .unionByName(
+                  kept.withColumn("tbl", lit("bands"))
+                    .withColumn("gbucket", store.gb(col("bkey"))),
+                  allowMissingColumns = true),
+              batchId,
+              within = Seq(
+                when(col("tbl") === "df", col("tri")),
+                when(col("tbl") === "sets", col("doc_id")),
+                when(col("tbl") === "bands", col("bkey")))))
             verified
-          } finally { kept.unpersist(); bandsB0.unpersist() }
+          } finally kept.unpersist()
         } finally priorBands.unpersist()
       } finally setsB.unpersist()
     } finally {
@@ -223,15 +233,16 @@ object LshIndex {
     }
   }
 
-  /** Fold each state table's deltas into one base ([[DeltaStore.compact]]):
-    * df deltas sum-merge on the shingle key; sets/bands rows are
-    * immutable and union as-is. Only compact batches whose emissions
-    * are durably committed (see the store's replay contract). */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16, manifest: Boolean = false): Unit = {
-    val (dfStore, setsStore, bandsStore) = stores(root, buckets, manifest)
-    dfStore.compact(spark, dfSchema, col("tri"),
-      all => all.groupBy("tri").agg(sum("cnt").as("cnt")))
-    setsStore.compact(spark, setsSchema, col("doc_id"), identity)
-    bandsStore.compact(spark, bandsSchema, col("bkey"), identity)
-  }
+  /** Fold the grouped store's deltas into one base
+    * ([[DeltaStore.compactTables]] — one write job, one atomic
+    * promote covering all three tables): df deltas sum-merge on the
+    * shingle key; sets/bands rows are immutable and union as-is. Only
+    * compact batches whose emissions are durably committed (see the
+    * store's replay contract). */
+  def compact(spark: SparkSession, root: String, buckets: Int = 16, manifest: Boolean = false): Unit =
+    DeltaStore(root, buckets, manifest).compactTables(spark, Seq(
+      ("df", dfSchema, col("tri"),
+        (all: DataFrame) => all.groupBy("tri").agg(sum("cnt").as("cnt"))),
+      ("sets", setsSchema, col("doc_id"), identity[DataFrame] _),
+      ("bands", bandsSchema, col("bkey"), identity[DataFrame] _)))
 }

@@ -94,7 +94,16 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     * (replace-by-batch-id in [[DeltaStore.append]]), so the sink is
     * idempotent end-to-end — the exactly-once story without any sink-
     * side transaction log beyond the delta dirs themselves. The batch
-    * is deduped on the key (LWW needs (key, batch) uniqueness).
+    * is deduped on the key (LWW needs (key, batch) uniqueness):
+    * with `orderCol = Some(c)` the row with the HIGHEST c per key
+    * survives (the Hudi-style precombine field — what makes
+    * last-write-wins hold for a CDC stream whose micro-batch can
+    * carry several versions of one key; ties on c resolve
+    * arbitrarily, so c should be a monotonic version/event time).
+    * Without it, dropDuplicates keeps an ARBITRARY row per key —
+    * acceptable only when the source emits at most one version per
+    * key per micro-batch; a caller with in-batch versions and no
+    * orderCol must pre-resolve them upstream.
     *
     * `compactEvery = Some(n)` folds the store after every n-th batch
     * (ids n-1, 2n-1, ...) — the retention policy that keeps read-side
@@ -107,13 +116,24 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     * trade: compaction truncates time travel to the compact point. */
   def sink(input: DataFrame, checkpointDir: String,
            availableNow: Boolean = true,
-           compactEvery: Option[Int] = None)
+           compactEvery: Option[Int] = None,
+           orderCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = input.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.dropDuplicates(keyCols)
+        // DeltaStore batch ids are Int; a stream epoch past 2^31 must
+        // fail loudly, not wrap negative and corrupt the LWW order
+        require(id <= Int.MaxValue, s"stream batch id $id exceeds Int range")
+        val b = orderCol match {
+          case Some(c) => batch
+            .withColumn("_vrn", row_number().over(
+              Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col(c).desc_nulls_last)))
+            .where(col("_vrn") === 1).drop("_vrn")
+          case None => batch.dropDuplicates(keyCols)
+        }
         if (!b.isEmpty) upsert(b, id.toInt)
         compactEvery.foreach { n =>
           if (id % n == n - 1) compact(batch.sparkSession,

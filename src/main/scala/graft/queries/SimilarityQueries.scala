@@ -154,7 +154,7 @@ object SimilarityQueries {
     * through a Spark job. */
   private val countCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, Long)]()
-  private[queries] def embCount(
+  private[graft] def embCount(
       s: org.apache.spark.sql.SparkSession, dir: String): Long = {
     val key = sessionId(s) + "|" + dir
     countCache.entrySet().removeIf(
@@ -171,10 +171,29 @@ object SimilarityQueries {
     val cached = countCache.get(key)
     if (cached != null) cached._2
     else {
-      val n = Tables.embeddings(s, dir).count()
+      // a maintained stats profile ([[graft.operators.IncrementalStats]]
+      // at the `<dir>/_stats` convention location) is the authoritative
+      // row count when present — O(profiled columns) to read, kept
+      // current per ingest batch, exactly what ANALYZE maintenance is
+      // for; the parquet footer count is the fallback for dirs nobody
+      // profiles (the committed testdata corpora)
+      val n = statsCount(s, dir).getOrElse(Tables.embeddings(s, dir).count())
       val prev = countCache.putIfAbsent(key, (s, n))
       if (prev != null) prev._2 else n
     }
+  }
+
+  /** `vec_id`'s maintained count from `<dir>/_stats`, if that profile
+    * store exists (protocol auto-detected — [[graft.operators.DeltaStore.open]]).
+    * Same dir-immutability assumption as [[countCache]]. */
+  private[graft] def statsCount(
+      s: org.apache.spark.sql.SparkSession, dir: String): Option[Long] = {
+    val sd = new java.io.File(dir, "_stats")
+    if (!sd.isDirectory) None
+    else graft.operators.IncrementalStats
+      .profile(s, graft.operators.DeltaStore.open(sd.getPath))
+      .where(col("col_name") === "vec_id")
+      .select("cnt").collect().headOption.map(_.getLong(0))
   }
 
   /** Band-bucket occupancy cap — [[dfCap]] one level up. Band keys are
@@ -1366,14 +1385,15 @@ object SimilarityQueries {
         }
         rm(new java.io.File(out))
         val docs = Tables.documents(s, dir)
-        (0 to 3).foreach { k =>
+        // each batch's emission is localCheckpoint-materialized by
+        // upsertBatch, so the frames stay valid across later upserts —
+        // union them directly (the emit-parquet round trip was 5 extra
+        // jobs per replay for bytes nothing else read)
+        (0 to 3).map { k =>
           graft.operators.LshIndex.upsertBatch(
-              s, docs.where(col("doc_id") % 4 === k), s"$out/index",
-              batchId = k, dfCap = dfCap, bucketCap = bucketCap)
-            .write.mode("overwrite").parquet(s"$out/emit/bt=$k")
-        }
-        s.read.parquet((0 to 3).map(k => s"$out/emit/bt=$k"): _*)
-          .orderBy("doc_a", "doc_b")
+            s, docs.where(col("doc_id") % 4 === k), s"$out/index",
+            batchId = k, dfCap = dfCap, bucketCap = bucketCap)
+        }.reduce(_.unionByName(_)).orderBy("doc_a", "doc_b")
       },
       Some(s"""
         WITH e0 AS (
@@ -1442,14 +1462,11 @@ object SimilarityQueries {
         rm(new java.io.File(out))
         val r = adaptiveWidthLit(embCount(s, dir), 32)
         val vecs = Tables.embeddings(s, dir)
-        (0 to 3).foreach { k =>
+        (0 to 3).map { k =>
           graft.operators.EmbIndex.upsertBatch(
-              s, vecs.where(col("vec_id") % 4 === k), s"$out/index",
-              batchId = k, width = r, bucketCap = 128)
-            .write.mode("overwrite").parquet(s"$out/emit/bt=$k")
-        }
-        s.read.parquet((0 to 3).map(k => s"$out/emit/bt=$k"): _*)
-          .orderBy("vec_a", "vec_b")
+            s, vecs.where(col("vec_id") % 4 === k), s"$out/index",
+            batchId = k, width = r, bucketCap = 128)
+        }.reduce(_.unionByName(_)).orderBy("vec_a", "vec_b")
       },
       Some(s"""
         WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),

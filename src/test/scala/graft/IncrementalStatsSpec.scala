@@ -39,4 +39,39 @@ class IncrementalStatsSpec extends AnyFunSuite {
         s"manifest=$manifest maintenance must equal recompute")
     }
   }
+
+  test("non-numeric and missing profiled columns are refused up front") {
+    val st = DeltaStore(Files.createTempDirectory("graft_st_").toString, 4)
+    val batch = Seq((1, "x")).toDF("a", "s")
+    intercept[IllegalArgumentException] {
+      IncrementalStats.appendBatch(st, batch, Seq("a", "s"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalStats.appendBatch(st, batch, Seq("nope"), 0)
+    }
+    // nothing was committed by the refused appends
+    assert(IncrementalStats.profile(spark, st).count() == 0)
+  }
+
+  test("a maintained _stats profile resolves embCount without a footer count") {
+    // an embeddings dir whose _stats profile DISAGREES with the files:
+    // the profile must win (proving no footer count ran)
+    val dir = Files.createTempDirectory("graft_embstats_").toString
+    Seq((1L, Array(1.0f)), (2L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val st = DeltaStore(s"$dir/_stats", 4)
+    IncrementalStats.appendBatch(
+      st, (1L to 777L).toDF("vec_id"), Seq("vec_id"), 0)
+    assert(graft.queries.SimilarityQueries.statsCount(spark, dir)
+      .contains(777L))
+    assert(graft.queries.SimilarityQueries.embCount(spark, dir) == 777L,
+      "embCount must prefer the maintained profile over the footer count")
+    // a dir with no _stats store falls back to the footer count
+    val bare = Files.createTempDirectory("graft_embbare_").toString
+    Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$bare/embeddings.parquet")
+    assert(graft.queries.SimilarityQueries.statsCount(spark, bare).isEmpty)
+    assert(graft.queries.SimilarityQueries.embCount(spark, bare) == 1L)
+  }
 }

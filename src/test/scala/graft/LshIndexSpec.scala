@@ -138,11 +138,13 @@ class LshIndexSpec extends AnyFunSuite {
     ingest(plain, 0); ingest(plain, 1)
     ingest(compacted, 0); ingest(compacted, 1)
     LshIndex.compact(spark, compacted)
-    // covered deltas are gone, one base per state table
-    Seq("df", "sets", "bands").foreach { t =>
-      val names = new java.io.File(compacted, t).listFiles().map(_.getName).toSeq
-      assert(names.sorted == Seq("base=1"), s"$t: $names")
-    }
+    // covered deltas are gone: ONE base dir holding all three state
+    // tables as tbl= slices (the grouped commit's atomicity unit)
+    val names = new java.io.File(compacted).listFiles().map(_.getName).toSeq
+    assert(names.sorted == Seq("base=1"), names.toString)
+    val slices = new java.io.File(compacted, "base=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(slices.sorted == Seq("tbl=bands", "tbl=df", "tbl=sets"), slices.toString)
     // the NEXT batch sees identical state through the base
     assert(ingest(compacted, 2) == ingest(plain, 2))
   }

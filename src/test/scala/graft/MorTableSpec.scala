@@ -183,5 +183,73 @@ class MorTableSpec extends AnyFunSuite {
       .select("k", "v", "w").as[(String, Int, Option[String])]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(("a", 1, None), ("b", 2, Some("x"))))
+    // as-of reads stay correct across the schema boundary, in both
+    // directions: the wide schema over pre-widening history null-fills,
+    // and the fold still orders by batch
+    val asOf0 = t.snapshotAsOf(spark, wide.schema, 0)
+      .select("k", "v", "w").as[(String, Int, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(asOf0 == Seq(("a", 1, None), ("b", 1, None)))
+    // compaction folds across the boundary under the wide schema
+    t.compact(spark, wide.schema)
+    val folded = t.snapshot(spark, wide.schema)
+      .select("k", "v", "w").as[(String, Int, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(folded == got)
+  }
+
+  test("sink with orderCol keeps the highest-version row when a micro-batch carries several versions of a key") {
+    val root = tmp()
+    val in = root + "/in"
+    val t = MorTable(DeltaStore(root + "/tbl", buckets = 8), Seq("k"))
+    // one file → one micro-batch holding THREE versions of key "a"
+    val vschema = Seq(("x", 0, 0L)).toDF("k", "v", "ver").schema
+    Seq(("a", 10, 1L), ("a", 30, 3L), ("a", 20, 2L), ("b", 1, 1L))
+      .toDF("k", "v", "ver").write.parquet(in)
+    t.sink(spark.readStream.schema(vschema).parquet(in), root + "/ckpt",
+        orderCol = Some("ver"))
+      .awaitTermination(120000)
+    val got = t.snapshot(spark, vschema)
+      .select("k", "v").as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("a", 30), ("b", 1)),
+      "the highest-ver row must win within the micro-batch")
+  }
+
+  test("opening a store under the wrong commit protocol fails loudly instead of reading empty") {
+    val root = tmp()
+    val t = mor(root) // rename protocol
+    t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    intercept[IllegalArgumentException] {
+      mor(root, manifest = true).snapshot(spark, schema).collect()
+    }
+    val root2 = tmp()
+    val t2 = mor(root2, manifest = true)
+    t2.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    intercept[IllegalArgumentException] {
+      mor(root2).snapshot(spark, schema).collect()
+    }
+    // DeltaStore.open detects the protocol either way
+    assert(!DeltaStore.open(root).manifest && DeltaStore.open(root2).manifest)
+    assert(MorTable(DeltaStore.open(root), Seq("k"))
+      .snapshot(spark, schema).count() == 1)
+    assert(MorTable(DeltaStore.open(root2), Seq("k"))
+      .snapshot(spark, schema).count() == 1)
+  }
+
+  test("rename-protocol compact GCs replayed deltas already covered by an older base") {
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("b", 2)).toDF("k", "v"), 1)
+    t.compact(spark, schema) // base=1
+    // checkpoint replay of batch 0 after the compact: covered, dead bytes
+    t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("c", 3)).toDF("k", "v"), 2)
+    t.compact(spark, schema) // base=2 — must also GC the dead delta=0
+    val names = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.startsWith("delta=") || n.startsWith("base=")).toSeq
+    assert(names.sorted == Seq("base=2"), names.toString)
+    assert(rows(t.snapshot(spark, schema)) ==
+      Seq(("a", 1), ("b", 2), ("c", 3)))
   }
 }
