@@ -25,13 +25,39 @@ object IvfIndex {
   /** Assign each embedding row to a k-means cell; also returns the
     * centroid table (cell_id, centroid ARRAY<FLOAT>) for probing. */
   def buildIndex(spark: SparkSession, emb: DataFrame, nlist: Int,
-                 seed: Long = 42L): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val vecs = emb.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
+                 seed: Long = 42L): (DataFrame, DataFrame) =
+    fromModel(spark, emb, new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cell_id")
-      .fit(vecs)
+      .fit(emb.withColumn("features", array_to_vector(col("embedding")))))
+
+  /** [[buildIndex]] with a persisted coarse quantizer: the fitted
+    * KMeansModel is saved in Spark ML's writer format at `path` and
+    * loaded on later calls — training happens ONCE per (corpus,
+    * nlist, seed) fingerprint (the caller keys `path` by it), and the
+    * serve path is the model's pure-map transform (zero shuffles for
+    * assignment, identical to the just-trained model's). */
+  def buildOrLoad(spark: SparkSession, emb: DataFrame, nlist: Int,
+                  path: String, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val model =
+      if (new java.io.File(path).isDirectory)
+        org.apache.spark.ml.clustering.KMeansModel.load(path)
+      else {
+        val m = new KMeans()
+          .setK(nlist).setSeed(seed).setMaxIter(20)
+          .setFeaturesCol("features").setPredictionCol("cell_id")
+          .fit(emb.withColumn("features", array_to_vector(col("embedding"))))
+        m.write.overwrite().save(path)
+        m
+      }
+    fromModel(spark, emb, model)
+  }
+
+  private def fromModel(spark: SparkSession, emb: DataFrame,
+                        model: org.apache.spark.ml.clustering.KMeansModel)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val vecs = emb.withColumn("features", array_to_vector(col("embedding")))
     val assigned = model.transform(vecs).drop("features")
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }

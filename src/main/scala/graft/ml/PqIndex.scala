@@ -104,6 +104,31 @@ object PqIndex {
     } finally subs.unpersist(blocking = false)
   }
 
+  /** Persist a trained codebook as a parquet sidecar — m*k tiny rows;
+    * doubles round-trip parquet bit-exactly, so a loaded codebook
+    * encodes and scores identically to the one just trained. */
+  def save(codebook: DataFrame, path: String): Unit =
+    codebook.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Train-if-absent: a real index trains ONCE and serves many queries.
+    * `path` must be fingerprint-keyed by the caller (corpus count +
+    * m/k/seed — the train inputs), so a stale artifact can never match;
+    * the `_SUCCESS` marker gates completeness (a crashed save retrains
+    * and overwrites). */
+  def trainIfAbsent(spark: SparkSession, emb: DataFrame, path: String,
+                    m: Int = 8, k: Int = 32, seed: Long = 42L): DataFrame =
+    if (new java.io.File(path, "_SUCCESS").exists()) load(spark, path)
+    else {
+      val cb = train(spark, emb, m, k, seed)
+      save(cb, path)
+      // read back the persisted artifact so first and later invocations
+      // serve from the identical (file-backed, broadcastable) relation
+      load(spark, path)
+    }
+
   /** Assign each vector's subvectors to their nearest codebook entry:
     * (vec_id, sub, code). The argmin is `min(struct(d2, code, centroid))`
     * after the broadcast codebook join — fully map-side-combinable,

@@ -112,7 +112,7 @@ object EmbIndex {
           val dot = DotProductF.dot(col("ea"), col("eb"))
           val simq = floor(dot / (sqrt(col("na")) * sqrt(col("nb")))
             * lit(1000000.0) + lit(0.5)).cast("bigint")
-          val verified = cand
+          val verifyPlan = cand
             .join(sides.select(col("vec_id").as("vec_a"),
               col("embedding").as("ea"), col("n2").as("na")), Seq("vec_a"))
             .join(sides.select(col("vec_id").as("vec_b"),
@@ -121,21 +121,29 @@ object EmbIndex {
             .where(col("sim_q") >= 350000)
             .select(col("vec_a"), col("vec_b"), col("emit_batch"),
               (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
-            .localCheckpoint()
 
-          // ONE grouped commit advances both state tables atomically
-          store.appendTables(
-            emb.select("vec_id", "embedding", "n2")
-              .withColumn("tbl", lit("vecs"))
-              .withColumn("gbucket", store.gb(col("vec_id")))
-              .unionByName(
-                kept.withColumn("tbl", lit("keys"))
-                  .withColumn("gbucket", store.gb(col("bkey"))),
-                allowMissingColumns = true),
-            batchId,
-            within = Seq(
-              when(col("tbl") === "vecs", col("vec_id")),
-              when(col("tbl") === "keys", col("bkey"))))
+          // materialize the shared cached chain once, then OVERLAP the
+          // grouped commit with verification (safe in every
+          // interleaving — see LshIndex: excludeDelta prior reads make
+          // a replay after either half recompute identically)
+          kept.count()
+          val commit = scala.concurrent.Future {
+            store.appendTables(
+              emb.select("vec_id", "embedding", "n2")
+                .withColumn("tbl", lit("vecs"))
+                .withColumn("gbucket", store.gb(col("vec_id")))
+                .unionByName(
+                  kept.withColumn("tbl", lit("keys"))
+                    .withColumn("gbucket", store.gb(col("bkey"))),
+                  allowMissingColumns = true),
+              batchId,
+              within = Seq(
+                when(col("tbl") === "vecs", col("vec_id")),
+                when(col("tbl") === "keys", col("bkey"))))
+          }(scala.concurrent.ExecutionContext.global)
+          val verified = verifyPlan.localCheckpoint()
+          scala.concurrent.Await.result(
+            commit, scala.concurrent.duration.Duration.Inf)
           verified
         } finally kept.unpersist()
       } finally priorKeys.unpersist()

@@ -194,36 +194,51 @@ object LshIndex {
                 table = Some("sets"), excludeDelta = Some(batchId))
               .unionByName(setsB)
             val inter = size(array_intersect(col("ta"), col("tb")))
-            val verified = timed("verify+ckpt")(cand
+            val verifyPlan = cand
               .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
               .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
               .select(col("doc_a"), col("doc_b"), col("emit_batch"),
                 (inter / (size(col("ta")) + size(col("tb")) - inter))
                   .as("shingle_jaccard"))
-              .localCheckpoint())
+
+            // -- materialize the shared cached chain ONCE (kept is its
+            //    tip), so the two concurrent actions below reuse cached
+            //    blocks instead of racing to compute them
+            timed("chain")(kept.count())
 
             // -- ONE grouped commit advances all three state tables to
             //    this batch atomically: one shuffle, one write job, one
             //    promote (vs three append cycles = ~24 small serial
-            //    jobs per batch before the consolidation).
-            timed("state commit")(store.appendTables(
-              merged.where(col("bcnt").isNotNull)
-                .select(col("tri"), col("bcnt").as("cnt"))
-                .withColumn("tbl", lit("df"))
-                .withColumn("gbucket", store.gb(col("tri")))
-                .unionByName(
-                  setsB.withColumn("tbl", lit("sets"))
-                    .withColumn("gbucket", store.gb(col("doc_id"))),
-                  allowMissingColumns = true)
-                .unionByName(
-                  kept.withColumn("tbl", lit("bands"))
-                    .withColumn("gbucket", store.gb(col("bkey"))),
-                  allowMissingColumns = true),
-              batchId,
-              within = Seq(
-                when(col("tbl") === "df", col("tri")),
-                when(col("tbl") === "sets", col("doc_id")),
-                when(col("tbl") === "bands", col("bkey")))))
+            //    jobs per batch before the consolidation). It OVERLAPS
+            //    the verification action — safe in every interleaving:
+            //    if the commit lands and verification (or the caller's
+            //    write of the pairs) dies, the replay's excludeDelta
+            //    prior reads recompute bit-identical state and pairs;
+            //    if verification finishes and the commit dies, the
+            //    staged write is healed and the replay recommits.
+            val commit = scala.concurrent.Future {
+              timed("state commit")(store.appendTables(
+                merged.where(col("bcnt").isNotNull)
+                  .select(col("tri"), col("bcnt").as("cnt"))
+                  .withColumn("tbl", lit("df"))
+                  .withColumn("gbucket", store.gb(col("tri")))
+                  .unionByName(
+                    setsB.withColumn("tbl", lit("sets"))
+                      .withColumn("gbucket", store.gb(col("doc_id"))),
+                    allowMissingColumns = true)
+                  .unionByName(
+                    kept.withColumn("tbl", lit("bands"))
+                      .withColumn("gbucket", store.gb(col("bkey"))),
+                    allowMissingColumns = true),
+                batchId,
+                within = Seq(
+                  when(col("tbl") === "df", col("tri")),
+                  when(col("tbl") === "sets", col("doc_id")),
+                  when(col("tbl") === "bands", col("bkey")))))
+            }(scala.concurrent.ExecutionContext.global)
+            val verified = timed("verify+ckpt")(verifyPlan.localCheckpoint())
+            scala.concurrent.Await.result(
+              commit, scala.concurrent.duration.Duration.Inf)
             verified
           } finally kept.unpersist()
         } finally priorBands.unpersist()

@@ -157,6 +157,51 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Change feed (CDC read): each key whose LWW state DIFFERS between
+    * the table as of `from` and as of `to`, with an `op` column —
+    * `insert` (absent before, live now; new values), `update` (live in
+    * both, any data column changed; new values), `delete` (live
+    * before, tombstone-or-absent now; the OLD values, the preimage a
+    * downstream purge needs). Keys untouched by batches in (from, to]
+    * never appear — and are never FOLDED either: the fold inputs are
+    * bucket-pruned to the gbuckets of touched keys and semi-joined on
+    * them, so feed cost scales with the changed slice, not the table.
+    * Both bounds must be at or above the last compact (as
+    * [[snapshotAsOf]]; history below the base is gone). This is the
+    * read that lets a downstream consumer (a derived table, a cache,
+    * a reverse index) follow the table incrementally instead of
+    * diffing snapshots. */
+  def changes(spark: SparkSession, schema: StructType,
+              from: Int, to: Int): DataFrame = {
+    require(from <= to, s"change feed bounds out of order: $from > $to")
+    val st = stored(schema)
+    val touched = store.read(spark, st, None, asOf = Some(to))
+      .where(col("_batch") > from)
+      .select(keyCols.map(col): _*).distinct()
+    val gbs = store.touched(touched, struct(keyCols.map(col): _*))
+    def state(asOf: Int) =
+      lww(store.read(spark, st, Some(gbs), asOf = Some(asOf))
+          .join(touched, keyCols, "left_semi"))
+        .where(!col("_deleted"))
+    val dataCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val olds = state(from).select(
+      keyCols.map(col) ++ Seq(lit(true).as("_in_a"),
+        struct(dataCols.map(col): _*).as("_va")): _*)
+    val news = state(to).select(
+      keyCols.map(col) ++ Seq(lit(true).as("_in_b"),
+        struct(dataCols.map(col): _*).as("_vb")): _*)
+    olds.join(news, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_in_a").isNull, "insert")
+          .when(col("_in_b").isNull, "delete")
+          .otherwise("update"))
+      // an update whose values are byte-identical is no change at all
+      .where(col("op") =!= "update" || !(col("_va") <=> col("_vb")))
+      .select(keyCols.map(col) ++ Seq(col("op")) ++ dataCols.map(c =>
+        when(col("op") === "delete", col(s"_va.$c"))
+          .otherwise(col(s"_vb.$c")).as(c)): _*)
+  }
+
   /** Fold live dirs into one base holding just each key's winning row
     * (the `_batch` column is kept: later deltas must still outrank the
     * base). Tombstone-winning keys are dropped entirely — the base

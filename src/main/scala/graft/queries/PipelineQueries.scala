@@ -1444,6 +1444,76 @@ object PipelineQueries {
                CAST(COUNT(*) AS BIGINT)
         FROM orders
         ORDER BY col_name
+      """)),
+
+    // ----------------------------------------------------------------
+    // q110: MOR change feed — the CDC READ side of the table-format
+    // family (Delta's change-data-feed / Hudi's incremental query):
+    // a downstream consumer follows the table between two batch ids
+    // instead of diffing snapshots. Same 4-window upsert replay as
+    // q105, then batch 4 tombstones every 1997 key; changes(1, 4)
+    // must emit exactly the keys whose LWW state differs between
+    // as-of 1 and as-of 4, labeled insert (1999-2001, new values) /
+    // update (1998: b1's value superseded by b2's, new value) /
+    // delete (1997, the OLD value — the preimage a downstream purge
+    // needs), and NOTHING for 1995/1996 (untouched — the feed's cost
+    // contract: work scales with the changed slice via gbucket
+    // pruning + a touched-key semi-join, never the table). A wrong
+    // LWW order, a leaked tombstone, an off-by-one bound, or a
+    // preimage/postimage mixup each flips the hash.
+    Q(
+      "q110_mor_change_feed",
+      (s, dir) => {
+        val out = scratch(s, "q110_mor", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b)
+        }
+        mor.delete(
+          orders.where(year(col("o_orderdate")) === 1997)
+            .select(
+              col("o_custkey").cast("string").as("coin_id"),
+              col("o_orderdate").as("fetch_date"))
+            .distinct(),
+          4, schema)
+        mor.changes(s, schema, from = 1, to = 4)
+          .orderBy("coin_id", "fetch_date")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS base
+          FROM orders
+          GROUP BY 1, 2, 3)
+        SELECT coin_id, fetch_date,
+               CASE WHEN yr = 1997 THEN 'delete'
+                    WHEN yr = 1998 THEN 'update'
+                    ELSE 'insert' END AS op,
+               base + CAST(0.01 AS DOUBLE) *
+                 (CASE WHEN yr = 1997 THEN 1
+                       WHEN yr IN (1998, 1999) THEN 2
+                       ELSE 3 END) AS price_usd
+        FROM g WHERE yr >= 1997
+        ORDER BY coin_id, fetch_date
       """))
   )
 

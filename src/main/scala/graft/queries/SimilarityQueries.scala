@@ -496,6 +496,102 @@ object SimilarityQueries {
         s"THEN CAST(POWER(2, $j - $width) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** ADC search over a PQ code table — the q98/q109 scoring half,
+    * shared so the one-shot pipeline (codes computed inline) and the
+    * incrementally-maintained index (codes from
+    * [[graft.operators.CodeIndex]]) serve the same queries through the
+    * same plan. Quantized query components (FIXED scale-invariant
+    * query set — see q37: with queries ∝ corpus size the codes ⨝ adc
+    * join emitted 8·n·(n/100) rows, the 63.9x @100x trend the round-9
+    * audit caught; workload-constant queries make the ADC scan O(n) by
+    * design) feed a per-query 8x256 lookup table, BROADCAST to the
+    * code scan; one keyed agg, rank window top-5, integer micro-unit
+    * arithmetic throughout. */
+  private def pqAdcSearch(s: org.apache.spark.sql.SparkSession,
+                          emb: org.apache.spark.sql.DataFrame,
+                          codes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val qdims = emb.where(pmod(col("vec_id"), lit(100)) === 0 &&
+        col("vec_id") <= 2000)
+      .select(col("vec_id").as("query_id"),
+        explode(expr("sequence(1, 64)")).as("d"), col("embedding"))
+      .withColumn("qq",
+        floor(expr("cast(element_at(embedding, d) as double)") * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select("query_id", "d", "qq")
+    val grid = s.range(8).select(col("id").cast("int").as("sub"))
+      .crossJoin(s.range(256).select(col("id").cast("int").as("code")))
+      .crossJoin(s.range(8).select(col("id").cast("int").as("j")))
+      .withColumn("p", expr("cast(pow(2, j) as bigint)"))
+      .withColumn("d", col("sub") * 8 + col("j") + 1)
+    val adc = grid.join(qdims, Seq("d"))
+      .withColumn("term",
+        when(expr("(code div p) % 2") === 1, col("qq")).otherwise(-col("qq")))
+      .groupBy("query_id", "sub", "code")
+      .agg(sum(col("term")).as("partial"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_score").desc, col("cand_id").asc)
+    codes.join(broadcast(adc), Seq("sub", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("partial")).as("approx_score"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id").as("neighbor_id"), col("approx_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The q98 oracle, verbatim — q109's maintained codes are
+    * bit-identical to q98's inline codes (sign patterns are per-row
+    * deterministic), so BOTH entries hash against this one query. */
+  private val pqAdcOracleSql: String = """
+        WITH qdims AS (
+          SELECT vec_id AS query_id, d,
+                 CAST(FLOOR(CAST(embedding[d] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qq
+          FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS g(d)
+          WHERE vec_id % 100 = 0 AND vec_id <= 2000),
+        grid AS (
+          SELECT s.sub, c.code, j.j,
+                 CAST(POWER(2, j.j) AS BIGINT) AS p,
+                 s.sub * 8 + j.j + 1 AS d
+          FROM UNNEST(GENERATE_SERIES(0, 7)) AS s(sub),
+               UNNEST(GENERATE_SERIES(0, 255)) AS c(code),
+               UNNEST(GENERATE_SERIES(0, 7)) AS j(j)),
+        adc AS (
+          SELECT q.query_id, g.sub, g.code,
+                 CAST(SUM(CASE WHEN (g.code // g.p) % 2 = 1 THEN q.qq ELSE -q.qq END)
+                      AS BIGINT) AS partial
+          FROM grid g JOIN qdims q ON q.d = g.d
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id AS cand_id, s.sub,
+                 CAST((CASE WHEN embedding[s.sub*8+1] > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+2] > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+3] > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+4] > 0 THEN 8 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+5] > 0 THEN 16 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+6] > 0 THEN 32 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+7] > 0 THEN 64 ELSE 0 END)
+                    + (CASE WHEN embedding[s.sub*8+8] > 0 THEN 128 ELSE 0 END)
+                   AS BIGINT) AS code
+          FROM embeddings, UNNEST(GENERATE_SERIES(0, 7)) AS s(sub)),
+        scored AS (
+          SELECT a.query_id, c.cand_id,
+                 CAST(SUM(a.partial) AS BIGINT) AS approx_score
+          FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, cand_id, approx_score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY approx_score DESC, cand_id) AS rank
+          FROM scored WHERE query_id <> cand_id)
+        SELECT query_id, CAST(rank AS INT) AS rank,
+               cand_id AS neighbor_id, approx_score
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """
+
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q33: n-gram Jaccard near-dup pairs — df-capped shingle explode, hash
@@ -1264,101 +1360,18 @@ object SimilarityQueries {
       "q98_pq_adc_ann",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // quantized query components: (query_id, d, qq), d 1-based.
-        // FIXED scale-invariant query set (see q37): with queries ∝
-        // corpus size the codes ⨝ adc join emitted 8·n·(n/100) rows —
-        // the 63.9x @100x trend the round-9 audit caught; with the
-        // workload-constant query set the ADC scan is O(n) by design
-        // (that per-candidate 8-byte scan being cheap is the POINT of
-        // PQ codes).
-        val qdims = emb.where(pmod(col("vec_id"), lit(100)) === 0 &&
-            col("vec_id") <= 2000)
-          .select(col("vec_id").as("query_id"),
-            explode(expr("sequence(1, 64)")).as("d"), col("embedding"))
-          .withColumn("qq",
-            floor(expr("cast(element_at(embedding, d) as double)") * lit(1000000.0)
-              + lit(0.5)).cast("long"))
-          .select("query_id", "d", "qq")
-        // ADC table: partial(query, subspace, code) = sum_j sign(code, j) * qq
-        val grid = s.range(8).select(col("id").cast("int").as("sub"))
-          .crossJoin(s.range(256).select(col("id").cast("int").as("code")))
-          .crossJoin(s.range(8).select(col("id").cast("int").as("j")))
-          .withColumn("p", expr("cast(pow(2, j) as bigint)"))
-          .withColumn("d", col("sub") * 8 + col("j") + 1)
-        val adc = grid.join(qdims, Seq("d"))
-          .withColumn("term",
-            when(expr("(code div p) % 2") === 1, col("qq")).otherwise(-col("qq")))
-          .groupBy("query_id", "sub", "code")
-          .agg(sum(col("term")).as("partial"))
         // candidate codes: 8 one-byte codes per vector (the persisted
         // index of a production deployment — scoring never rereads the
-        // raw embedding)
-        val codeExpr = (0 to 7).map { j =>
-          s"(case when element_at(embedding, sub * 8 + ${j + 1}) > 0 then ${1 << j} else 0 end)"
-        }.mkString(" + ")
+        // raw embedding; q109 maintains exactly this table
+        // incrementally via operators/CodeIndex)
         val codes = emb
           .select(col("vec_id").as("cand_id"),
             explode(expr("sequence(0, 7)")).as("sub"), col("embedding"))
-          .withColumn("code", expr(codeExpr))
+          .withColumn("code", expr(graft.operators.CodeIndex.codeExpr))
           .select("cand_id", "sub", "code")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("approx_score").desc, col("cand_id").asc)
-        codes.join(broadcast(adc), Seq("sub", "code"))
-          .groupBy("query_id", "cand_id")
-          .agg(sum(col("partial")).as("approx_score"))
-          .where(col("query_id") =!= col("cand_id"))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select(col("query_id"), col("rank").cast("int").as("rank"),
-            col("cand_id").as("neighbor_id"), col("approx_score"))
-          .orderBy("query_id", "rank")
+        pqAdcSearch(s, emb, codes)
       },
-      Some("""
-        WITH qdims AS (
-          SELECT vec_id AS query_id, d,
-                 CAST(FLOOR(CAST(embedding[d] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qq
-          FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS g(d)
-          WHERE vec_id % 100 = 0 AND vec_id <= 2000),
-        grid AS (
-          SELECT s.sub, c.code, j.j,
-                 CAST(POWER(2, j.j) AS BIGINT) AS p,
-                 s.sub * 8 + j.j + 1 AS d
-          FROM UNNEST(GENERATE_SERIES(0, 7)) AS s(sub),
-               UNNEST(GENERATE_SERIES(0, 255)) AS c(code),
-               UNNEST(GENERATE_SERIES(0, 7)) AS j(j)),
-        adc AS (
-          SELECT q.query_id, g.sub, g.code,
-                 CAST(SUM(CASE WHEN (g.code // g.p) % 2 = 1 THEN q.qq ELSE -q.qq END)
-                      AS BIGINT) AS partial
-          FROM grid g JOIN qdims q ON q.d = g.d
-          GROUP BY 1, 2, 3),
-        codes AS (
-          SELECT vec_id AS cand_id, s.sub,
-                 CAST((CASE WHEN embedding[s.sub*8+1] > 0 THEN 1 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+2] > 0 THEN 2 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+3] > 0 THEN 4 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+4] > 0 THEN 8 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+5] > 0 THEN 16 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+6] > 0 THEN 32 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+7] > 0 THEN 64 ELSE 0 END)
-                    + (CASE WHEN embedding[s.sub*8+8] > 0 THEN 128 ELSE 0 END)
-                   AS BIGINT) AS code
-          FROM embeddings, UNNEST(GENERATE_SERIES(0, 7)) AS s(sub)),
-        scored AS (
-          SELECT a.query_id, c.cand_id,
-                 CAST(SUM(a.partial) AS BIGINT) AS approx_score
-          FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
-          GROUP BY 1, 2),
-        ranked AS (
-          SELECT query_id, cand_id, approx_score,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY approx_score DESC, cand_id) AS rank
-          FROM scored WHERE query_id <> cand_id)
-        SELECT query_id, CAST(rank AS INT) AS rank,
-               cand_id AS neighbor_id, approx_score
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank
-      """)),
+      Some(pqAdcOracleSql)),
 
     // ----------------------------------------------------------------
     // q103: INCREMENTAL LSH dedup index replay — the maintenance story
@@ -1498,6 +1511,38 @@ object SimilarityQueries {
                CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
         FROM scored WHERE sim_q >= 350000
         ORDER BY 1, 2
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q109: INCREMENTAL PQ code index — q98's maintenance story,
+    // completing the incremental-index family (q103 shingle LSH, q104
+    // embedding sign keys, and now the ADC code table). Four vec_id % 4
+    // ingest batches each encode ONLY their own vectors and append the
+    // codes to operators/CodeIndex's DeltaStore (O(batch) writes, one
+    // commit per batch; compact after batch 1 proves codes survive the
+    // fold); the ADC search then serves the fixed query workload from
+    // the MAINTAINED store — the corpus is never re-encoded. Sign-
+    // pattern codes are per-row deterministic, so the maintained table
+    // is bit-identical to q98's inline one and the SAME oracle hashes
+    // both: one green row certifies encode-once ingest, delta/base
+    // covering, and the served search end-to-end.
+    Q(
+      "q109_incremental_pq_codes",
+      (s, dir) => {
+        val out = Q.scratch(s, "q109_codeidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val emb = Tables.embeddings(s, dir)
+        (0 to 3).foreach { k =>
+          graft.operators.CodeIndex.appendBatch(
+            s, emb.where(col("vec_id") % 4 === k), out, batchId = k)
+          if (k == 1) graft.operators.CodeIndex.compact(s, out)
+        }
+        pqAdcSearch(s, emb, graft.operators.CodeIndex.codes(s, out))
+      },
+      Some(pqAdcOracleSql))
   )
 }

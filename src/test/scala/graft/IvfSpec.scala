@@ -60,6 +60,26 @@ class IvfSpec extends AnyFunSuite {
     assert(r12 == 1.0, s"nprobe=12 recall $r12 — 12/16 cells must cover every true pair")
   }
 
+  test("buildOrLoad persists the coarse quantizer: a loaded model assigns and searches identically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_").toString + "/km"
+    def run(): (Seq[(Long, Int)], Set[(Long, Long)]) = {
+      val (cells, centroids) = IvfIndex.buildOrLoad(spark, emb, nlist = 8, path)
+      (cells.select("vec_id", "cell_id").collect()
+         .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+       IvfIndex.searchTopK(cells, centroids,
+           pmod(col("vec_id"), lit(100)) === 0, k = 3, nprobe = 4)
+         .select("query_id", "neighbor_id")
+         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val first = run()  // trains and saves
+    assert(new java.io.File(path).isDirectory, "model artifact must exist")
+    val second = run() // must LOAD (same assignments and results)
+    assert(second == first,
+      "a loaded quantizer must assign cells and rank neighbors identically")
+  }
+
   test("deterministic hyperplane-cell IVF (q49) top-3 recall >= 0.6") {
     val det = SparkEntry.queries("q49_ann_ivf")(spark, sfDir)
       .select("query_id", "neighbor_id")

@@ -236,6 +236,32 @@ class MorTableSpec extends AnyFunSuite {
       .snapshot(spark, schema).count() == 1)
   }
 
+  test("change feed labels inserts/updates/deletes between two batches and skips no-op rewrites") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("b", 2)).toDF("k", "v"), 1)
+    t.delete(Seq("c").toDF("k"), 2, schema)
+    // batch 3 re-upserts "a" with the SAME value — touched but unchanged
+    t.upsert(Seq(("a", 1), ("d", 4)).toDF("k", "v"), 3)
+    def feed(from: Int, to: Int): Seq[(String, String, Option[Int])] =
+      t.changes(spark, schema, from, to)
+        .select("k", "op", "v").as[(String, String, Option[Int])]
+        .collect().sortBy(_._1).toSeq
+    assert(feed(0, 3) == Seq(
+      ("b", "update", Some(2)),
+      ("c", "delete", Some(1)),
+      ("d", "insert", Some(4))),
+      "b updated, c deleted with its OLD value, d inserted; a's " +
+        "same-value re-upsert must not appear")
+    assert(feed(2, 3) == Seq(("d", "insert", Some(4))),
+      "a's same-value rewrite is not a change")
+    assert(feed(3, 3).isEmpty, "an empty range is an empty feed")
+    // a key inserted AND deleted inside the range nets to nothing
+    t.upsert(Seq(("e", 9)).toDF("k", "v"), 4)
+    t.delete(Seq("e").toDF("k"), 5, schema)
+    assert(feed(3, 5).isEmpty)
+  }
+
   test("rename-protocol compact GCs replayed deltas already covered by an older base") {
     val root = tmp()
     val t = mor(root)

@@ -58,4 +58,25 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all == brute, "shortlist=corpus must equal the exact baseline")
   }
+
+  test("a saved codebook round-trips bit-exactly and trainIfAbsent serves it without retraining") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_").toString + "/cb"
+    val trained = PqIndex.trainIfAbsent(spark, emb, path, m = 8, k = 32)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(key(PqIndex.load(spark, path)) == key(trained),
+      "persisted doubles must round-trip bit-exactly")
+    // plant a recognizable codebook at the path: trainIfAbsent must
+    // SERVE it rather than retrain (proof no training ran)
+    import spark.implicits._
+    val planted = Seq((0, 0, Array.fill(8)(123.25))).toDF("sub", "code", "centroid")
+    PqIndex.save(planted, path)
+    assert(key(PqIndex.trainIfAbsent(spark, emb, path, m = 8, k = 32)) ==
+      key(planted))
+  }
 }
