@@ -28,7 +28,8 @@ object ScaleAudit {
     "q85", "q92", "q105",              // upsert-protocol family (rename-pair / manifest / LSM MOR)
     "q106", "q107",                    // MOR deletes/time-travel + pruned point lookup
     "q100",                            // index-intersection scan
-    "q103", "q104", "q108",            // incremental index/stats maintenance
+    "q103", "q104", "q108", "q109",    // incremental index/stats maintenance
+    "q110",                            // MOR change feed
     "q99")                             // count-min heavy hitters
 
   def main(args: Array[String]): Unit = {
