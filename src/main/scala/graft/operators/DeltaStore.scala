@@ -96,6 +96,49 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * (compaction is the retention boundary, as in any LSM/table-format
     * log), so an `asOf` older than the base is refused rather than
     * answered wrongly. */
+  /** The live (isBase, id, dataDir) entries — exposed to same-package
+    * consumers that prune ENTRIES before reading (e.g. [[MorTable]]'s
+    * bloom-sidecar delta skipping); combine with [[readEntries]]. */
+  private[operators] def live(asOf: Option[Int] = None): Seq[(Boolean, Int, java.io.File)] =
+    liveEntries(asOf)
+
+  /** [[read]] restricted to an explicit entry subset (callers prune
+    * via [[live]] + sidecars first). */
+  private[operators] def readEntries(spark: SparkSession, schema: StructType,
+      entries: Seq[(Boolean, Int, java.io.File)],
+      touched: Option[Seq[Int]]): DataFrame = {
+    val paths = for {
+      (_, _, d) <- entries
+      sub <- Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      if sub.isDirectory && sub.getName.startsWith("gbucket=")
+      if touched.forall(_.exists(k => sub.getName == s"gbucket=$k"))
+    } yield sub.getPath
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths.sorted: _*)
+  }
+
+  /** Write a small advisory sidecar file into the CURRENT live dir of
+    * `batchId`'s delta (no-op if that delta is not live — e.g. already
+    * covered by a base). Sidecars ride the data dir: a rename-replay
+    * replaces the dir (and the sidecar with it), manifest GC collects
+    * them with their prefix. They are ADVISORY by contract: written
+    * AFTER the commit, so a crash can leave a delta without one —
+    * readers must treat a missing sidecar as "no information". */
+  private[operators] def writeSidecar(batchId: Int, name: String,
+                                      bytes: Array[Byte]): Unit =
+    liveEntries(None).collectFirst { case (false, `batchId`, d) => d }
+      .foreach { d =>
+        java.nio.file.Files.write(new java.io.File(d, name).toPath, bytes)
+      }
+
+  private[operators] def readSidecar(dataDir: java.io.File,
+                                     name: String): Option[Array[Byte]] = {
+    val f = new java.io.File(dataDir, name)
+    if (f.isFile) Some(java.nio.file.Files.readAllBytes(f.toPath)) else None
+  }
+
   private def liveEntries(asOf: Option[Int]): Seq[(Boolean, Int, java.io.File)] = {
     checkProtocol()
     val raw: Seq[(Boolean, Int, java.io.File)] =
@@ -160,20 +203,13 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
   def read(spark: SparkSession, schema: StructType,
            touched: Option[Seq[Int]], asOf: Option[Int] = None,
            table: Option[String] = None,
-           excludeDelta: Option[Int] = None): DataFrame = {
-    val paths = for {
-      (isBase, id, d0) <- liveEntries(asOf)
-      if !(!isBase && excludeDelta.contains(id))
-      d = table.map(t => new java.io.File(d0, s"tbl=$t")).getOrElse(d0)
-      sub <- Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      if sub.isDirectory && sub.getName.startsWith("gbucket=")
-      if touched.forall(_.exists(k => sub.getName == s"gbucket=$k"))
-    } yield sub.getPath
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths.sorted: _*)
-  }
+           excludeDelta: Option[Int] = None): DataFrame =
+    readEntries(spark, schema,
+      liveEntries(asOf)
+        .filterNot { case (isBase, id, _) => !isBase && excludeDelta.contains(id) }
+        .map { case (b, id, d0) =>
+          (b, id, table.map(t => new java.io.File(d0, s"tbl=$t")).getOrElse(d0)) },
+      touched)
 
   /** Append `df` (carrying a `gbucket` column) as the delta for
     * `batchId`: rename protocol — staged write, one atomic rename,

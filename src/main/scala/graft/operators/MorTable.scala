@@ -29,7 +29,26 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, StructType}
   * batch id alone, so (key, batch) uniqueness is what makes the
   * snapshot deterministic.
   */
-final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
+final case class MorTable(store: DeltaStore, keyCols: Seq[String],
+                          bloomItems: Option[Long] = None) {
+
+  /** SSTable-style per-delta key bloom. With `bloomItems = Some(n)`
+    * (the expected keys per batch — a capacity number the operator
+    * knows), every upsert/delete also writes a `_keybloom` sidecar of
+    * the delta's key hashes, and [[lookup]] SKIPS whole deltas that
+    * cannot contain any probe key — the LSM read-amplification fix
+    * every SSTable format ships: gbucket pruning caps at 1/buckets,
+    * but a point probe against a long delta tail mostly hits deltas
+    * that never touched the key. Safety is one-sided by construction:
+    * blooms have no false negatives at ANY sizing (an undersized n
+    * only raises the false-positive rate → extra reads), tombstone
+    * keys are in the bloom (both write paths go through [[write]], so
+    * a skipped delta can never hide a newer delete), and a MISSING
+    * sidecar (crash between commit and sidecar write, or a pre-bloom
+    * delta) means "must read". The base is always read — it is the
+    * bulk a real probe usually hits; the win is skipping the tail. */
+  private val bloomSidecar = "_keybloom"
+  private def keyHash = xxhash64(keyCols.map(col): _*)
 
   /** `schema` + the `_batch` lineage column the fold orders by and the
     * `_deleted` tombstone marker. */
@@ -63,13 +82,20 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
     write(tomb, batchId)
   }
 
-  private def write(df: DataFrame, batchId: Int): Unit =
+  private def write(df: DataFrame, batchId: Int): Unit = {
     store.append(
       df
         .withColumn("_batch", lit(batchId))
         .withColumn("gbucket", store.gb(struct(keyCols.map(col): _*))),
       batchId,
       within = keyCols.map(col))
+    bloomItems.foreach { n =>
+      val bf = df.select(keyHash.as("_h")).stat.bloomFilter("_h", n, 0.01)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      store.writeSidecar(batchId, bloomSidecar, out.toByteArray)
+    }
+  }
 
   /** The current table: every key's latest-batch row, folded from the
     * live base + deltas. `schema` is the DATA schema (no `_batch`). */
@@ -146,15 +172,48 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String]) {
   }
 
   /** Bucket-pruned snapshot restricted to `keys`' buckets — the point-
-    * lookup path: reads only the `gbucket` dirs the probe keys hash
-    * into, then folds and inner-joins. `keys` must carry `keyCols`. */
+    * lookup path: whole deltas whose key bloom excludes every probe
+    * key are SKIPPED (see [[bloomItems]]), then only the `gbucket`
+    * dirs the probe keys hash into are read, the LWW fold runs over
+    * that slice, and an inner join restricts to the probe. `keys`
+    * must carry `keyCols`. */
   def lookup(spark: SparkSession, schema: StructType,
              keys: DataFrame): DataFrame = {
     val touched = store.touched(keys, struct(keyCols.map(col): _*))
-    lww(store.read(spark, stored(schema), Some(touched)))
+    lww(store.readEntries(spark, stored(schema),
+        bloomLiveEntries(keys), Some(touched)))
       .where(!col("_deleted"))
       .join(keys.select(keyCols.map(col): _*).distinct(), keyCols)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Probe-keys-per-lookup cap on driver-side bloom probing: above it
+    * the probe is a scan, not a point lookup, and entry skipping is
+    * abandoned (bucket pruning still applies). */
+  private val bloomProbeCap = 65536
+
+  /** The live entries a lookup for `keys` must read: every base +
+    * every delta whose bloom might contain some probe key (missing
+    * bloom, disabled blooms, or an over-cap probe ⇒ keep all). */
+  private[graft] def bloomLiveEntries(keys: DataFrame)
+      : Seq[(Boolean, Int, java.io.File)] = {
+    val entries = store.live()
+    if (bloomItems.isEmpty) entries
+    else {
+      val hashes = keys.select(keyHash.as("_h")).distinct()
+        .limit(bloomProbeCap + 1).collect().map(_.getLong(0))
+      if (hashes.length > bloomProbeCap) entries
+      else entries.filter {
+        case (true, _, _) => true
+        case (false, _, d) => store.readSidecar(d, bloomSidecar) match {
+          case None => true
+          case Some(bytes) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            hashes.exists(bf.mightContainLong)
+        }
+      }
+    }
   }
 
   /** Change feed (CDC read): each key whose LWW state DIFFERS between

@@ -1514,6 +1514,68 @@ object PipelineQueries {
                        ELSE 3 END) AS price_usd
         FROM g WHERE yr >= 1997
         ORDER BY coin_id, fetch_date
+      """)),
+
+    // ----------------------------------------------------------------
+    // q111: bloom-sidecar point lookup — q107's serving read with the
+    // SSTable-style per-delta key blooms on (bloomItems set), probed
+    // with a key set that is mostly ABSENT from the table (the %1009
+    // custkey slice of keys shifted out of range plus the %997 present
+    // slice). Delta skipping is a pure read-amplification optimization
+    // and must be INVISIBLE to results: a bloom that skipped a delta
+    // still holding a probed key's latest version (or its tombstone)
+    // would serve a stale row and flip the hash. Same oracle shape as
+    // q107 — absent keys simply produce no rows in either engine.
+    Q(
+      "q111_mor_bloom_lookup",
+      (s, dir) => {
+        val out = scratch(s, "q111_mor", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"),
+          bloomItems = Some(200000L))
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b)
+        }
+        val present = orders.where(col("o_custkey") % 997 === 3)
+        val probe = present
+          .select(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .unionByName(present.select(
+            // shifted out of the key space: absent by construction
+            concat(lit("zz"), col("o_custkey")).as("coin_id"),
+            col("o_orderdate").as("fetch_date")))
+        mor.lookup(s, schema, probe)
+          .orderBy("coin_id", "fetch_date")
+      },
+      Some("""
+        SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+               o_orderdate AS fetch_date,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 + CAST(0.01 AS DOUBLE) *
+                   (CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                      WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                      WHEN 1998 THEN 2 WHEN 1999 THEN 2 ELSE 3 END) AS price_usd
+        FROM orders
+        WHERE o_custkey % 997 = 3
+        GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 

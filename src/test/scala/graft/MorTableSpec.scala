@@ -236,6 +236,38 @@ class MorTableSpec extends AnyFunSuite {
       .snapshot(spark, schema).count() == 1)
   }
 
+  test("bloom sidecars skip deltas that cannot contain a probe key, without changing any result") {
+    val root = tmp()
+    val t = MorTable(DeltaStore(root, buckets = 8), Seq("k"),
+      bloomItems = Some(1000L))
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("c", 2)).toDF("k", "v"), 1)
+    t.upsert(Seq(("d", 3)).toDF("k", "v"), 2)
+    t.delete(Seq("a").toDF("k"), 3, schema)
+    // probing d keeps its own delta and drops the c-only delta
+    // (xxhash64 and the bloom are deterministic, so this is a fixed
+    // outcome, not a flaky 1%-fpp draw)
+    val keptD = t.bloomLiveEntries(Seq("d").toDF("k"))
+    assert(keptD.exists(e => !e._1 && e._2 == 2))
+    assert(!keptD.exists(e => !e._1 && e._2 == 1),
+      s"the c-only delta cannot contain 'd': $keptD")
+    // a probe for a DELETED key must keep the tombstone delta — a
+    // skipped tombstone would resurrect the old version
+    val keptA = t.bloomLiveEntries(Seq("a").toDF("k"))
+    assert(keptA.exists(e => !e._1 && e._2 == 3))
+    assert(t.lookup(spark, schema, Seq("a").toDF("k")).count() == 0,
+      "delta skipping must not hide the delete")
+    // identical results to the same store read without blooms
+    val plain = MorTable(DeltaStore(root, buckets = 8), Seq("k"))
+    val probe = Seq("a", "b", "c", "d", "nope").toDF("k")
+    assert(rows(t.lookup(spark, schema, probe)) ==
+      rows(plain.lookup(spark, schema, probe)))
+    // after compaction the base (no bloom) is always read
+    t.compact(spark, schema)
+    assert(rows(t.lookup(spark, schema, probe)) ==
+      Seq(("b", 1), ("c", 2), ("d", 3)))
+  }
+
   test("change feed labels inserts/updates/deletes between two batches and skips no-op rewrites") {
     val t = mor(tmp())
     t.upsert(Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "v"), 0)
