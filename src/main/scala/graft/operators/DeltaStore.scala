@@ -329,7 +329,15 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
         commitManifest(entries =>
           ((true, k, rel)) +: entries.filter {
             case (isBase, id, _) => !isBase && id > k })
-        healManifest() // old prefixes are now unreferenced — GC them
+        // GC with a grace window: a CONCURRENT ingest may be between
+        // its data write and its commit, and its prefix is
+        // indistinguishable from an orphan until it commits — the
+        // same reason every table format's orphan cleanup only
+        // removes files older than a threshold. Freshly-replaced
+        // prefixes wait for the next compact (or an explicit
+        // maintenance heal(), which uses grace 0 under the rule that
+        // it never runs concurrently with writers).
+        healManifest(graceMs = 600000L)
       } else {
         val d = new java.io.File(dir)
         val staging = new java.io.File(d, s".staging_compact_$k")
@@ -450,23 +458,29 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
 
   /** GC: delete data prefixes and manifest objects the NEWEST manifest
     * does not reference (crash orphans, replaced replay prefixes,
-    * pre-compact history, superseded manifests, commit-attempt tmps).
-    * Committed entries are never lost to concurrent writers (the CAS
-    * protocol), but GC itself is a MAINTENANCE-ONLY operation: it must
-    * not run while an append is between its data write and its commit,
-    * or it would collect the not-yet-referenced prefix — the same rule
-    * every table format applies to orphan-file cleanup. */
-  private def healManifest(): Unit = {
+    * pre-compact history, superseded manifests, commit-attempt tmps),
+    * skipping anything younger than `graceMs`. Committed entries are
+    * never lost to concurrent writers (the CAS protocol); the grace
+    * window protects a concurrent ingest's written-but-not-yet-
+    * committed prefix, which is indistinguishable from an orphan until
+    * its manifest lands — compact GCs with a 10-minute grace so it can
+    * run alongside ingest; the explicit maintenance [[heal]] uses
+    * grace 0 under the rule that it never runs concurrently with
+    * writers (every table format's orphan-cleanup contract). */
+  private def healManifest(graceMs: Long = 0L): Unit = {
     readManifest().foreach { case (epoch, entries) =>
+      val cutoff = System.currentTimeMillis() - graceMs
       val liveRel = entries.map(_._3).toSet
       val dataDir = new java.io.File(dir, "data")
       Option(dataDir.listFiles()).foreach(_.foreach { f =>
-        if (!liveRel.contains(s"data/${f.getName}")) DeltaStore.delete(f)
+        if (!liveRel.contains(s"data/${f.getName}") &&
+            f.lastModified() < cutoff) DeltaStore.delete(f)
       })
       Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
-        if ((f.getName.startsWith("manifest=") &&
-              f.getName.stripPrefix("manifest=").toLong != epoch) ||
-            f.getName.startsWith(".mf_") || f.getName.startsWith("._current_"))
+        if (((f.getName.startsWith("manifest=") &&
+               f.getName.stripPrefix("manifest=").toLong != epoch) ||
+             f.getName.startsWith(".mf_") || f.getName.startsWith("._current_")) &&
+            f.lastModified() < cutoff)
           f.delete()
       })
     }

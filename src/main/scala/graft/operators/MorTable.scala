@@ -231,7 +231,17 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String],
     * a reverse index) follow the table incrementally instead of
     * diffing snapshots. */
   def changes(spark: SparkSession, schema: StructType,
-              from: Int, to: Int): DataFrame = {
+              from: Int, to: Int): DataFrame =
+    changes(spark, schema, from, to, preimage = false)
+
+  /** [[changes]] with `preimage = true` emits an update as TWO rows —
+    * `update_pre` (old values) and `update_post` (new values) — the
+    * Delta-CDF/Debezium shape an incremental view maintainer needs:
+    * additive state subtracts the preimage and adds the postimage
+    * ([[IncrementalView]]), which plain postimage-only updates cannot
+    * express. */
+  def changes(spark: SparkSession, schema: StructType,
+              from: Int, to: Int, preimage: Boolean): DataFrame = {
     require(from <= to, s"change feed bounds out of order: $from > $to")
     val st = stored(schema)
     val touched = store.read(spark, st, None, asOf = Some(to))
@@ -249,16 +259,30 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String],
     val news = state(to).select(
       keyCols.map(col) ++ Seq(lit(true).as("_in_b"),
         struct(dataCols.map(col): _*).as("_vb")): _*)
-    olds.join(news, keyCols, "full_outer")
+    val diff = olds.join(news, keyCols, "full_outer")
       .withColumn("op",
         when(col("_in_a").isNull, "insert")
           .when(col("_in_b").isNull, "delete")
           .otherwise("update"))
       // an update whose values are byte-identical is no change at all
       .where(col("op") =!= "update" || !(col("_va") <=> col("_vb")))
-      .select(keyCols.map(col) ++ Seq(col("op")) ++ dataCols.map(c =>
+    if (!preimage)
+      diff.select(keyCols.map(col) ++ Seq(col("op")) ++ dataCols.map(c =>
         when(col("op") === "delete", col(s"_va.$c"))
           .otherwise(col(s"_vb.$c")).as(c)): _*)
+    else
+      diff
+        .select(keyCols.map(col) :+ explode(
+          when(col("op") === "update", array(
+            struct(lit("update_pre").as("op"), col("_va").as("v")),
+            struct(lit("update_post").as("op"), col("_vb").as("v"))))
+          .when(col("op") === "insert",
+            array(struct(lit("insert").as("op"), col("_vb").as("v"))))
+          .otherwise(
+            array(struct(lit("delete").as("op"), col("_va").as("v")))))
+          .as("_e"): _*)
+        .select(keyCols.map(col) ++ Seq(col("_e.op").as("op")) ++
+          dataCols.map(c => col(s"_e.v.$c").as(c)): _*)
   }
 
   /** Fold live dirs into one base holding just each key's winning row

@@ -1576,6 +1576,97 @@ object PipelineQueries {
         WHERE o_custkey % 997 = 3
         GROUP BY 1, 2
         ORDER BY 1, 2
+      """)),
+
+    // ----------------------------------------------------------------
+    // q112: incremental view maintenance from the change feed — the
+    // consumer q110 exists for. A monthly (coin, year, month) SUM+COUNT
+    // rollup is maintained by operators/IncrementalView purely from
+    // MorTable.changes(b-1, b, preimage = true) after every batch:
+    // insert/update_post add, delete/update_pre subtract (exact
+    // decimal folds — order-independent), so the view NEVER re-reads
+    // the base table after a batch lands and maintenance cost follows
+    // the changed slice. Replay = q110's four upsert windows + the
+    // 1997 tombstone batch; the oracle recomputes the rollup from the
+    // final table state — maintenance ≡ recompute, the view-
+    // maintenance theorem under the driver's hash gate (a missed
+    // preimage, a mis-signed op, or a group that should have netted
+    // to zero each flips it). 1997's groups vanish exactly because
+    // their membership nets to zero.
+    Q(
+      "q112_incremental_view_from_feed",
+      (s, dir) => {
+        val out = scratch(s, "q112_ivm", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        val vstore = graft.operators.DeltaStore(s"$out/view", 16)
+        def applyBatch(b: Int): Unit = {
+          val feed = mor.changes(s, schema, b - 1, b, preimage = true)
+            .select(col("coin_id"),
+              year(col("fetch_date")).as("yr"),
+              month(col("fetch_date")).as("mon"),
+              col("op"), col("price_usd"))
+          graft.operators.IncrementalView.applyFeed(
+            vstore, feed, Seq("coin_id", "yr", "mon"), "price_usd", b)
+        }
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          mor.upsert(mkBatch(y0, y1, b), b); applyBatch(b)
+        }
+        mor.delete(
+          orders.where(year(col("o_orderdate")) === 1997)
+            .select(
+              col("o_custkey").cast("string").as("coin_id"),
+              col("o_orderdate").as("fetch_date"))
+            .distinct(),
+          4, schema)
+        applyBatch(4)
+        val gschema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("coin_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("yr",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("mon",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.operators.IncrementalView.compact(s, vstore, gschema)
+        graft.operators.IncrementalView.view(s, vstore, gschema)
+          .select(col("coin_id"), col("yr"), col("mon"),
+            col("vsum").cast("double").as("sum_price"), col("cnt"))
+          .orderBy("coin_id", "yr", "mon")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS base
+          FROM orders
+          GROUP BY 1, 2, 3)
+        SELECT coin_id, yr,
+               CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS mon,
+               CAST(SUM(CAST(base + CAST(0.01 AS DOUBLE) *
+                   (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1
+                            WHEN 1998 THEN 2 WHEN 1999 THEN 2
+                            ELSE 3 END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g WHERE yr != 1997
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 

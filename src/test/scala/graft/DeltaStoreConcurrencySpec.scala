@@ -63,6 +63,31 @@ class DeltaStoreConcurrencySpec extends AnyFunSuite {
     assert(asOf == Set(("x", 1), ("y", 1), ("z", 2)))
   }
 
+  test("4 unsynchronized writer threads, 20 batches: every commit survives real contention") {
+    val dir = tmp()
+    val stores = (0 until 4).map(_ => DeltaStore(dir, 4, manifest = true))
+    put(stores(0), 100, ("seed", -1))
+    // distinct batch ids per writer (the id-ordering contract: ids come
+    // from a monotonic sequence; only compaction treats low ids as
+    // covered) — NO test hooks, real thread interleavings, every
+    // commit-window collision resolved by the CAS retry loop
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 5).foreach { i =>
+          put(stores(w), 200 + w * 5 + i, (s"k$w-$i", i))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val want = (for (w <- 0 until 4; i <- 0 until 5)
+      yield (s"k$w-$i", i)).toSet + (("seed", -1))
+    assert(all(stores.head) == want,
+      "all 21 concurrently-committed batches must be readable")
+  }
+
   test("interleaved replay of the same batch id converges to one entry") {
     val dir = tmp()
     val a = DeltaStore(dir, 4, manifest = true)
