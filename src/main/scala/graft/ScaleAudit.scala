@@ -26,10 +26,10 @@ object ScaleAudit {
     "q37", "q38", "q49", "q55", "q98", // embedding ANN family
     "q62", "q84", "q88", "q95",        // components + curation composites
     "q85", "q92", "q105",              // upsert-protocol family (rename-pair / manifest / LSM MOR)
-    "q106", "q107",                    // MOR deletes/time-travel + pruned point lookup
+    "q106", "q107", "q111",            // MOR deletes/time-travel + pruned/bloom point lookups
     "q100",                            // index-intersection scan
     "q103", "q104", "q108", "q109",    // incremental index/stats maintenance
-    "q110",                            // MOR change feed
+    "q110", "q112",                    // MOR change feed + feed-maintained view
     "q99")                             // count-min heavy hitters
 
   def main(args: Array[String]): Unit = {
