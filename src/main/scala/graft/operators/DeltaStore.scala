@@ -81,6 +81,11 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
         s"$dir holds a manifest-protocol pointer but was opened with manifest = false")
   }
 
+  /** Live delta count (base excluded) — the read-amplification metric
+    * a compaction policy watches: listing cost, fold width, and bloom-
+    * probe count all follow the delta TAIL, not the batch id. */
+  def deltaCount(): Int = liveEntries(None).count(!_._1)
+
   def heal(): Unit =
     if (manifest) healManifest()
     else {

@@ -300,6 +300,19 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String],
       struct(keyCols.map(col): _*),
       df => lww(df).where(!col("_deleted")))
 
+  /** Count-based compaction policy: fold when the live delta tail
+    * exceeds `maxDeltas`. Preferable to scheduling by batch id
+    * ([[sink]]'s `compactEvery`): replays, crashes, and manual
+    * compactions all shift id-based schedules, while the delta TAIL is
+    * what read cost (listing, fold width, bloom probes) actually
+    * follows. Returns whether a compact ran. */
+  def compactIfNeeded(spark: SparkSession, schema: StructType,
+                      maxDeltas: Int): Boolean = {
+    val run = store.deltaCount() > maxDeltas
+    if (run) compact(spark, schema)
+    run
+  }
+
   /** Keep each key's highest-`_batch` row. */
   private def lww(all: DataFrame): DataFrame =
     all

@@ -65,6 +65,64 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewRows == recompute)
   }
 
+  test("streaming CDC: the view follows the table through a foreachBatch pipeline, across checkpoint resume") {
+    val root = Files.createTempDirectory("graft_ivm_stream_").toString
+    val in = s"$root/in"
+    val t = MorTable(DeltaStore(s"$root/t", 8), Seq("k"))
+    val vstore = DeltaStore(s"$root/v", 8)
+    val schema = Seq(("x", "g", 0)).toDF("k", "grp", "v").schema
+
+    // the end-to-end exactly-once composition: upsert, derive the
+    // batch's change feed from the just-committed horizon, apply it to
+    // the view — a replay re-derives the identical feed (changes reads
+    // committed state at fixed bounds) and replaces the same view
+    // delta, so every stage is idempotent by batch id
+    def drain(): Unit = spark.readStream.schema(schema).parquet(in)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bid = id.toInt
+        t.upsert(b.dropDuplicates("k"), bid)
+        IncrementalView.applyFeed(vstore,
+          t.changes(spark, schema, bid - 1, bid, preimage = true)
+            .select(col("grp"), col("op"), col("v")),
+          Seq("grp"), "v", bid)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+
+    def viewRows: Seq[(String, Double, Long)] =
+      IncrementalView.view(spark, vstore, gschema)
+        .select(col("grp"), col("vsum").cast("double"), col("cnt"))
+        .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+
+    Seq(("a", "x", 1), ("b", "y", 2)).toDF("k", "grp", "v").write.parquet(in)
+    drain()
+    assert(viewRows == Seq(("x", 1.0, 1L), ("y", 2.0, 1L)))
+    // resume from the SAME checkpoint with new data: update a, add c
+    Seq(("a", "x", 7), ("c", "y", 4)).toDF("k", "grp", "v")
+      .write.mode("append").parquet(in)
+    drain()
+    assert(viewRows == Seq(("x", 7.0, 1L), ("y", 6.0, 2L)))
+    val recompute = t.snapshot(spark, schema)
+      .groupBy("grp").agg(sum(Q.dec2(col("v"))).cast("double"), count(lit(1)))
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(viewRows == recompute)
+  }
+
+  test("count-based compaction policy folds only past the delta-tail threshold") {
+    val root = Files.createTempDirectory("graft_policy_").toString
+    val t = MorTable(DeltaStore(root, 8), Seq("k"))
+    val schema = Seq(("x", 0)).toDF("k", "v").schema
+    (0 to 3).foreach(b => t.upsert(Seq((s"k$b", b)).toDF("k", "v"), b))
+    assert(t.store.deltaCount() == 4)
+    assert(!t.compactIfNeeded(spark, schema, maxDeltas = 4), "4 <= 4: no fold")
+    assert(t.store.deltaCount() == 4)
+    assert(t.compactIfNeeded(spark, schema, maxDeltas = 3), "4 > 3: fold")
+    assert(t.store.deltaCount() == 0)
+    assert(t.snapshot(spark, schema).count() == 4)
+  }
+
   test("an unknown feed op fails the job instead of silently mis-signing") {
     val vstore = DeltaStore(
       Files.createTempDirectory("graft_ivm_bad_").toString, 4)
