@@ -1616,16 +1616,23 @@ object PipelineQueries {
           graft.operators.DeltaStore(s"$out/table", 16),
           Seq("coin_id", "fetch_date"))
         val vstore = graft.operators.DeltaStore(s"$out/view", 16)
-        def applyBatch(b: Int): Unit = {
-          val feed = mor.changes(s, schema, b - 1, b, preimage = true)
-            .select(col("coin_id"),
-              year(col("fetch_date")).as("yr"),
-              month(col("fetch_date")).as("mon"),
-              col("op"), col("price_usd"))
-          graft.operators.IncrementalView.applyFeed(
-            vstore, feed, Seq("coin_id", "yr", "mon"), "price_usd", b)
-        }
-        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+        // feed derivation is PIPELINED with later table commits: the
+        // feed for batch b reads fixed as-of bounds (b-1, b), so a
+        // later delta's presence is filtered out of both folds — batch
+        // b+1 can commit while b's feed is still being applied, and
+        // the view deltas land under their own batch ids (idempotent
+        // replace). Await all applies before reading the view.
+        def applyBatch(b: Int): scala.concurrent.Future[Unit] =
+          scala.concurrent.Future {
+            val feed = mor.changes(s, schema, b - 1, b, preimage = true)
+              .select(col("coin_id"),
+                year(col("fetch_date")).as("yr"),
+                month(col("fetch_date")).as("mon"),
+                col("op"), col("price_usd"))
+            graft.operators.IncrementalView.applyFeed(
+              vstore, feed, Seq("coin_id", "yr", "mon"), "price_usd", b)
+          }(scala.concurrent.ExecutionContext.global)
+        val applies = windows.zipWithIndex.map { case ((y0, y1), b) =>
           mor.upsert(mkBatch(y0, y1, b), b); applyBatch(b)
         }
         mor.delete(
@@ -1635,7 +1642,9 @@ object PipelineQueries {
               col("o_orderdate").as("fetch_date"))
             .distinct(),
           4, schema)
-        applyBatch(4)
+        (applies :+ applyBatch(4)).foreach(f =>
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
         val gschema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("coin_id",
             org.apache.spark.sql.types.StringType),
