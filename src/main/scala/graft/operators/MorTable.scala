@@ -300,6 +300,32 @@ final case class MorTable(store: DeltaStore, keyCols: Seq[String],
       struct(keyCols.map(col): _*),
       df => lww(df).where(!col("_deleted")))
 
+  /** Export a reproducible training snapshot: the table as of `asOf`
+    * (or current) materialized as PLAIN partitioned parquet any
+    * consumer can read without this library — the handoff artifact
+    * between the data pipeline and a trainer — plus a `_PROVENANCE`
+    * sidecar recording the source store, key columns, and the batch
+    * horizon that produced it (the lineage a training run pins
+    * instead of copying "whatever the table said that day"). The fold
+    * happens once at export; readers pay zero merge cost. */
+  def exportSnapshot(spark: SparkSession, schema: StructType, path: String,
+                     asOf: Option[Int] = None,
+                     partitionCols: Seq[String] = Nil): Unit = {
+    val snap = asOf match {
+      case Some(b) => snapshotAsOf(spark, schema, b)
+      case None => snapshot(spark, schema)
+    }
+    val w = snap.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    val horizon = asOf.orElse(store.live().map(_._2).maxOption)
+    java.nio.file.Files.write(
+      new java.io.File(path, "_PROVENANCE").toPath,
+      (s"store=${store.dir}\nkeys=${keyCols.mkString(",")}\n" +
+        s"asOfBatch=${horizon.getOrElse(-1)}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Count-based compaction policy: fold when the live delta tail
     * exceeds `maxDeltas`. Preferable to scheduling by batch id
     * ([[sink]]'s `compactEvery`): replays, crashes, and manual

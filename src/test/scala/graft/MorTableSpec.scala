@@ -294,6 +294,31 @@ class MorTableSpec extends AnyFunSuite {
     assert(feed(3, 5).isEmpty)
   }
 
+  test("exportSnapshot hands off a plain-parquet snapshot with provenance, current and as-of") {
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1), ("b", 1)).toDF("k", "v"), 0)
+    t.upsert(Seq(("a", 2)).toDF("k", "v"), 1)
+    t.delete(Seq("b").toDF("k"), 2, schema)
+    // current export: readable WITHOUT the library, fold already paid
+    t.exportSnapshot(spark, schema, root + "/exp")
+    val plain = spark.read.parquet(root + "/exp")
+      .select("k", "v").as[(String, Int)].collect().sorted.toSeq
+    assert(plain == Seq(("a", 2)))
+    val prov = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root + "/exp", "_PROVENANCE").toPath))
+    assert(prov.contains("asOfBatch=2") && prov.contains("keys=k"), prov)
+    // as-of export pins the pre-delete horizon
+    t.exportSnapshot(spark, schema, root + "/exp1", asOf = Some(1))
+    assert(spark.read.parquet(root + "/exp1")
+      .select("k", "v").as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("a", 2), ("b", 1)))
+    // partitioned layout for downstream pruning
+    t.exportSnapshot(spark, schema, root + "/expp", partitionCols = Seq("k"))
+    assert(new java.io.File(root + "/expp").listFiles()
+      .exists(_.getName == "k=a"))
+  }
+
   test("rename-protocol compact GCs replayed deltas already covered by an older base") {
     val root = tmp()
     val t = mor(root)
