@@ -92,6 +92,14 @@ object LshIndex {
     * the state it was derived from. Emission precedes the state
     * commit: a crash between them replays the batch against unchanged
     * prior state and re-derives identical pairs.
+    *
+    * CONTRACT: a batch id names a COMPLETE ingest unit — a replay
+    * REPLACES the batch's whole delta, so calling this twice with the
+    * same id and different doc subsets keeps only the second subset's
+    * state. A streaming caller must therefore not let one logical drop
+    * split across micro-batches (close the drop before ingesting it,
+    * or gate on a manifest), exactly as with any replace-by-batch-id
+    * sink.
     */
   def upsertBatch(spark: SparkSession, docs: DataFrame, root: String,
                   batchId: Int, dfCap: Int, bucketCap: Int,

@@ -163,7 +163,14 @@ class LshIndexSpec extends AnyFunSuite {
     // index state carried across micro-batches by the bucketed store).
     val inDir = s"$base/landing"
     val df = docs.toDF("doc_id", "text")
-    df.where(col("doc_id") % 3 === 0).write.parquet(inDir)
+    // ONE file per drop: an index batch is a complete ingest unit (a
+    // replay REPLACES its delta), so a drop split across two files
+    // could be discovered as two micro-batches, and the second would
+    // replay batch k with only part of its docs — dropping the first
+    // part's state. Multi-file drops need a source-side barrier
+    // (AvailableNow over a closed dir, or a manifest), not relied-upon
+    // listing atomicity; observed as a rare suite flake before this.
+    df.where(col("doc_id") % 3 === 0).coalesce(1).write.parquet(inDir)
     val src = spark.readStream.schema(df.schema).parquet(inDir)
     val q = src.writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -183,9 +190,9 @@ class LshIndexSpec extends AnyFunSuite {
       }
       .start()
     q.processAllAvailable()
-    df.where(col("doc_id") % 3 === 1).write.mode("append").parquet(inDir)
+    df.where(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(inDir)
     q.processAllAvailable()
-    df.where(col("doc_id") % 3 === 2).write.mode("append").parquet(inDir)
+    df.where(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(inDir)
     q.processAllAvailable()
     q.stop()
 
