@@ -198,6 +198,17 @@ class MorTableSpec extends AnyFunSuite {
     assert(folded == got)
   }
 
+  test("schema evolution rejects TYPE changes loudly at scan time (no silent coercion)") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
+    // reading the int column under a string schema must throw when the
+    // rows are actually materialized — never silently coerce
+    val retyped = Seq(("x", "s")).toDF("k", "v").schema
+    intercept[Exception] {
+      t.snapshot(spark, retyped).collect()
+    }
+  }
+
   test("sink with orderCol keeps the highest-version row when a micro-batch carries several versions of a key") {
     val root = tmp()
     val in = root + "/in"
