@@ -95,15 +95,14 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
       })
     }
 
-  /** Live (isBase, id, dataDir) entries, newest-covering rule applied.
-    * With `asOf`, deltas above that batch are excluded — the
+  /** The live (isBase, id, dataDir) entries, newest-covering rule
+    * applied. With `asOf`, deltas above that batch are excluded — the
     * time-travel read. History BELOW the newest base is folded away
     * (compaction is the retention boundary, as in any LSM/table-format
     * log), so an `asOf` older than the base is refused rather than
-    * answered wrongly. */
-  /** The live (isBase, id, dataDir) entries — exposed to same-package
-    * consumers that prune ENTRIES before reading (e.g. [[MorTable]]'s
-    * bloom-sidecar delta skipping); combine with [[readEntries]]. */
+    * answered wrongly. Exposed to same-package consumers that prune
+    * ENTRIES before reading (e.g. [[MorTable]]'s bloom-sidecar delta
+    * skipping); combine with [[readEntries]]. */
   private[operators] def live(asOf: Option[Int] = None): Seq[(Boolean, Int, java.io.File)] =
     liveEntries(asOf)
 
