@@ -36,5 +36,16 @@ class CodeIndexSpec extends AnyFunSuite {
     assert(snap() == oneShot)
     CodeIndex.compact(spark, root)
     assert(snap() == oneShot, "compaction folds without loss")
+    // manifest protocol: identical maintained codes through the same
+    // replay + mid-replay compact (protocol must be invisible)
+    val mroot = Files.createTempDirectory("graft_codeidx_m_").toString + "/idx"
+    (0 to 3).foreach { k =>
+      CodeIndex.appendBatch(spark, emb.where(col("vec_id") % 4 === k),
+        mroot, batchId = k, manifest = true)
+      if (k == 1) CodeIndex.compact(spark, mroot, manifest = true)
+    }
+    assert(CodeIndex.codes(spark, mroot, manifest = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      oneShot, "commit protocol must not change the maintained codes")
   }
 }
