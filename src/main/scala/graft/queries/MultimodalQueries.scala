@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.functions._
+
+/** Multimodal decode under the driver's hash gate.
+  *
+  * Until round 11 the media path ([[graft.operators.Multimodal]] +
+  * [[graft.functions.MediaCodec]]) was spec-only — the one north-star
+  * pillar with no CORRECTNESS entry. q113 closes that: deterministic
+  * BMP / PNG / WAV payloads are synthesized in-query from integer
+  * formulas ([[graft.sources.MediaGen]]), run through the REAL decoders
+  * (hand BMP parser, JDK ImageIO, PCM16 WAV parser) inside
+  * `extractFeatures`' partition loop, and the decoded statistics are
+  * emitted as micro-unit BIGINTs. The DuckDB oracle recomputes the same
+  * statistics from the same closed-form pixel/sample formulas — it never
+  * sees a byte of payload, so a hash match proves the decoders extract
+  * exactly the raster/stream the generator encoded.
+  *
+  * Bit-exactness design (why a float feature can survive a hash gate):
+  * gray pixels keep luma integer, so every accumulated sum is an exact
+  * integer in double; the remaining ops (one division, one multiply, one
+  * subtract, sqrt) are single IEEE ops on identical operands — bit-equal
+  * in both engines; Float truncation is reproduced with DuckDB's
+  * `CAST(.. AS REAL)` (both round-to-nearest-even); and the zcr float
+  * division is exact because the denominator is 2^7.
+  */
+object MultimodalQueries {
+
+  val defs: Vector[Q] = Vector(
+    // q113: image/audio decode + feature extraction. 24 media rows
+    // (8 BMP / 8 PNG / 8 WAV), size-aware repartition, per-partition
+    // decode, posexplode to (media, feature_idx) grain. `dir` is unused
+    // by design: the corpus is generated, the operator is the decoder.
+    Q(
+      "q113_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 24)
+          .map { m =>
+            (m.toLong, graft.sources.MediaGen.kind(m), graft.sources.MediaGen.payload(m))
+          }
+          .toDF("media_id", "kind", "payload")
+        val balanced = graft.operators.Multimodal.repartitionBySize(media, 1L << 20)
+        graft.operators.Multimodal.extractFeatures(s, balanced)
+          .toDF()
+          .select(col("media_id"), col("kind"), col("dim"), posexplode(col("features")))
+          .select(
+            col("media_id"), col("kind"), col("dim"),
+            col("pos").cast("int").as("feature_idx"),
+            round(col("col").cast("double") * lit(1000000L)).cast("long").as("value_micro"))
+          .orderBy("media_id", "feature_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, i // 3 AS grp, i % 3 AS sel
+          FROM generate_series(0, 23) t(i)
+        ),
+        imgs AS (
+          SELECT media_id, 3 + grp % 6 AS w, 2 + grp % 5 AS h
+          FROM media WHERE sel < 2
+        ),
+        pix AS (
+          SELECT i.media_id, i.w, i.h,
+                 (i.media_id * 7 + x.x * 131 + y.y * 197) % 256 AS v
+          FROM imgs i
+          JOIN generate_series(0, 7) x(x) ON x.x < i.w
+          JOIN generate_series(0, 5) y(y) ON y.y < i.h
+        ),
+        istats AS (
+          SELECT media_id, w, h,
+                 CAST(SUM(v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS mean_d,
+                 CAST(SUM(v * v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS msq_d
+          FROM pix GROUP BY media_id, w, h
+        ),
+        ifeat AS (
+          SELECT media_id, 'image' AS kind, 8 AS dim,
+                 CAST(f.p AS INTEGER) AS feature_idx,
+                 CAST(CASE f.p
+                   WHEN 0 THEN CAST(w AS REAL)
+                   WHEN 1 THEN CAST(h AS REAL)
+                   WHEN 2 THEN CAST(CAST(w AS DOUBLE) / h AS REAL)
+                   WHEN 7 THEN CAST(SQRT(GREATEST(0.0, msq_d - mean_d * mean_d)) AS REAL)
+                   ELSE CAST(mean_d AS REAL)
+                 END AS DOUBLE) AS feat
+          FROM istats, generate_series(0, 7) f(p)
+        ),
+        auds AS (
+          SELECT media_id, 8000 + (grp % 4) * 4000 AS sr
+          FROM media WHERE sel = 2
+        ),
+        samp AS (
+          SELECT a.media_id, a.sr, t.i,
+                 ((a.media_id * 7919 + t.i * 12345) % 65536) - 32768 AS s
+          FROM auds a, generate_series(0, 128) t(i)
+        ),
+        astats AS (
+          SELECT media_id, MAX(sr) AS sr,
+                 CAST(SUM(s * s) AS DOUBLE) AS sum2,
+                 SUM(CASE WHEN i > 0 AND ((s >= 0) <> (prev >= 0))
+                          THEN 1 ELSE 0 END) AS crossings
+          FROM (SELECT media_id, sr, i, s,
+                       LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+                FROM samp)
+          GROUP BY media_id
+        ),
+        afeat AS (
+          SELECT media_id, 'audio' AS kind, 4 AS dim,
+                 CAST(f.p AS INTEGER) AS feature_idx,
+                 CAST(CASE f.p
+                   WHEN 0 THEN CAST(sr AS REAL)
+                   WHEN 1 THEN CAST(CAST(129 AS DOUBLE) / sr AS REAL)
+                   WHEN 2 THEN CAST(SQRT(sum2 / 129) / 32768.0 AS REAL)
+                   ELSE CAST(CAST(crossings AS DOUBLE) / 128 AS REAL)
+                 END AS DOUBLE) AS feat
+          FROM astats, generate_series(0, 3) f(p)
+        )
+        SELECT media_id, kind, dim, feature_idx,
+               CAST(ROUND(feat * 1000000) AS BIGINT) AS value_micro
+        FROM (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat)
+        ORDER BY media_id, feature_idx
+      """))
+  )
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Deterministic synthetic media payloads for the multimodal gate (q113).
+  *
+  * Every payload is a pure integer byte layout derived from `media_id`
+  * alone, so an external oracle can recompute the DECODED statistics from
+  * the same closed-form formulas without ever seeing the bytes:
+  *
+  *   - 24-bit BMP and PNG images with gray pixels (b = g = r =
+  *     [[pixel]](m, x, y)) — gray keeps the decoder's luma (b+g+r)/3
+  *     integer-exact, so every accumulated sum is an exact integer in
+  *     double and the final mean/std divisions are single IEEE ops that
+  *     are bit-identical across engines.
+  *   - PCM16 mono WAV with samples [[sample]](m, i) over a fixed
+  *     129-sample window — 129-1 = 128 = 2^7 makes the zero-cross-rate
+  *     float division exact, immune to float-vs-double promotion.
+  *
+  * PNG goes through the JDK encoder ([[javax.imageio.ImageIO]]); its
+  * BYTES are not required to be deterministic — only the decoded raster
+  * is (PNG is lossless, `TYPE_INT_RGB` round-trips setRGB/getRGB
+  * exactly), which is what the feature oracle checks. This mirrors how a
+  * production corpus works: the engine never trusts payload bytes, only
+  * the decode contract.
+  *
+  * At 100 TB the payloads arrive as parquet BINARY columns; this
+  * generator only replaces the SOURCE for the correctness gate — the
+  * operator under test ([[graft.operators.Multimodal.extractFeatures]])
+  * is byte-identical either way.
+  */
+object MediaGen {
+
+  /** media_id -> kind cycle: BMP image, PNG image, WAV audio. */
+  def kind(m: Long): String = if (m % 3 == 2) "audio" else "image"
+
+  def payload(m: Long): Array[Byte] = (m % 3) match {
+    case 0 => bmp(m)
+    case 1 => png(m)
+    case _ => wav(m)
+  }
+
+  /** Image dims vary with the media group so BMP row padding (width*3 %
+    * 4 != 0) and non-square aspects are both exercised. */
+  def dims(m: Long): (Int, Int) = {
+    val grp = (m / 3).toInt
+    (3 + grp % 6, 2 + grp % 5)
+  }
+
+  /** Gray level of pixel (x, y) of image m — the oracle's closed form. */
+  def pixel(m: Long, x: Int, y: Int): Int =
+    ((m * 7 + x * 131 + y * 197) % 256).toInt
+
+  /** Signed 16-bit sample i of clip m — multiplier chosen so the mod
+    * wraps many times across 129 samples (frequent sign crossings). */
+  def sample(m: Long, i: Int): Int =
+    ((m * 7919 + i * 12345) % 65536).toInt - 32768
+
+  val WavSamples = 129
+
+  def sampleRate(m: Long): Int = 8000 + ((m / 3) % 4).toInt * 4000
+
+  /** Hand-assembled 24bpp bottom-up BMP with 4-byte row padding. */
+  def bmp(m: Long): Array[Byte] = {
+    val (w, h) = dims(m)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // storage row r holds image row h-1-r
+      var x = 0
+      while (x < w) {
+        val v = pixel(m, x, y).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Same raster as [[bmp]]'s formula, through the JDK PNG encoder. */
+  def png(m: Long): Array[Byte] = {
+    val (w, h) = dims(m)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(m, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Mono PCM16 WAV, 129 samples of [[sample]] at [[sampleRate]]. */
+  def wav(m: Long): Array[Byte] = {
+    val sr = sampleRate(m)
+    val n = WavSamples
+    val buf = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+    buf.putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(n * 2)
+    var i = 0
+    while (i < n) { buf.putShort(sample(m, i).toShort); i += 1 }
+    buf.array()
+  }
+}
