@@ -1401,12 +1401,38 @@ object SimilarityQueries {
         // each batch's emission is localCheckpoint-materialized by
         // upsertBatch, so the frames stay valid across later upserts —
         // union them directly (the emit-parquet round trip was 5 extra
-        // jobs per replay for bytes nothing else read)
-        (0 to 3).map { k =>
-          graft.operators.LshIndex.upsertBatch(
-            s, docs.where(col("doc_id") % 4 === k), s"$out/index",
-            batchId = k, dfCap = dfCap, bucketCap = bucketCap)
-        }.reduce(_.unionByName(_)).orderBy("doc_a", "doc_b")
+        // jobs per replay for bytes nothing else read).
+        // CROSS-BATCH PIPELINE (LshIndex.upsertBatchPipelined): the
+        // only serial dependency between batches is the in-memory
+        // state chain — batch K+1's prep (shingle explode + counts)
+        // overlaps batch K's chain, K's exact-Jaccard verify and
+        // ordered store commit overlap K+1's chain, and prior-state
+        // reads come from the carried cache pieces instead of
+        // re-scanning the store. Bit-identical to the serial
+        // store-read replay (LshIndexSpec pins the equivalence).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val batches = (0 to 3).map(k => docs.where(col("doc_id") % 4 === k))
+        var hist = Vector.empty[graft.operators.LshIndex.BatchState]
+        var commit: Future[Unit] = Future.unit
+        var prep = graft.operators.LshIndex.prepareBatch(s, batches(0))
+        val pairFutures = (0 to 3).map { k =>
+          val next =
+            if (k < 3) Some(Future(graft.operators.LshIndex.prepareBatch(s, batches(k + 1))))
+            else None
+          val (pairsF, st, cf) = graft.operators.LshIndex.upsertBatchPipelined(
+            s, batches(k), s"$out/index",
+            batchId = k, dfCap = dfCap, bucketCap = bucketCap,
+            prepared = Some(prep), history = Some(hist), prevCommit = commit)
+          hist = hist :+ st; commit = cf
+          next.foreach(f => prep = Await.result(f, Duration.Inf))
+          pairsF
+        }
+        val result = pairFutures.map(Await.result(_, Duration.Inf))
+          .reduce(_.unionByName(_)).orderBy("doc_a", "doc_b")
+        graft.operators.LshIndex.release(hist)
+        result
       },
       Some(s"""
         WITH e0 AS (

@@ -149,6 +149,54 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ingest(compacted, 2) == ingest(plain, 2))
   }
 
+  test("pipelined replay (carried state, async ordered commits) ≡ serial store-read replay") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val docs = Seq(doc(1, "aa"), doc(2, "ab"), doc(3, "ac"), doc(4, "ad"),
+                   doc(5, "ae"), doc(6, "af"))
+    val df = docs.toDF("doc_id", "text")
+    def batchDf(k: Int) = df.where(col("doc_id") % 3 === k)
+
+    val rootA = tmp()
+    val serial = (0 until 3).map(k =>
+        LshIndex.upsertBatch(spark, batchDf(k), rootA,
+          batchId = k, dfCap = 20, bucketCap = 20))
+      .map(_.orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq)
+
+    val rootB = tmp()
+    var hist = Vector.empty[LshIndex.BatchState]
+    var commit: Future[Unit] = Future.unit
+    var prep = LshIndex.prepareBatch(spark, batchDf(0))
+    val futs = (0 until 3).map { k =>
+      val next =
+        if (k < 2) Some(Future(LshIndex.prepareBatch(spark, batchDf(k + 1))))
+        else None
+      val (pf, st, cf) = LshIndex.upsertBatchPipelined(spark, batchDf(k), rootB,
+        batchId = k, dfCap = 20, bucketCap = 20,
+        prepared = Some(prep), history = Some(hist), prevCommit = commit)
+      hist = hist :+ st; commit = cf
+      next.foreach(f => prep = Await.result(f, Duration.Inf))
+      pf
+    }
+    val piped = futs.map(Await.result(_, Duration.Inf))
+      .map(_.orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq)
+    LshIndex.release(hist)
+    assert(piped == serial,
+      "pipelined emissions must be bit-identical to the serial replay")
+
+    // ... and so must the COMMITTED state, delta by delta, table by
+    // table (sets arrays sorted: list order is an execution detail)
+    for (k <- 0 until 3; t <- Seq("df", "sets", "bands")) {
+      def rows(root: String): Seq[String] = {
+        val raw = spark.read.parquet(s"$root/delta=$k/tbl=$t")
+        val norm = if (t == "sets") raw.withColumn("ts", sort_array(col("ts"))) else raw
+        norm.collect().map(_.toString).sorted.toSeq
+      }
+      assert(rows(rootB) == rows(rootA), s"state mismatch delta=$k tbl=$t")
+    }
+  }
+
   test("streaming ingest (foreachBatch) equals the direct batch replay") {
     val base = tmp()
     val docs = Seq(doc(1, "aa"), doc(2, "ab"), doc(3, "ac"), doc(4, "ad"),
