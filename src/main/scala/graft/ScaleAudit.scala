@@ -30,7 +30,11 @@ object ScaleAudit {
     "q100",                            // index-intersection scan
     "q103", "q104", "q108", "q109",    // incremental index/stats maintenance
     "q110", "q112",                    // MOR change feed + feed-maintained view
-    "q99")                             // count-min heavy hitters
+    "q99",                             // count-min heavy hitters
+    "q101", "q102")                    // learned ANN serve cost (artifacts
+                                       // pre-trained by pass 1; min-of-passes
+                                       // reports the train-once-serve-many
+                                       // path the sidecars exist for)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

@@ -248,39 +248,94 @@ object ExtraQueries {
           .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
           .withColumn("cell",
             expr(SimilarityQueries.signKeyLowExpr(cLit.toString)))
-        // multi-probe = own cell + every Hamming-1 and Hamming-2 flip:
-        // 1 + c + c(c-1)/2 DISTINCT cells, so probe work grows as
-        // log^2(n) while recall stays high even when the uniform
-        // decorrelated cells stop accidentally co-locating neighbors
-        // (the correlated lattice cells hid this by under-splitting)
-        val probes =
-          "concat(array(cell), " +
-            s"transform(sequence(0, ${cLit - 1}), i -> " +
-            "cell ^ shiftleft(cast(1 as bigint), i)), " +
-            s"flatten(transform(sequence(0, ${cLit - 2}), i -> " +
-            s"transform(sequence(i + 1, ${cLit - 1}), j2 -> " +
-            "cell ^ shiftleft(cast(1 as bigint), i) ^ " +
-            "shiftleft(cast(1 as bigint), j2)))))"
-        val qs = emb.where(pmod(col("vec_id"), lit(100)) === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("n2").as("qn2"), explode(expr(probes)).as("cell"))
-        val cs = emb.select(col("vec_id").as("cand_id"),
-          col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
-        val cos = DotProductF.dot(col("qe"), col("ce")) /
-          (sqrt(col("qn2")) * sqrt(col("cn2")))
-        val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
-        val scored = broadcast(qs).join(cs, Seq("cell"))
-          .where(col("query_id") =!= col("cand_id"))
-          .select(col("query_id"), col("cand_id"), simq.as("sim_q"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"),
-            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
-          .orderBy("query_id", "rank")
+        ivfProbeSearch(emb, cLit)
       },
-      Some {
+      Some(ivfOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q114: INCREMENTAL IVF list maintenance — q109's move (maintained
+    // PQ codes gated by q98's oracle) applied to q49's inverted file.
+    // Four ingest batches (vec_id % 4) append (vec_id, cell)
+    // assignments to a graft.operators.CellIndex DeltaStore at the
+    // quantizer width FROZEN at index creation (provisioned from the
+    // corpus count, as q104 freezes its band width — the oracle's
+    // adaptive width resolves the same integer for the same corpus),
+    // with a mid-replay compact; the q49 probe search then serves from
+    // the MAINTAINED lists (embeddings joined to the store on vec_id —
+    // co-located by bucket at scale) instead of assigning inline.
+    // Gate: q49's DuckDB oracle VERBATIM — the maintained inverted
+    // file must reproduce the one-shot assignment bit-for-bit, per-
+    // batch O(batch) appends notwithstanding.
+    Q(
+      "q114_incremental_ivf_lists",
+      (s, dir) => {
+        import graft.functions.DotProductF
+        val out = Q.scratch(s, "q114_ivflists", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val cLit = SimilarityQueries.adaptiveWidthLit(
+          SimilarityQueries.embCount(s, dir), 64)
+        val emb = Tables.embeddings(s, dir)
+        (0 to 3).foreach { k =>
+          graft.operators.CellIndex.appendBatch(
+            s, emb.where(pmod(col("vec_id"), lit(4)) === k),
+            s"$out/index", batchId = k, widthLit = cLit)
+          if (k == 2) graft.operators.CellIndex.compact(s, s"$out/index")
+        }
+        val maintained = graft.operators.CellIndex.cells(s, s"$out/index")
+        val withCell = emb
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
+          .join(maintained, Seq("vec_id"))
+        ivfProbeSearch(withCell, cLit)
+      },
+      Some(ivfOracleSql))
+  ) ++ defsTail
+
+  /** q49/q114's shared probe search over a (vec_id, embedding, n2,
+    * cell) frame: multi-probe = own cell + every Hamming-1 and
+    * Hamming-2 flip — 1 + c + c(c-1)/2 DISTINCT cells, so probe work
+    * grows as log^2(n) while recall stays high even when the uniform
+    * decorrelated cells stop accidentally co-locating neighbors (the
+    * correlated lattice cells hid this by under-splitting). Cells
+    * partition the space and probe cells are distinct, so each
+    * candidate appears through at most one probe — no dedup needed. */
+  private def ivfProbeSearch(withCell: org.apache.spark.sql.DataFrame,
+                             cLit: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.DotProductF
+    val probes =
+      "concat(array(cell), " +
+        s"transform(sequence(0, ${cLit - 1}), i -> " +
+        "cell ^ shiftleft(cast(1 as bigint), i)), " +
+        s"flatten(transform(sequence(0, ${cLit - 2}), i -> " +
+        s"transform(sequence(i + 1, ${cLit - 1}), j2 -> " +
+        "cell ^ shiftleft(cast(1 as bigint), i) ^ " +
+        "shiftleft(cast(1 as bigint), j2)))))"
+    val qs = withCell.where(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), explode(expr(probes)).as("cell"))
+    val cs = withCell.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+    val cos = DotProductF.dot(col("qe"), col("ce")) /
+      (sqrt(col("qn2")) * sqrt(col("cn2")))
+    val simq = floor(cos * lit(1000000.0) + lit(0.5)).cast("bigint")
+    val scored = broadcast(qs).join(cs, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), simq.as("sim_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"),
+        (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q49/q114's shared oracle: the one-shot adaptive sign-key IVF.
+    * (lazy: referenced from `defs`, which initializes first). */
+  private lazy val ivfOracleSql: String = {
         s"""
         WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
         e0 AS (
@@ -316,8 +371,9 @@ object ExtraQueries {
           FROM scored
         ) WHERE rank <= 3 ORDER BY 1, 2
         """
-      }),
+  }
 
+  private def defsTail: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q52: catalog/metadata profile (SURVEY Q3) — the reference's
     // information_schema.tables/columns + per-table counts EDA

@@ -80,6 +80,30 @@ class IvfSpec extends AnyFunSuite {
       "a loaded quantizer must assign cells and rank neighbors identically")
   }
 
+  test("incremental cell lists (CellIndex) ≡ one-shot assignment, learned quantizer") {
+    // the frozen loaded model makes assignment a pure per-row map, so
+    // batch-appended maintained lists must equal the one-shot transform
+    // bit-for-bit — the learned-path counterpart of q114's oracle gate
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_cellidx_").toString
+    val (oneShot, _) = IvfIndex.buildOrLoad(spark, emb, nlist = 8, s"$base/km")
+    (0 to 3).foreach { k =>
+      val (batchCells, _) =
+        IvfIndex.buildOrLoad(spark, emb.where(pmod(col("vec_id"), lit(4)) === k),
+          nlist = 8, s"$base/km") // loads the frozen model, pure map
+      graft.operators.CellIndex.appendAssigned(spark,
+        batchCells.select(col("vec_id"), col("cell_id").as("cell")),
+        s"$base/index", batchId = k)
+      if (k == 2) graft.operators.CellIndex.compact(spark, s"$base/index")
+    }
+    val maintained = graft.operators.CellIndex.cells(spark, s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val inline = oneShot.select("vec_id", "cell_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1).toSeq
+    assert(maintained == inline,
+      "maintained inverted lists must equal the one-shot assignment")
+  }
+
   test("deterministic hyperplane-cell IVF (q49) top-3 recall >= 0.6") {
     val det = SparkEntry.queries("q49_ann_ivf")(spark, sfDir)
       .select("query_id", "neighbor_id")
