@@ -200,10 +200,16 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * determinism; with it, the replay recomputes bit-identical state
     * and replaces the delta identically.
     *
-    * Deltas written before a column existed read as null for that
+    * Schema evolution contract (MorTableSpec pins all three):
+    * deltas written before a column existed read as null for that
     * column (parquet scans fill requested-but-absent columns) — the
-    * added-column schema-evolution path; a TYPE change to an existing
-    * column is not supported and fails loudly at scan time. */
+    * added-column path; SAFE WIDENING is supported at scan with exact
+    * value preservation — int history reads under a long schema,
+    * decimal(p,s) under decimal(p+k,s) (Spark 4's parquet readers
+    * up-convert losslessly, same as Delta's type-widening feature);
+    * NARROWING or a lossy type change (long under int, int under
+    * string) is not supported and fails loudly at scan time — never a
+    * silent coercion. */
   def read(spark: SparkSession, schema: StructType,
            touched: Option[Seq[Int]], asOf: Option[Int] = None,
            table: Option[String] = None,

@@ -198,6 +198,54 @@ class MorTableSpec extends AnyFunSuite {
     assert(folded == got)
   }
 
+  test("schema evolution: SAFE WIDENING (int->long, decimal precision growth) is exact across the boundary") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val t = mor(root)
+    t.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0) // v: int
+    val wide = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    // batch 1 writes under the widened schema, with a value only the
+    // wide type can hold
+    t.upsert(Seq(("b", 3L), ("c", 9000000000L)).toDF("k", "v"), 1)
+    def snap() = t.snapshot(spark, wide)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(snap() == Seq(("a", 1L), ("b", 3L), ("c", 9000000000L)),
+      "int history must read exactly under the widened long schema")
+    // as-of back across the widening boundary
+    val asOf0 = t.snapshotAsOf(spark, wide, 0)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(asOf0 == Seq(("a", 1L), ("b", 2L)))
+    // compaction folds mixed-width history under the wide schema
+    t.compact(spark, wide)
+    assert(snap() == Seq(("a", 1L), ("b", 3L), ("c", 9000000000L)))
+
+    // decimal precision growth: decimal(5,2) history under decimal(9,2)
+    val root2 = tmp()
+    val t2 = mor(root2)
+    val d52 = Seq(("a", BigDecimal("123.45"))).toDF("k", "v")
+      .select($"k", $"v".cast(DecimalType(5, 2)).as("v"))
+    t2.upsert(d52, 0)
+    val wideDec = StructType(Seq(
+      StructField("k", StringType), StructField("v", DecimalType(9, 2))))
+    val d92 = Seq(("b", BigDecimal("1234567.89"))).toDF("k", "v")
+      .select($"k", $"v".cast(DecimalType(9, 2)).as("v"))
+    t2.upsert(d92, 1)
+    val got2 = t2.snapshot(spark, wideDec)
+      .as[(String, BigDecimal)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(("a", BigDecimal("123.45")), ("b", BigDecimal("1234567.89"))),
+      "decimal(5,2) history must read exactly under decimal(9,2)")
+  }
+
+  test("schema evolution rejects NARROWING loudly (long history under an int schema)") {
+    val t = mor(tmp())
+    t.upsert(Seq(("a", 9000000000L)).toDF("k", "v"), 0) // v: long
+    val narrow = Seq(("x", 0)).toDF("k", "v").schema    // v: int
+    intercept[Exception] {
+      t.snapshot(spark, narrow).collect()
+    }
+  }
+
   test("schema evolution rejects TYPE changes loudly at scan time (no silent coercion)") {
     val t = mor(tmp())
     t.upsert(Seq(("a", 1)).toDF("k", "v"), 0)
