@@ -1676,6 +1676,102 @@ object PipelineQueries {
         FROM g WHERE yr != 1997
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // ----------------------------------------------------------------
+    // q115: the STREAMING CDC -> view composition under the hash gate —
+    // q112's upsert -> changes -> applyFeed loop driven by Structured
+    // Streaming instead of explicit batch calls: four landing drops
+    // drain through a checkpointed AvailableNow foreachBatch sink
+    // (each drain is a separate query run resuming from the SAME
+    // checkpoint — the kill-and-resume shape), each micro-batch
+    // upserts the MOR table and applies the just-committed horizon's
+    // preimage feed to the view store, all keyed by the streaming
+    // batch id (exactly-once: every stage replaces its own delta on
+    // replay). Overlapping year windows force real updates, so the
+    // feed's update_pre subtraction is load-bearing. The oracle
+    // recomputes the rollup from the final LWW table state (last
+    // covering window wins per year): feed-maintained ≡ recomputed,
+    // end-to-end through the streaming machinery. Input is the
+    // o_custkey % 5 slice to keep bench cost proportionate — the
+    // composition, not the volume, is what this entry gates.
+    Q(
+      "q115_stream_cdc_view",
+      (s, dir) => {
+        val out = scratch(s, "q115_scdc", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val orders = Tables.orders(s, dir)
+        val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        def mkBatch(y0: Int, y1: Int, b: Int) = orders
+          .where(col("o_custkey") % 5 === 0 &&
+            year(col("o_orderdate")).between(y0, y1))
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
+            + lit(0.01) * lit(b)).as("price_usd"))
+        val schema = mkBatch(1995, 1996, 0).schema
+        val mor = graft.operators.MorTable(
+          graft.operators.DeltaStore(s"$out/table", 16),
+          Seq("coin_id", "fetch_date"))
+        val vstore = graft.operators.DeltaStore(s"$out/view", 16)
+        def drain(): Unit = s.readStream.schema(schema).parquet(s"$out/in")
+          .writeStream
+          .option("checkpointLocation", s"$out/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val bid = id.toInt
+            mor.upsert(b.dropDuplicates("coin_id", "fetch_date"), bid)
+            graft.operators.IncrementalView.applyFeed(vstore,
+              mor.changes(s, schema, bid - 1, bid, preimage = true)
+                .select(col("coin_id"),
+                  year(col("fetch_date")).as("yr"),
+                  month(col("fetch_date")).as("mon"),
+                  col("op"), col("price_usd")),
+              Seq("coin_id", "yr", "mon"), "price_usd", bid)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000)
+        windows.zipWithIndex.foreach { case ((y0, y1), b) =>
+          // ONE file per drop: a batch id names a complete ingest unit
+          mkBatch(y0, y1, b).coalesce(1)
+            .write.mode("append").parquet(s"$out/in")
+          drain()
+        }
+        val gschema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("coin_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("yr",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("mon",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.operators.IncrementalView.compact(s, vstore, gschema)
+        graft.operators.IncrementalView.view(s, vstore, gschema)
+          .select(col("coin_id"), col("yr"), col("mon"),
+            col("vsum").cast("double").as("sum_price"), col("cnt"))
+          .orderBy("coin_id", "yr", "mon")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS coin_id,
+                 o_orderdate AS fetch_date,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS base
+          FROM orders WHERE o_custkey % 5 = 0
+          GROUP BY 1, 2, 3)
+        SELECT coin_id, yr,
+               CAST(EXTRACT(MONTH FROM fetch_date) AS INT) AS mon,
+               CAST(SUM(CAST(base + CAST(0.01 AS DOUBLE) *
+                   (CASE yr WHEN 1995 THEN 0 WHEN 1996 THEN 1 WHEN 1997 THEN 1
+                            WHEN 1998 THEN 2 WHEN 1999 THEN 2
+                            ELSE 3 END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 
