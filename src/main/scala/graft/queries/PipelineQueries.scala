@@ -556,6 +556,10 @@ object PipelineQueries {
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        // pipelined replay: batch K's rollup recompute + commit runs
+        // concurrently with batch K+1's table upsert (rollup commits
+        // stay in batch order) — the serial path is the table chain
+        var roll: scala.concurrent.Future[Unit] = scala.concurrent.Future.unit
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           val batch = orders
             .where(year(col("o_orderdate")).between(y0, y1))
@@ -564,11 +568,13 @@ object PipelineQueries {
               col("o_orderdate").as("fetch_date"))
             .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
               + lit(0.01) * lit(b)).as("price_usd"))
-          graft.streaming.IncrementalRollup.mergeBatchBucketed(
+          roll = graft.streaming.IncrementalRollup.mergeBatchBucketedPipelined(
             s, batch, s"$out/table", s"$out/rollup",
             tableBucket = year(col("fetch_date")),
-            rollupBucket = col("year"))
+            rollupBucket = col("year"), prevRollup = roll)
         }
+        scala.concurrent.Await.result(roll,
+          scala.concurrent.duration.Duration.Inf)
         s.read.parquet(s"$out/rollup")
           .select(col("coin_id"), col("year"), col("month"),
             col("min_price_usd"), col("max_price_usd"))
@@ -1051,6 +1057,9 @@ object PipelineQueries {
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        // same rollup-off-the-serial-path pipelining as q85 — the
+        // protocol swap must not change the overlap structure either
+        var roll: scala.concurrent.Future[Unit] = scala.concurrent.Future.unit
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           val batch = orders
             .where(year(col("o_orderdate")).between(y0, y1))
@@ -1059,12 +1068,14 @@ object PipelineQueries {
               col("o_orderdate").as("fetch_date"))
             .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
               + lit(0.01) * lit(b)).as("price_usd"))
-          graft.streaming.IncrementalRollup.mergeBatchBucketed(
+          roll = graft.streaming.IncrementalRollup.mergeBatchBucketedPipelined(
             s, batch, s"$out/table", s"$out/rollup",
             tableBucket = year(col("fetch_date")),
             rollupBucket = col("year"),
-            manifest = true)
+            manifest = true, prevRollup = roll)
         }
+        scala.concurrent.Await.result(roll,
+          scala.concurrent.duration.Duration.Inf)
         graft.streaming.ManifestTable.readBucketed(s, s"$out/rollup", null)
           .select(col("coin_id"), col("year"), col("month"),
             col("min_price_usd"), col("max_price_usd"))

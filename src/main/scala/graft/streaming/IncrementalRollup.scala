@@ -122,7 +122,41 @@ object IncrementalRollup {
   def mergeBatchBucketed(spark: SparkSession, batch0: DataFrame,
                          tableDir: String, rollupDir: String,
                          tableBucket: Column, rollupBucket: Column,
-                         manifest: Boolean = false): Unit = {
+                         manifest: Boolean = false): Unit =
+    scala.concurrent.Await.result(
+      mergeBatchBucketedPipelined(spark, batch0, tableDir, rollupDir,
+        tableBucket, rollupBucket, manifest),
+      scala.concurrent.duration.Duration.Inf)
+
+  /** [[mergeBatchBucketed]] with the rollup half taken OFF the serial
+    * path for replay loops: the table upsert commits synchronously
+    * (batch K+1's upsert chains on that state), the just-committed
+    * touched slice is pinned, and the returned Future performs the
+    * rollup recompute + commit concurrently with the NEXT batch's
+    * table work. Rollup commits stay in batch order (each Future
+    * awaits `prevRollup` before touching the rollup dirs), so the
+    * final rollup state is identical to the serial protocol's —
+    * ManifestTableSpec pins bucketed ≡ whole-table on both protocols,
+    * and q85/q92's oracles gate the end state.
+    *
+    * Why the PIN (eager localCheckpoint) is load-bearing: the rollup
+    * recompute reads the table buckets this batch just promoted, and
+    * the next batch's promote swaps those dirs via rename pairs — a
+    * lazy read racing that swap could miss a bucket mid-rename (or
+    * heal() a LIVE writer's pair). The checkpoint freezes the rows and
+    * severs lineage, so the concurrent rollup never touches table
+    * dirs at all. */
+  def mergeBatchBucketedPipelined(
+      spark: SparkSession, batch0: DataFrame,
+      tableDir: String, rollupDir: String,
+      tableBucket: Column, rollupBucket: Column,
+      manifest: Boolean = false,
+      prevRollup: scala.concurrent.Future[Unit] =
+        scala.concurrent.Future.unit): scala.concurrent.Future[Unit] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     // The batch feeds FIVE actions in this procedure (emptiness check,
     // touched-bucket collect, table write, touched-group derivation,
     // rollup-bucket collect); without pinning it, each action
@@ -132,17 +166,7 @@ object IncrementalRollup {
     // tool (unlike in declarative query code). The persist comes BEFORE
     // the isEmpty probe so even that first touch fills the cache.
     val batch = batch0.dropDuplicates("coin_id", "fetch_date").persist()
-    try {
-      if (!batch.isEmpty) mergeBatchBucketedPinned(
-        spark, batch, tableDir, rollupDir, tableBucket, rollupBucket, manifest)
-    } finally batch.unpersist(false)
-  }
-
-  private def mergeBatchBucketedPinned(
-      spark: SparkSession, batch: DataFrame,
-      tableDir: String, rollupDir: String,
-      tableBucket: Column, rollupBucket: Column,
-      manifest: Boolean): Unit = {
+    if (batch.isEmpty) { batch.unpersist(false); return prevRollup }
 
     // intra-bucket write clustering on the upsert key's first column —
     // keeps staging writes 32-way parallel even when a batch touches
@@ -156,7 +180,7 @@ object IncrementalRollup {
       if (manifest) { ManifestTable.commitBuckets(df, dir, within); () }
       else BucketedSnapshot.replaceBuckets(spark, dir, df, buckets, within)
 
-    // ---- table upsert over touched buckets only
+    // ---- table upsert over touched buckets only (the SERIAL half)
     val touched = batch.select(tableBucket.cast("int").as("gbucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val cur = readBuckets(tableDir, batch.schema, touched)
@@ -164,31 +188,39 @@ object IncrementalRollup {
     replaceBuckets(tableDir,
       merged.withColumn("gbucket", tableBucket.cast("int")), touched)
 
+    // pin the just-committed touched slice (see scaladoc)
+    val table = readBuckets(tableDir, batch.schema, touched).localCheckpoint()
+
     // ---- targeted rollup maintenance, itself bucket-pruned: the
     // touched groups' table rows live in the touched table buckets by
     // construction (group keys are row functions), so the recompute
-    // scans only those
+    // scans only those — now concurrent with the caller's next batch
     val touchedGroups = batch.select(
       col("coin_id"),
       year(col("fetch_date")).as("year"),
       month(col("fetch_date")).as("month")).distinct()
-    val table = readBuckets(tableDir, batch.schema, touched)
-    val freshGroups = table
-      .where(col("price_usd").isNotNull)
-      .withColumn("year", year(col("fetch_date")))
-      .withColumn("month", month(col("fetch_date")))
-      .join(broadcast(touchedGroups), Seq("coin_id", "year", "month"), "left_semi")
-      .groupBy("coin_id", "year", "month")
-      .agg(
-        min(col("price_usd")).as("min_price_usd"),
-        max(col("price_usd")).as("max_price_usd"))
-    val rTouched = touchedGroups.select(rollupBucket.cast("int").as("gbucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val rollupCur = readBuckets(rollupDir, freshGroups.schema, rTouched)
-    val mergedRollup = Upsert.replaceByKey(
-      rollupCur, freshGroups, Seq("coin_id", "year", "month"))
-    replaceBuckets(rollupDir,
-      mergedRollup.withColumn("gbucket", rollupBucket.cast("int")), rTouched)
+    Future {
+      try {
+        val freshGroups = table
+          .where(col("price_usd").isNotNull)
+          .withColumn("year", year(col("fetch_date")))
+          .withColumn("month", month(col("fetch_date")))
+          .join(broadcast(touchedGroups), Seq("coin_id", "year", "month"), "left_semi")
+          .groupBy("coin_id", "year", "month")
+          .agg(
+            min(col("price_usd")).as("min_price_usd"),
+            max(col("price_usd")).as("max_price_usd"))
+        val rTouched = touchedGroups.select(rollupBucket.cast("int").as("gbucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        // rollup dirs advance strictly in batch order
+        Await.result(prevRollup, Duration.Inf)
+        val rollupCur = readBuckets(rollupDir, freshGroups.schema, rTouched)
+        val mergedRollup = Upsert.replaceByKey(
+          rollupCur, freshGroups, Seq("coin_id", "year", "month"))
+        replaceBuckets(rollupDir,
+          mergedRollup.withColumn("gbucket", rollupBucket.cast("int")), rTouched)
+      } finally batch.unpersist(false)
+    }
   }
 
   private def readOrEmpty(spark: SparkSession, dir: String,
