@@ -88,6 +88,83 @@ class DeltaStoreConcurrencySpec extends AnyFunSuite {
       "all 21 concurrently-committed batches must be readable")
   }
 
+  // ---- grouped multi-table commits under contention: the invariant
+  // is ATOMICITY ACROSS SLICES — every committed batch is visible in
+  // ALL its tbl= slices or in none; no table may ever sit at a
+  // different batch horizon than its siblings.
+
+  private def putT(s: DeltaStore, batch: Int): Unit = {
+    val union = Seq((s"L$batch", batch)).toDF("k", "b")
+      .withColumn("tbl", lit("left"))
+      .unionByName(Seq((s"R$batch", batch)).toDF("k", "b")
+        .withColumn("tbl", lit("right")))
+      .withColumn("gbucket", s.gb(col("k")))
+    s.appendTables(union, batch, within = Seq(col("k")))
+  }
+
+  private def batchesOf(s: DeltaStore, t: String): Set[Int] =
+    s.read(spark, schemaT, None, table = Some(t))
+      .select("b").as[Int].collect().toSet
+
+  private val schemaT = StructType(Seq(
+    StructField("k", StringType), StructField("b", IntegerType)))
+
+  test("grouped append vs grouped append: loser rebases; all slices move together") {
+    val dir = tmp()
+    val a = DeltaStore(dir, 4, manifest = true)
+    val b = DeltaStore(dir, 4, manifest = true)
+    putT(a, 0)
+    var fired = false
+    a.onBeforeCommit = () => if (!fired) { fired = true; putT(b, 2) }
+    putT(a, 1)
+    assert(fired)
+    assert(batchesOf(a, "left") == Set(0, 1, 2))
+    assert(batchesOf(a, "right") == Set(0, 1, 2),
+      "a torn grouped commit would leave right behind left")
+  }
+
+  test("grouped append vs compactTables: the mid-fold delta survives with every slice") {
+    val dir = tmp()
+    val a = DeltaStore(dir, 4, manifest = true)
+    val b = DeltaStore(dir, 4, manifest = true)
+    putT(a, 0); putT(a, 1)
+    var fired = false
+    a.onBeforeCommit = () => if (!fired) { fired = true; putT(b, 2) }
+    a.compactTables(spark, Seq(
+      ("left", schemaT, col("k"), identity[org.apache.spark.sql.DataFrame] _),
+      ("right", schemaT, col("k"), identity[org.apache.spark.sql.DataFrame] _)))
+    assert(fired)
+    assert(batchesOf(a, "left") == Set(0, 1, 2))
+    assert(batchesOf(a, "right") == Set(0, 1, 2),
+      "the compact's rebase must carry the concurrent delta's BOTH slices")
+  }
+
+  test("4 writer threads x 5 grouped commits: no slice ever at a different horizon") {
+    val dir = tmp()
+    val stores = (0 until 4).map(_ => DeltaStore(dir, 4, manifest = true))
+    putT(stores(0), 100)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 5).foreach(i => putT(stores(w), 200 + w * 5 + i))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val want = (for (w <- 0 until 4; i <- 0 until 5) yield 200 + w * 5 + i).toSet + 100
+    assert(batchesOf(stores.head, "left") == want)
+    assert(batchesOf(stores.head, "right") == want,
+      "all 21 grouped commits must be whole in every slice")
+    // and a fold of the contended history keeps the invariant
+    stores.head.compactTables(spark, Seq(
+      ("left", schemaT, col("k"), identity[org.apache.spark.sql.DataFrame] _),
+      ("right", schemaT, col("k"), identity[org.apache.spark.sql.DataFrame] _)))
+    assert(batchesOf(stores.head, "left") == want)
+    assert(batchesOf(stores.head, "right") == want)
+  }
+
   test("interleaved replay of the same batch id converges to one entry") {
     val dir = tmp()
     val a = DeltaStore(dir, 4, manifest = true)
