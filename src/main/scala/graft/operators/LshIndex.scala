@@ -243,14 +243,20 @@ object LshIndex {
     //    immediately semi-joined against the batch's tris and
     //    aggregated.
     val batchCnt = prep.batchCnt
-    val priorDf = prior(
+    // ONE exchange computes the batch's cumulative df: union the prior
+    // per-delta counts (bcnt-tagged null) with the batch's own counts
+    // (tagged with themselves), aggregate by tri, and keep tris the
+    // BATCH contains (bcnt not null — the semi-join's role). Equivalent
+    // to the old semi-join -> sum -> full_outer chain, which cost three
+    // exchanges of the vocabulary instead of one: a tri in prior state
+    // but not in the batch nets bcnt null and drops; a batch tri's cnt
+    // is its prior sum + bcnt exactly.
+    val merged = prior(
         _.cnts.select(col("tri"), col("bcnt").as("cnt")), dfSchema, "df")
-      .join(batchCnt.select("tri"), Seq("tri"), "left_semi")
-      .groupBy("tri").agg(sum("cnt").as("cnt"))
-    val merged = priorDf.join(batchCnt, Seq("tri"), "full_outer")
-      .select(col("tri"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("bcnt"), lit(0L))).as("cnt"),
-        col("bcnt"))
+      .select(col("tri"), col("cnt"), lit(null).cast("long").as("bcnt"))
+      .unionByName(batchCnt.select(col("tri"), col("bcnt").as("cnt"), col("bcnt")))
+      .groupBy("tri").agg(sum("cnt").as("cnt"), max("bcnt").as("bcnt"))
+      .where(col("bcnt").isNotNull)
       .persist()
     // -- capped batch sets, frozen at this batch's cumulative df.
     //    Filtered as an ANTI-join against the HOT side (tris past the
