@@ -119,6 +119,80 @@ object MultimodalQueries {
                CAST(ROUND(feat * 1000000) AS BIGINT) AS value_micro
         FROM (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat)
         ORDER BY media_id, feature_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q116: VIDEO frame sampling + per-frame decode under the gate —
+    // the remaining multimodal path (sampleFrameFeatures' stride loop).
+    // 12 animated-GIF clips (3-5 frames, varying dims) are synthesized
+    // through a 256-entry gray IndexColorModel, so every decoded frame
+    // raster equals the closed-form gifPixel formula exactly; every
+    // 2nd frame is decoded by ImageIO's multi-frame reader (ONE reader
+    // init per payload) to the 8 image stats, emitted as micro-unit
+    // BIGINTs. The oracle enumerates (clip, sampled frame, pixel) with
+    // the same integer formula — decoded=true in every row is part of
+    // the hash: a payload that silently fell back to the stub would
+    // flip it.
+    Q(
+      "q116_video_frame_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 12)
+          .map { m =>
+            (m.toLong, "video", graft.sources.MediaGen.gifVideo(m),
+              graft.sources.MediaGen.gifFrames(m))
+          }
+          .toDF("media_id", "kind", "payload", "nf")
+          .select(col("media_id"), col("kind"), col("payload"),
+            struct(
+              lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height"),
+              lit(null).cast("int").as("sample_rate"),
+              col("nf").as("n_frames")).as("meta"))
+        graft.operators.Multimodal.sampleFrameFeatures(s, media, stride = 2)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("decoded"),
+            posexplode(col("features")))
+          .select(col("media_id"), col("frame_idx"), col("decoded"),
+            col("pos").cast("int").as("feature_idx"),
+            round(col("col").cast("double") * lit(1000000L)).cast("long").as("value_micro"))
+          .orderBy("media_id", "frame_idx", "feature_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 8 + i % 5 AS w, 8 + i % 4 AS h,
+                 3 + i % 3 AS nf
+          FROM generate_series(0, 11) t(i)
+        ),
+        frames AS (
+          SELECT media_id, w, h, f.f
+          FROM media, generate_series(0, 9) f(f)
+          WHERE f.f < nf AND f.f % 2 = 0
+        ),
+        pix AS (
+          SELECT fr.media_id, fr.f, fr.w, fr.h,
+                 (fr.media_id * 7 + fr.f * 53 + x.x * 131 + y.y * 197) % 256 AS v
+          FROM frames fr
+          JOIN generate_series(0, 12) x(x) ON x.x < fr.w
+          JOIN generate_series(0, 11) y(y) ON y.y < fr.h
+        ),
+        fstats AS (
+          SELECT media_id, f, w, h,
+                 CAST(SUM(v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS mean_d,
+                 CAST(SUM(v * v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS msq_d
+          FROM pix GROUP BY media_id, f, w, h
+        )
+        SELECT media_id, CAST(f AS INTEGER) AS frame_idx, TRUE AS decoded,
+               CAST(p.p AS INTEGER) AS feature_idx,
+               CAST(ROUND(CAST(CASE p.p
+                 WHEN 0 THEN CAST(w AS REAL)
+                 WHEN 1 THEN CAST(h AS REAL)
+                 WHEN 2 THEN CAST(CAST(w AS DOUBLE) / h AS REAL)
+                 WHEN 7 THEN CAST(SQRT(GREATEST(0.0, msq_d - mean_d * mean_d)) AS REAL)
+                 ELSE CAST(mean_d AS REAL)
+               END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
+        FROM fstats, generate_series(0, 7) p(p)
+        ORDER BY media_id, frame_idx, feature_idx
       """))
   )
 }

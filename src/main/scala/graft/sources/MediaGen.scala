@@ -107,6 +107,53 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ---- animated-GIF "video" payloads (q116): every frame is a full
+  // gray raster through a 256-entry gray IndexColorModel, so the GIF
+  // round trip is EXACT — palette index v decodes to (v, v, v), no
+  // quantization, no sRGB conversion (the trap TYPE_BYTE_GRAY has).
+
+  def gifFrames(m: Long): Int = 3 + (m % 3).toInt
+
+  /** Frame dims stay >= 8: the JDK GIF codec corrupts rows past the
+    * first on tiny rasters (measured: 3x2/4x4/5x3 keep only row 0;
+    * 8x8 and up round-trip exactly). */
+  def gifDims(m: Long): (Int, Int) = (8 + (m % 5).toInt, 8 + (m % 4).toInt)
+
+  /** Gray level of pixel (x, y) of frame f of clip m. */
+  def gifPixel(m: Long, f: Int, x: Int, y: Int): Int =
+    ((m * 7 + f * 53 + x * 131 + y * 197) % 256).toInt
+
+  /** Animated GIF via the JDK's sequence writer — the one video
+    * container a bare JVM decodes frame-by-frame for real. */
+  def gifVideo(m: Long): Array[Byte] = {
+    val (w, h) = gifDims(m)
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < gifFrames(m)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gifPixel(m, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Mono PCM16 WAV, 129 samples of [[sample]] at [[sampleRate]]. */
   def wav(m: Long): Array[Byte] = {
     val sr = sampleRate(m)
