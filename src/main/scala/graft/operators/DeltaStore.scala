@@ -52,6 +52,22 @@ import org.apache.spark.sql.types.StructType
   *     garbage-collects — but GC is maintenance-only (never
   *     concurrent with in-flight appends; see [[healManifest]]).
   *     The rename protocol remains single-writer.
+  *
+  * CHOOSING a protocol (deployment guidance, not just mechanics):
+  * `manifest = false` is the SINGLE-WRITER protocol by documented
+  * contract — correct for one checkpointed ingester per store (the
+  * streaming replay shape), cheapest on a local/POSIX FS. ANY
+  * deployment where two writers can touch the same store — concurrent
+  * ingest + compaction, multi-pipeline ingest, crash-recovery
+  * double-fire across hosts — MUST provision `manifest = true`: the
+  * epoch CAS is what makes the loser rebase instead of clobbering
+  * (DeltaStoreConcurrencySpec exercises append/append, append/compact,
+  * grouped multi-table commits, and 4-thread stress). The same applies
+  * on object stores even single-writer, where directory rename is not
+  * atomic. The default stays `false` only because a default cannot
+  * know your writer topology and the rename protocol is the one with
+  * no extra read-path cost; it is NOT a recommendation for concurrent
+  * use.
   */
 final case class DeltaStore(dir: String, buckets: Int = 16,
                             manifest: Boolean = false) {
