@@ -31,10 +31,15 @@ object ScaleAudit {
     "q103", "q104", "q108", "q109",    // incremental index/stats maintenance
     "q110", "q112",                    // MOR change feed + feed-maintained view
     "q99",                             // count-min heavy hitters
-    "q101", "q102")                    // learned ANN serve cost (artifacts
+    "q101", "q102",                    // learned ANN serve cost (artifacts
                                        // pre-trained by pass 1; min-of-passes
                                        // reports the train-once-serve-many
                                        // path the sidecars exist for)
+    "q114", "q115")                    // incremental IVF lists + streaming
+                                       // CDC->view (q113/q116 are excluded by
+                                       // design: their generated media corpora
+                                       // are fixed-size decode gates, not
+                                       // scale-sensitive workloads)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
