@@ -150,6 +150,85 @@ object MediaCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** RIFF/AVI with UNCOMPRESSED 24-bit DIB video frames ('00db'/'00dc'
+    * chunks, biCompression = 0) — a real video container whose frames
+    * are a pure byte layout, so decode needs no codec at all: the
+    * BITMAPINFOHEADER comes from the first 'vids' stream's strf, each
+    * movi chunk is one bottom-up padded-row frame. Returns every
+    * `stride`-th frame's index with the same 8 stats as
+    * [[bmpFeatures]]. None on any structural violation, unknown
+    * compression, or frame-size mismatch — never throws, never guesses.
+    */
+  def aviDibFrameFeatures(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Array[Float])]] = {
+    if (stride <= 0 || bytes.length < 24) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return None
+    def fourcc(o: Int) =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var width = 0
+    var height = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    // walk LIST trees; only hdrl (for strf) and movi (for frames) matter
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourcc(off)
+        val size = le32(bytes, off + 4)
+        if (size < 0 || off + 8 + size > to) return false
+        if (id == "LIST") {
+          if (size < 4) return false
+          if (!walk(off + 12, off + 8 + size)) return false
+        } else if (id == "strf" && width == 0 && size >= 40) {
+          val o = off + 8
+          val bpp = le16(bytes, o + 14)
+          val compression = le32(bytes, o + 16)
+          if (bpp != 24 || compression != 0) return false
+          width = le32(bytes, o + 4)
+          height = math.abs(le32(bytes, o + 8))
+        } else if (id.endsWith("db") || id.endsWith("dc")) {
+          frames += ((off + 8, size))
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    if (width <= 0 || height <= 0 || frames.isEmpty) return None
+    val rowStride = ((width * 3 + 3) / 4) * 4
+    if (frames.exists(_._2 != rowStride * height)) return None
+    try {
+      Some((0 until frames.length by stride).map { i =>
+        val (base, _) = frames(i)
+        var (sb, sg, sr) = (0.0, 0.0, 0.0)
+        var sl, sl2 = 0.0
+        var row = 0
+        while (row < height) {
+          var cx = 0
+          val ro = base + row * rowStride
+          while (cx < width) {
+            val o = ro + cx * 3
+            val b = bytes(o) & 0xff
+            val g = bytes(o + 1) & 0xff
+            val r = bytes(o + 2) & 0xff
+            sb += b; sg += g; sr += r
+            val luma = (b + g + r) / 3.0
+            sl += luma; sl2 += luma * luma
+            cx += 1
+          }
+          row += 1
+        }
+        val n = width.toDouble * height
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        i -> Array(
+          width.toFloat, height.toFloat, (width.toDouble / height).toFloat,
+          (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
+          meanL.toFloat, math.sqrt(varL).toFloat)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** RIFF/WAVE PCM16 -> 4 features:
     * [sample_rate, duration_sec, rms (of full-scale), zero_cross_rate]
     * over the interleaved sample stream (channel-agnostic statistics). */

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * The DECODE step is real for images (JPEG/PNG/GIF/BMP via the JDK's
   * bundled `javax.imageio.ImageIO`, plus a zero-allocation hand parser
   * for 24-bit BMP as the fast path), for audio (PCM16 WAV, pure byte
-  * layout), and for animated-GIF VIDEO frames ([[sampleFrameFeatures]]
-  * decodes every sampled frame via ImageIO's multi-frame reader) — see
-  * [[graft.functions.MediaCodec]]. Only non-GIF video decode remains a
-  * clearly-marked deterministic STUB: a bare JVM ships no video codec.
+  * layout), and for VIDEO frames of two containers
+  * ([[sampleFrameFeatures]]: animated GIF via ImageIO's multi-frame
+  * reader; uncompressed-DIB AVI via a dependency-free RIFF walk) — see
+  * [[graft.functions.MediaCodec]]. Only COMPRESSED video decode remains
+  * a clearly-marked deterministic STUB: a bare JVM ships no such codec.
   * Everything around it is the real Spark shape a production pipeline
   * needs: fixed schema, per-partition batching (one decoder init per
   * partition, not per row — the JVM analog of mapInPandas batch
@@ -101,15 +102,16 @@ object Multimodal {
   final case class FrameFeatures(media_id: Long, frame_idx: Int,
                                  decoded: Boolean, features: Array[Float])
 
-  /** Frame sampling with REAL per-frame decode for GIF containers — the
-    * one video-ish format the bare JVM handles (ImageIO reads
-    * animated-GIF frames natively), making this path end-to-end real
-    * for that container: every `stride`-th frame is decoded in the
-    * partition loop (one reader init per payload) to the 8 image stats.
-    * Non-GIF video stays the documented stub ceiling: sampled indices
-    * come from `meta.n_frames` with deterministic hash features and
-    * `decoded = false`, so downstream consumers can tell a real
-    * statistic from a placeholder. */
+  /** Frame sampling with REAL per-frame decode for TWO containers:
+    * animated GIF (ImageIO's multi-frame reader — one reader init per
+    * payload) and uncompressed-DIB AVI (RIFF walk + raw 24bpp frame
+    * rasters, [[graft.functions.MediaCodec.aviDibFrameFeatures]] — no
+    * codec needed at all); every `stride`-th frame decodes in the
+    * partition loop to the 8 image stats. Compressed video (H.264 etc.)
+    * stays the documented stub ceiling — a bare JVM ships no such
+    * codec: sampled indices come from `meta.n_frames` with
+    * deterministic hash features and `decoded = false`, so downstream
+    * consumers can tell a real statistic from a placeholder. */
   def sampleFrameFeatures(spark: SparkSession, media: DataFrame,
                           stride: Int): Dataset[FrameFeatures] = {
     import spark.implicits._
@@ -119,7 +121,8 @@ object Multimodal {
       .as[(Long, Array[Byte], Option[Int])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes, nFrames) =>
-          graft.functions.MediaCodec.gifFrameFeatures(bytes, stride) match {
+          graft.functions.MediaCodec.gifFrameFeatures(bytes, stride)
+            .orElse(graft.functions.MediaCodec.aviDibFrameFeatures(bytes, stride)) match {
             case Some(frames) =>
               frames.iterator.map { case (i, f) =>
                 FrameFeatures(id, i, decoded = true, f)

@@ -193,6 +193,78 @@ object MultimodalQueries {
                END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
         FROM fstats, generate_series(0, 7) p(p)
         ORDER BY media_id, frame_idx, feature_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q117: the SECOND video container — uncompressed-DIB AVI — through
+    // the same sampleFrameFeatures partition loop. Unlike q116's GIF
+    // (decoded by the JDK's reader), AVI/DIB frames are a pure byte
+    // layout decoded by the engine's own RIFF walk — no codec anywhere
+    // — so the closed-form oracle checks the CONTAINER PARSER itself:
+    // chunk walking, word alignment, strf header fields, bottom-up
+    // padded rows. 12 clips with dims chosen small (5..10 x 4..8) on
+    // purpose — our parser has no small-raster bug to avoid, unlike
+    // the JDK GIF codec q116 steps around.
+    Q(
+      "q117_avi_video_frame_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 12)
+          .map { m =>
+            (m.toLong, "video", graft.sources.MediaGen.aviDib(m),
+              graft.sources.MediaGen.aviFrames(m))
+          }
+          .toDF("media_id", "kind", "payload", "nf")
+          .select(col("media_id"), col("kind"), col("payload"),
+            struct(
+              lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height"),
+              lit(null).cast("int").as("sample_rate"),
+              col("nf").as("n_frames")).as("meta"))
+        graft.operators.Multimodal.sampleFrameFeatures(s, media, stride = 2)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("decoded"),
+            posexplode(col("features")))
+          .select(col("media_id"), col("frame_idx"), col("decoded"),
+            col("pos").cast("int").as("feature_idx"),
+            round(col("col").cast("double") * lit(1000000L)).cast("long").as("value_micro"))
+          .orderBy("media_id", "frame_idx", "feature_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 5 + i % 6 AS w, 4 + i % 5 AS h,
+                 3 + i % 3 AS nf
+          FROM generate_series(0, 11) t(i)
+        ),
+        frames AS (
+          SELECT media_id, w, h, f.f
+          FROM media, generate_series(0, 9) f(f)
+          WHERE f.f < nf AND f.f % 2 = 0
+        ),
+        pix AS (
+          SELECT fr.media_id, fr.f, fr.w, fr.h,
+                 (fr.media_id * 11 + fr.f * 59 + x.x * 137 + y.y * 199) % 256 AS v
+          FROM frames fr
+          JOIN generate_series(0, 10) x(x) ON x.x < fr.w
+          JOIN generate_series(0, 8) y(y) ON y.y < fr.h
+        ),
+        fstats AS (
+          SELECT media_id, f, w, h,
+                 CAST(SUM(v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS mean_d,
+                 CAST(SUM(v * v) AS DOUBLE) / (CAST(w AS DOUBLE) * h) AS msq_d
+          FROM pix GROUP BY media_id, f, w, h
+        )
+        SELECT media_id, CAST(f AS INTEGER) AS frame_idx, TRUE AS decoded,
+               CAST(p.p AS INTEGER) AS feature_idx,
+               CAST(ROUND(CAST(CASE p.p
+                 WHEN 0 THEN CAST(w AS REAL)
+                 WHEN 1 THEN CAST(h AS REAL)
+                 WHEN 2 THEN CAST(CAST(w AS DOUBLE) / h AS REAL)
+                 WHEN 7 THEN CAST(SQRT(GREATEST(0.0, msq_d - mean_d * mean_d)) AS REAL)
+                 ELSE CAST(mean_d AS REAL)
+               END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
+        FROM fstats, generate_series(0, 7) p(p)
+        ORDER BY media_id, frame_idx, feature_idx
       """))
   )
 }

