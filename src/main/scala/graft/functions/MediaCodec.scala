@@ -150,6 +150,121 @@ object MediaCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Decode a 24-bit BMP and resize NEAREST-NEIGHBOR to (tw, th),
+    * returning the same 8 stats as [[bmpFeatures]] computed over the
+    * TARGET raster: [tw, th, tw/th, meanB, meanG, meanR, meanLuma,
+    * stdLuma]. Sampling is in IMAGE coordinates — src(x,y) =
+    * ((x*w)/tw, (y*h)/th), integer floor — with the bottom-up/top-down
+    * storage flip handled here, so the sampled pixel set is
+    * layout-independent. The resize itself is pure integer index math:
+    * deterministic, oracle-replayable, and the physical shape a real
+    * pipeline runs next to decode in the partition loop. */
+  def bmpResizeFeatures(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Float]] = {
+    if (tw <= 0 || th <= 0) return None
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowStride = ((width * 3 + 3) / 4) * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+      return None
+    var (sb, sg, sr) = (0.0, 0.0, 0.0)
+    var sl, sl2 = 0.0
+    var yo = 0
+    while (yo < th) {
+      val sy = (yo * height) / th // image row
+      val r = if (rawHeight > 0) height - 1 - sy else sy
+      val base = dataOffset + r * rowStride
+      var xo = 0
+      while (xo < tw) {
+        val sx = (xo * width) / tw
+        val o = base + sx * 3
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val rr = bytes(o + 2) & 0xff
+        sb += b; sg += g; sr += rr
+        val luma = (b + g + rr) / 3.0
+        sl += luma; sl2 += luma * luma
+        xo += 1
+      }
+      yo += 1
+    }
+    val n = tw.toDouble * th
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    Some(Array(
+      tw.toFloat, th.toFloat, (tw.toDouble / th).toFloat,
+      (sb / n).toFloat, (sg / n).toFloat, (sr / n).toFloat,
+      meanL.toFloat, math.sqrt(varL).toFloat))
+  }
+
+  /** PCM16 WAV windowed segmentation — the VAD-ish per-window shape a
+    * training-data pipeline runs over audio: consecutive FULL windows
+    * of `win` samples (the ragged tail is dropped), each yielding
+    * [win, rms (of full-scale), meanAbs (of full-scale), crossings]
+    * — crossings stays a COUNT (no division: a /(win-1) would make the
+    * value float-division-order sensitive across engines). None for
+    * anything [[wavFeatures]] would reject. */
+  def wavWindowFeatures(bytes: Array[Byte], win: Int): Option[Seq[(Int, Array[Float])]] = {
+    if (win <= 1) return None
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          if (le16(bytes, off + 8) != 1) return None
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    val nSamples = dataLen / 2
+    val nWin = nSamples / win
+    if (nWin == 0) return None
+    Some((0 until nWin).map { wi =>
+      var i = 0
+      var sum2 = 0.0
+      var sumAbs = 0.0
+      var crossings = 0
+      var prev = 0
+      while (i < win) {
+        val s = le16(bytes, dataOff + (wi * win + i) * 2).toShort.toInt
+        sum2 += s.toDouble * s
+        sumAbs += math.abs(s)
+        if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+        prev = s
+        i += 1
+      }
+      wi -> Array(
+        win.toFloat,
+        (math.sqrt(sum2 / win) / 32768.0).toFloat,
+        (sumAbs / win / 32768.0).toFloat,
+        crossings.toFloat)
+    })
+  }
+
   /** RIFF/AVI with UNCOMPRESSED 24-bit DIB video frames ('00db'/'00dc'
     * chunks, biCompression = 0) — a real video container whose frames
     * are a pure byte layout, so decode needs no codec at all: the

@@ -149,6 +149,63 @@ object Multimodal {
       }
   }
 
+  /** PHYSICAL resize + feature extraction: [[planResize]]'s metadata
+    * targets joined back to the payloads, then a nearest-neighbor
+    * resize (pure integer index math — deterministic, so the driver's
+    * oracle can replay it) and the 8 raster stats over the TARGET
+    * raster, all in one partition loop next to decode. BMP goes
+    * through the zero-copy byte-walk
+    * ([[graft.functions.MediaCodec.bmpResizeFeatures]]); anything else
+    * falls back to the deterministic stub with the same dim. */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+                     maxSide: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .join(planResize(media, maxSide), Seq("media_id"))
+      .select(col("media_id"), col("payload"),
+        col("target_width"), col("target_height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, tw, th) =>
+          def stub = Array.tabulate(8) { d =>
+            var h = 1125899906842597L + d
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+            ((h % 1000003L).toFloat) / 1000003f
+          }
+          val feats = graft.functions.MediaCodec
+            .bmpResizeFeatures(bytes, tw, th).getOrElse(stub)
+          MediaFeatures(id, "image", 8, feats)
+        }
+      }
+  }
+
+  final case class AudioWindow(media_id: Long, window_idx: Int,
+                               features: Array[Float])
+
+  /** Audio segmentation: consecutive full `win`-sample windows of each
+    * PCM16 WAV payload, each with [win, rms, meanAbs, crossings] —
+    * the per-window shape a VAD / silence-trim / loudness-filter
+    * pipeline consumes. Undecodable payloads yield NO rows (a corrupt
+    * clip is filtered, never fabricated — the opposite default from
+    * [[extractFeatures]]'s whole-clip stub, and the right one for
+    * per-window rows that downstream thresholds act on). */
+  def audioWindowFeatures(spark: SparkSession, media: DataFrame,
+                          win: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media
+      .where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.MediaCodec.wavWindowFeatures(bytes, win)
+            .getOrElse(Seq.empty)
+            .iterator.map { case (wi, f) => AudioWindow(id, wi, f) }
+        }
+      }
+  }
+
   /** Resize planning: pure metadata math (target box, preserve aspect) —
     * the physical resize belongs in the partition loop next to decode. */
   def planResize(media: DataFrame, maxSide: Int): DataFrame = {

@@ -265,6 +265,136 @@ object MultimodalQueries {
                END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
         FROM fstats, generate_series(0, 7) p(p)
         ORDER BY media_id, frame_idx, feature_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q118: windowed AUDIO segmentation — the per-window rms / mean-abs
+    // / zero-crossing shape a VAD / silence-trim / loudness-filter
+    // stage consumes, over 8 PCM16 clips (the q113 audio family's
+    // formula, ids 3i+2). crossings stays a COUNT on purpose: a
+    // /(win-1) would be a float division with engine-dependent
+    // promotion; the count is integer-exact in both engines.
+    Q(
+      "q118_audio_window_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 8)
+          .map { m =>
+            (m.toLong, "audio", graft.sources.MediaGen.wav(3 * m + 2))
+          }
+          .toDF("media_id", "kind", "payload")
+        graft.operators.Multimodal.audioWindowFeatures(s, media, win = 32)
+          .toDF()
+          .select(col("media_id"), col("window_idx"), posexplode(col("features")))
+          .select(col("media_id"), col("window_idx"),
+            col("pos").cast("int").as("feature_idx"),
+            round(col("col").cast("double") * lit(1000000L)).cast("long").as("value_micro"))
+          .orderBy("media_id", "window_idx", "feature_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 3 * i + 2 AS mid
+          FROM generate_series(0, 7) t(i)
+        ),
+        samp AS (
+          SELECT m.media_id, t.i // 32 AS w, t.i % 32 AS j,
+                 ((m.mid * 7919 + t.i * 12345) % 65536) - 32768 AS s
+          FROM media m, generate_series(0, 127) t(i)
+        ),
+        wstats AS (
+          SELECT media_id, w,
+                 CAST(SUM(s * s) AS DOUBLE) AS sum2,
+                 CAST(SUM(ABS(s)) AS DOUBLE) AS sumabs,
+                 SUM(CASE WHEN j > 0 AND ((s >= 0) <> (prev >= 0))
+                          THEN 1 ELSE 0 END) AS crossings
+          FROM (SELECT media_id, w, j, s,
+                       LAG(s) OVER (PARTITION BY media_id, w ORDER BY j) AS prev
+                FROM samp)
+          GROUP BY media_id, w
+        )
+        SELECT media_id, CAST(w AS INTEGER) AS window_idx,
+               CAST(p.p AS INTEGER) AS feature_idx,
+               CAST(ROUND(CAST(CASE p.p
+                 WHEN 0 THEN CAST(32 AS REAL)
+                 WHEN 1 THEN CAST(SQRT(sum2 / 32) / 32768.0 AS REAL)
+                 WHEN 2 THEN CAST(sumabs / 32 / 32768.0 AS REAL)
+                 ELSE CAST(crossings AS REAL)
+               END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
+        FROM wstats, generate_series(0, 3) p(p)
+        ORDER BY media_id, window_idx, feature_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q119: PHYSICAL image resize under the gate — planResize's
+    // aspect-preserving metadata targets drive a nearest-neighbor
+    // resize (src = ((x*w)/tw, (y*h)/th), integer floor, storage-flip
+    // handled in the decoder) whose TARGET-raster stats the oracle
+    // recomputes from the closed-form pixel formula through the same
+    // integer index math. 8 BMP clips (the q113 image family, ids 3i),
+    // maxSide 4 — one clip (3x2) hits the scale=1 no-resize edge.
+    Q(
+      "q119_image_resize_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 8)
+          .map { m =>
+            val id = 3 * m
+            val (w, h) = graft.sources.MediaGen.dims(id)
+            (m.toLong, "image", graft.sources.MediaGen.bmp(id), w, h)
+          }
+          .toDF("media_id", "kind", "payload", "w", "h")
+          .select(col("media_id"), col("kind"), col("payload"),
+            struct(col("w").as("width"), col("h").as("height"),
+              lit(null).cast("int").as("sample_rate"),
+              lit(null).cast("int").as("n_frames")).as("meta"))
+        graft.operators.Multimodal.resizeFeatures(s, media, maxSide = 4)
+          .toDF()
+          .select(col("media_id"), posexplode(col("features")))
+          .select(col("media_id"),
+            col("pos").cast("int").as("feature_idx"),
+            round(col("col").cast("double") * lit(1000000L)).cast("long").as("value_micro"))
+          .orderBy("media_id", "feature_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 3 * i AS mid,
+                 3 + i % 6 AS w, 2 + i % 5 AS h
+          FROM generate_series(0, 7) t(i)
+        ),
+        plan AS (
+          SELECT media_id, mid, w, h,
+                 CAST(FLOOR(CAST(w AS DOUBLE) *
+                   LEAST(4 / GREATEST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)), 1.0))
+                   AS INTEGER) AS tw,
+                 CAST(FLOOR(CAST(h AS DOUBLE) *
+                   LEAST(4 / GREATEST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)), 1.0))
+                   AS INTEGER) AS th
+          FROM media
+        ),
+        pix AS (
+          SELECT p.media_id, p.tw, p.th,
+                 (p.mid * 7 + ((x.x * p.w) // p.tw) * 131
+                            + ((y.y * p.h) // p.th) * 197) % 256 AS v
+          FROM plan p
+          JOIN generate_series(0, 7) x(x) ON x.x < p.tw
+          JOIN generate_series(0, 5) y(y) ON y.y < p.th
+        ),
+        rstats AS (
+          SELECT media_id, tw, th,
+                 CAST(SUM(v) AS DOUBLE) / (CAST(tw AS DOUBLE) * th) AS mean_d,
+                 CAST(SUM(v * v) AS DOUBLE) / (CAST(tw AS DOUBLE) * th) AS msq_d
+          FROM pix GROUP BY media_id, tw, th
+        )
+        SELECT media_id, CAST(p.p AS INTEGER) AS feature_idx,
+               CAST(ROUND(CAST(CASE p.p
+                 WHEN 0 THEN CAST(tw AS REAL)
+                 WHEN 1 THEN CAST(th AS REAL)
+                 WHEN 2 THEN CAST(CAST(tw AS DOUBLE) / th AS REAL)
+                 WHEN 7 THEN CAST(SQRT(GREATEST(0.0, msq_d - mean_d * mean_d)) AS REAL)
+                 ELSE CAST(mean_d AS REAL)
+               END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
+        FROM rstats, generate_series(0, 7) p(p)
+        ORDER BY media_id, feature_idx
       """))
   )
 }

@@ -132,6 +132,40 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.aviDibFrameFeatures(Array.fill[Byte](64)(9), 1).isEmpty)
   }
 
+  test("bmpResizeFeatures samples nearest-neighbor in image coordinates") {
+    // 2x2 bmp2x2 is stored bottom-up (storage row 0 = blue,green =
+    // image BOTTOM row), so a 1x1 resize samples image (0,0) = the
+    // TOP-left = RED — the storage flip is exactly what's under test:
+    // an unflipped walk would sample blue here
+    val f = MediaCodec.bmpResizeFeatures(bmp2x2, 1, 1).get
+    assert(f(0) == 1f && f(1) == 1f)
+    assert(f(3) == 0f && f(4) == 0f && f(5) == 255f, f.toSeq.toString)
+    assert(f(7) == 0f) // single pixel: zero variance
+    // identity resize reproduces bmpFeatures' stats exactly
+    val id = MediaCodec.bmpResizeFeatures(bmp2x2, 2, 2).get
+    assert(id.toSeq == MediaCodec.bmpFeatures(bmp2x2).get.toSeq)
+    assert(MediaCodec.bmpResizeFeatures(bmp2x2, 0, 1).isEmpty)
+    assert(MediaCodec.bmpResizeFeatures("BM".getBytes, 1, 1).isEmpty)
+  }
+
+  test("wavWindowFeatures segments full windows with per-window stats") {
+    // wav4 = [1000, -1000, 1000, -1000]: win=2 -> 2 windows, each
+    // rms = 1000/32768, meanAbs = 1000/32768, crossings = 1
+    val ws = MediaCodec.wavWindowFeatures(wav4, 2).get
+    assert(ws.map(_._1) == Seq(0, 1))
+    ws.foreach { case (_, f) =>
+      assert(f(0) == 2f)
+      assert(f(1) == (1000.0 / 32768).toFloat)
+      assert(f(2) == (1000.0 / 32768).toFloat)
+      assert(f(3) == 1f)
+    }
+    // win=3 -> one full window (ragged tail dropped), crossings = 2
+    val w3 = MediaCodec.wavWindowFeatures(wav4, 3).get
+    assert(w3.size == 1 && w3.head._2(3) == 2f)
+    assert(MediaCodec.wavWindowFeatures(wav4, 5).isEmpty, "no full window")
+    assert(MediaCodec.wavWindowFeatures(Array.fill[Byte](64)(9), 2).isEmpty)
+  }
+
   test("corrupt payloads return None, never throw") {
     assert(MediaCodec.bmpFeatures(Array.fill[Byte](100)(7)).isEmpty)
     assert(MediaCodec.wavFeatures(Array.fill[Byte](100)(7)).isEmpty)
