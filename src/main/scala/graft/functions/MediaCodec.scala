@@ -202,6 +202,50 @@ object MediaCodec {
       meanL.toFloat, math.sqrt(varL).toFloat))
   }
 
+  /** Perceptual DIFFERENCE HASH of a 24-bit BMP — the classic dHash
+    * image near-dup fingerprint: nearest-neighbor resize to a 9x8 gray
+    * grid (same integer index mapping as [[bmpResizeFeatures]], flip
+    * handled), then 64 bits b(x,y) = luma(x+1,y) > luma(x,y). Returned
+    * as FOUR 16-bit band ints (band k = rows 2k..2k+1, bit (y%2)*8+x)
+    * rather than one 64-bit word: the bands ARE the LSH blocking keys
+    * downstream (two images within Hamming r share a band whenever the
+    * flips don't spread across all four), and 16-bit ints dodge the
+    * sign-bit gymnastics a 64-bit hash would force on both engines.
+    * Luma = (b+g+r)/3 compared EXACTLY as doubles — deterministic,
+    * oracle-replayable. */
+  def bmpDHashBands(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowStride = ((width * 3 + 3) / 4) * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+      return None
+    def luma(gx: Int, gy: Int): Double = {
+      val sx = (gx * width) / 9
+      val sy = (gy * height) / 8
+      val r = if (rawHeight > 0) height - 1 - sy else sy
+      val o = dataOffset + r * rowStride + sx * 3
+      ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3.0
+    }
+    val bands = new Array[Int](4)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y))
+          bands(y / 2) |= 1 << ((y % 2) * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bands)
+  }
+
   /** PCM16 WAV windowed segmentation — the VAD-ish per-window shape a
     * training-data pipeline runs over audio: consecutive FULL windows
     * of `win` samples (the ragged tail is dropped), each yielding

@@ -180,6 +180,32 @@ object Multimodal {
       }
   }
 
+  final case class DHash(media_id: Long, bands: Array[Int])
+
+  /** Perceptual-hash fingerprints for IMAGE near-dup dedup — the
+    * multimodal counterpart of the text MinHash family: decode +
+    * 9x8 dHash in the partition loop
+    * ([[graft.functions.MediaCodec.bmpDHashBands]]), one row per
+    * decodable image, four 16-bit bands per row. Downstream dedup is
+    * pure DataFrame algebra: band-keyed self-join for candidates
+    * (never all-pairs — two images within Hamming r collide on a band
+    * unless the r flips spread across all four), exact Hamming via
+    * `bit_count` over the four XORs for the verify. Undecodable
+    * payloads yield no fingerprint (can't near-dup what can't be
+    * decoded). */
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[DHash] = {
+    import spark.implicits._
+    media
+      .where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.MediaCodec.bmpDHashBands(bytes).map(DHash(id, _))
+        }
+      }
+  }
+
   final case class AudioWindow(media_id: Long, window_idx: Int,
                                features: Array[Float])
 

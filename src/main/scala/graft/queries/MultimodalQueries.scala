@@ -395,6 +395,89 @@ object MultimodalQueries {
                END AS DOUBLE) * 1000000) AS BIGINT) AS value_micro
         FROM rstats, generate_series(0, 7) p(p)
         ORDER BY media_id, feature_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q120: IMAGE near-dup dedup via perceptual difference-hash — the
+    // multimodal pillar composed with the dedup pillar: decode + 9x8
+    // dHash in the partition loop, then pure DataFrame dedup algebra —
+    // band-keyed self-join for candidates (the SimHash/MinHash banding
+    // move, never all-pairs) and exact Hamming via bit_count over the
+    // four 16-bit band XORs. 24 clips in 12 near-dup pairs (the odd
+    // member's perturbation flips exactly the small-wrapped-diff
+    // comparisons in band 3, so bands 0-2 still collide); the oracle
+    // recomputes the whole hash from the closed-form pixel formula
+    // through the same resize index math and emits the identical
+    // verified pair set.
+    Q(
+      "q120_image_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(0, 24)
+          .map { m => (m.toLong, "image", graft.sources.MediaGen.phashBmp(m)) }
+          .toDF("media_id", "kind", "payload")
+        val hashes = graft.operators.Multimodal.imageDHash(s, media).toDF()
+        val bands = hashes
+          .select(col("media_id"), posexplode(col("bands")))
+          .select(col("media_id"), col("pos").as("band"), col("col").as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(hashes.select(col("media_id").as("doc_a"), col("bands").as("ba")), Seq("doc_a"))
+          .join(hashes.select(col("media_id").as("doc_b"), col("bands").as("bb")), Seq("doc_b"))
+          .withColumn("hamming", expr(
+            "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+              "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])").cast("int"))
+          .where(col("hamming") <= 10)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, i // 2 AS base, i % 2 AS odd
+          FROM generate_series(0, 23) t(i)
+        ),
+        g AS (
+          SELECT m.media_id, gx.gx, gy.gy,
+                 (m.base * 37 + ((gx.gx * 16) // 9) * 131
+                              + ((gy.gy * 12) // 8) * 197
+                  + CASE WHEN m.odd = 1 AND ((gy.gy * 12) // 8) >= 9
+                              AND (((gx.gx * 16) // 9) + ((gy.gy * 12) // 8)) % 7 = 0
+                         THEN 7 ELSE 0 END) % 256 AS v
+          FROM media m, generate_series(0, 8) gx(gx), generate_series(0, 7) gy(gy)
+        ),
+        bits AS (
+          SELECT a.media_id, a.gy // 2 AS band,
+                 SUM(CASE WHEN b.v > a.v
+                          THEN CAST(POWER(2, (a.gy % 2) * 8 + a.gx) AS BIGINT)
+                          ELSE 0 END) AS bval
+          FROM g a
+          JOIN g b ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8
+          GROUP BY a.media_id, a.gy // 2
+        ),
+        b2 AS (
+          SELECT media_id, CAST(band AS INTEGER) AS band,
+                 CAST(bval AS INTEGER) AS bval
+          FROM bits
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+          FROM b2 a
+          JOIN b2 b ON a.band = b.band AND a.bval = b.bval
+                   AND a.media_id < b.media_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(bit_count(xor(x.bval, y.bval))) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN b2 x ON x.media_id = c.doc_a
+        JOIN b2 y ON y.media_id = c.doc_b AND y.band = x.band
+        GROUP BY c.doc_a, c.doc_b
+        HAVING CAST(SUM(bit_count(xor(x.bval, y.bval))) AS INTEGER) <= 10
+        ORDER BY doc_a, doc_b
       """))
   )
 }

@@ -60,9 +60,8 @@ object MediaGen {
 
   def sampleRate(m: Long): Int = 8000 + ((m / 3) % 4).toInt * 4000
 
-  /** Hand-assembled 24bpp bottom-up BMP with 4-byte row padding. */
-  def bmp(m: Long): Array[Byte] = {
-    val (w, h) = dims(m)
+  /** Hand-assembled 24bpp bottom-up gray BMP with 4-byte row padding. */
+  private def grayBmp(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('B'.toByte).put('M'.toByte)
@@ -76,8 +75,8 @@ object MediaGen {
       val y = h - 1 - r // storage row r holds image row h-1-r
       var x = 0
       while (x < w) {
-        val v = pixel(m, x, y).toByte
-        buf.put(v).put(v).put(v)
+        val g = v(x, y).toByte
+        buf.put(g).put(g).put(g)
         x += 1
       }
       var p = w * 3
@@ -86,6 +85,27 @@ object MediaGen {
     }
     buf.array()
   }
+
+  def bmp(m: Long): Array[Byte] = {
+    val (w, h) = dims(m)
+    grayBmp(w, h, (x, y) => pixel(m, x, y))
+  }
+
+  // ---- perceptual-hash near-dup corpus (q120): 16x12 clips in PAIRS
+  // (base = m/2); the odd member perturbs only image rows y >= 9 at a
+  // sparse (x+y)%7 pattern with amplitude 7 — calibrated so exactly the
+  // dHash comparisons whose wrapped adjacent diff is small flip (the
+  // near-dup signal lands in band 3 only, so bands 0-2 still collide
+  // for the LSH blocking step while the Hamming distance is nonzero).
+
+  def phashPixel(m: Long, x: Int, y: Int): Int = {
+    val base = m / 2
+    val pert = if (m % 2 == 1 && y >= 9 && (x + y) % 7 == 0) 7 else 0
+    ((base * 37 + x * 131 + y * 197 + pert) % 256).toInt
+  }
+
+  def phashBmp(m: Long): Array[Byte] =
+    grayBmp(16, 12, (x, y) => phashPixel(m, x, y))
 
   /** Same raster as [[bmp]]'s formula, through the JDK PNG encoder. */
   def png(m: Long): Array[Byte] = {
