@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.buildBloomMightContain _))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+    // whole-operator tier: custom logical nodes → custom SparkPlans
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

@@ -60,4 +60,42 @@ object AsOfJoin {
       .where(col("__isLeft") === 1)
       .select(leftCols.map(col) ++ payload.map(c => col("__p").getField(c).as(c)): _*)
   }
+
+  /** [[asofBackward]] semantics through the engine's NATIVE physical
+    * operator ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]], planned by
+    * [[graft.plans.GraftStrategies]]): one co-partitioned sort-merge
+    * pass instead of the union+window formulation — no unioned superset
+    * of both inputs, no null-padded left columns on right rows, no
+    * window buffer. Same output contract and tie rules; AsOfJoinSpec
+    * pins the two paths against each other and a brute-force oracle.
+    *
+    * The right time column is cast to the left's type when they differ
+    * (e.g. DATE → TIMESTAMP_NTZ), mirroring the union formulation's
+    * implicit coercion. Left and right must be DISTINCT plans (no
+    * self-join of the identical relation — standard exprId caveat). */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val lType = left.schema(leftTime).dataType
+    val r0 =
+      if (right.schema(rightTime).dataType == lType) right
+      else right.withColumn(rightTime, col(rightTime).cast(lType))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r0.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val payloadAttrs = payload.map(attr(rPlan, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.GraftPlanApi.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        payloadAttrs, payloadOut))
+  }
 }

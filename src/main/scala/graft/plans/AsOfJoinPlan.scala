@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical backward as-of join — the whole-operator Catalyst tier of
+  * [[graft.operators.AsOfJoin]]: for every left row, attach the payload
+  * of the latest right row with the same key and
+  * `rightTime <= leftTime` (null times sort smallest, mirroring the
+  * union+window formulation's NULLS FIRST timeline).
+  *
+  * The node exists so the PLANNER, not the query author, picks the
+  * physical strategy: [[GraftStrategies]] lowers it to [[AsOfJoinExec]],
+  * a single co-partitioned sort-merge pass — one shuffle per side, no
+  * union row inflation, no window state. Registered through
+  * [[graft.GraftExtensions]] like every other engine extension.
+  *
+  * @param payload    right-side attributes to carry to the output
+  * @param payloadOut the operator's OUTPUT attributes for the payload:
+  *                   fresh expr-ids, forced nullable (a left row before
+  *                   any right row yields an all-NULL payload)
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[Attribute],
+    payloadOut: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  /** payloadOut is minted HERE — without this, `missingInput` would flag
+    * the fresh attributes as unresolved references. */
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}

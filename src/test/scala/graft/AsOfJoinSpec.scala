@@ -5,8 +5,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Dedicated edge-semantics spec for [[AsOfJoin.asofBackward]] — the two
-  * behaviors q41's oracle only exercises indirectly:
+/** Dedicated edge-semantics spec for the TWO as-of implementations —
+  * the union+window formulation ([[AsOfJoin.asofBackward]]) and the
+  * native physical operator ([[AsOfJoin.asofBackwardNative]], planned
+  * by GraftStrategies as one co-partitioned merge pass). Every test
+  * runs against BOTH, pinning them to each other and to a brute-force
+  * per-key oracle:
   *
   *  1. Equal-timestamp ties: right rows sort BEFORE left rows at the same
   *     timestamp (AsOfJoin tie rule), so the join has `<=` semantics — a
@@ -31,59 +35,79 @@ class AsOfJoinSpec extends AnyFunSuite {
   private def rightDf(rows: Seq[(String, Int, Option[Int], Int)]): DataFrame =
     rows.toDF("rk", "rt", "a", "b")
 
-  private def run(l: DataFrame, r: DataFrame): Array[(String, Int, Int, Option[Int], Option[Int])] =
-    AsOfJoin.asofBackward(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+  private type Impl =
+    (DataFrame, DataFrame, String, String, String, String, Seq[String]) => DataFrame
+  private val impls: Seq[(String, Impl)] = Seq(
+    "window" -> (AsOfJoin.asofBackward _),
+    "native" -> (AsOfJoin.asofBackwardNative _))
+
+  private def run(impl: Impl)(l: DataFrame, r: DataFrame)
+      : Array[(String, Int, Int, Option[Int], Option[Int])] =
+    impl(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
       .select(col("k"), col("t"), col("left_id"), col("a"), col("b"))
       .as[(String, Int, Int, Option[Int], Option[Int])]
       .collect().sortBy(x => (x._1, x._2, x._3))
 
-  test("equal timestamps: left row at t matches the right row at exactly t (<= semantics)") {
-    val l = leftDf(Seq(("k1", 10, 1), ("k1", 9, 2)))
-    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k1", 10, Some(100), 1000)))
-    val got = run(l, r).map(x => (x._2, x._4, x._5)).toSeq
-    // t=9 sees the t=5 row; t=10 sees the t=10 row, not the t=5 one
-    assert(got == Seq((9, Some(50), Some(500)), (10, Some(100), Some(1000))))
-  }
+  for ((name, impl) <- impls) {
 
-  test("genuinely NULL payload field is carried as NULL, not back-filled from an older right row") {
-    val l = leftDf(Seq(("k1", 6, 1), ("k1", 2, 2)))
-    val r = rightDf(Seq(("k1", 1, Some(11), 100), ("k1", 5, None, 900)))
-    val got = run(l, r).map(x => (x._2, x._4, x._5)).toSeq
-    // the t=6 left row must get (a=NULL, b=900) from the t=5 right row —
-    // a=11 here would mean fields of two different right rows were mixed
-    assert(got == Seq((2, Some(11), Some(100)), (6, None, Some(900))))
-  }
-
-  test("left rows before any right row, and keys with no right side, get an all-NULL payload") {
-    val l = leftDf(Seq(("k1", 3, 1), ("k2", 99, 2)))
-    val r = rightDf(Seq(("k1", 4, Some(1), 10)))
-    val got = run(l, r).map(x => (x._1, x._4, x._5)).toSeq
-    assert(got == Seq(("k1", None, None), ("k2", None, None)))
-  }
-
-  test("randomized cross-check vs brute-force per-key scan (ties, nulls, one-sided keys)") {
-    for (seed <- 1 to 8) {
-      val rnd = new scala.util.Random(seed)
-      val keys = Seq("a", "b", "c", "d", "e")
-      // right: deduped by (key, time) per the operator's precondition
-      val right = keys.flatMap { k =>
-        rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(10)).map { t =>
-          (k, t, if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(100)), rnd.nextInt(1000))
-        }
-      }.filter(_ => rnd.nextDouble() < 0.9) // some keys may lose all right rows
-      val left = (1 to 60).map { i =>
-        (keys(rnd.nextInt(keys.size + 1) min (keys.size - 1)), rnd.nextInt(40), i)
-      }
-      val expected = left.map { case (k, t, id) =>
-        val cand = right.filter(r => r._1 == k && r._2 <= t)
-        if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
-        else {
-          val best = cand.maxBy(_._2)
-          (k, t, id, best._3, Some(best._4))
-        }
-      }.sortBy(x => (x._1, x._2, x._3))
-      val got = run(leftDf(left), rightDf(right)).toSeq
-      assert(got == expected, s"seed=$seed")
+    test(s"[$name] equal timestamps: left row at t matches the right row at exactly t (<= semantics)") {
+      val l = leftDf(Seq(("k1", 10, 1), ("k1", 9, 2)))
+      val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k1", 10, Some(100), 1000)))
+      val got = run(impl)(l, r).map(x => (x._2, x._4, x._5)).toSeq
+      // t=9 sees the t=5 row; t=10 sees the t=10 row, not the t=5 one
+      assert(got == Seq((9, Some(50), Some(500)), (10, Some(100), Some(1000))))
     }
+
+    test(s"[$name] genuinely NULL payload field is carried as NULL, not back-filled from an older right row") {
+      val l = leftDf(Seq(("k1", 6, 1), ("k1", 2, 2)))
+      val r = rightDf(Seq(("k1", 1, Some(11), 100), ("k1", 5, None, 900)))
+      val got = run(impl)(l, r).map(x => (x._2, x._4, x._5)).toSeq
+      // the t=6 left row must get (a=NULL, b=900) from the t=5 right row —
+      // a=11 here would mean fields of two different right rows were mixed
+      assert(got == Seq((2, Some(11), Some(100)), (6, None, Some(900))))
+    }
+
+    test(s"[$name] left rows before any right row, and keys with no right side, get an all-NULL payload") {
+      val l = leftDf(Seq(("k1", 3, 1), ("k2", 99, 2)))
+      val r = rightDf(Seq(("k1", 4, Some(1), 10)))
+      val got = run(impl)(l, r).map(x => (x._1, x._4, x._5)).toSeq
+      assert(got == Seq(("k1", None, None), ("k2", None, None)))
+    }
+
+    test(s"[$name] randomized cross-check vs brute-force per-key scan (ties, nulls, one-sided keys)") {
+      for (seed <- 1 to 8) {
+        val rnd = new scala.util.Random(seed)
+        val keys = Seq("a", "b", "c", "d", "e")
+        // right: deduped by (key, time) per the operator's precondition
+        val right = keys.flatMap { k =>
+          rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(10)).map { t =>
+            (k, t, if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(100)), rnd.nextInt(1000))
+          }
+        }.filter(_ => rnd.nextDouble() < 0.9) // some keys may lose all right rows
+        val left = (1 to 60).map { i =>
+          (keys(rnd.nextInt(keys.size + 1) min (keys.size - 1)), rnd.nextInt(40), i)
+        }
+        val expected = left.map { case (k, t, id) =>
+          val cand = right.filter(r => r._1 == k && r._2 <= t)
+          if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
+          else {
+            val best = cand.maxBy(_._2)
+            (k, t, id, best._3, Some(best._4))
+          }
+        }.sortBy(x => (x._1, x._2, x._3))
+        val got = run(impl)(leftDf(left), rightDf(right)).toSeq
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
+
+  test("native plan contains AsOfJoinExec and exactly one exchange per side") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k2", 9, 2)))
+    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k2", 10, Some(100), 1000)))
+    val df = AsOfJoin.asofBackwardNative(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
   }
 }
