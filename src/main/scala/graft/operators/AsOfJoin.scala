@@ -77,7 +77,30 @@ object AsOfJoin {
   def asofBackwardNative(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
-                         payload: Seq[String]): DataFrame = {
+                         payload: Seq[String]): DataFrame =
+    planNative(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = false)
+
+  /** [[asofBackwardNative]] with the BROADCAST physical strategy
+    * ([[graft.plans.BroadcastAsOfJoinExec]]): the right side collects
+    * into a per-key sorted index broadcast to every executor, and the
+    * left side is NEVER shuffled and NEVER sorted — a pure map pass
+    * (hash probe + binary search per row). The as-of analogue of
+    * choosing BroadcastHashJoin over SortMergeJoin: use it when the
+    * right side is dim-sized (fits the broadcast guardrails); the fact
+    * side's scan-in-place cost is the whole operator at 100 TB. */
+  def asofBackwardBroadcast(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            payload: Seq[String]): DataFrame =
+    planNative(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = true)
+
+  private def planNative(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         payload: Seq[String],
+                         broadcast: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -96,6 +119,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        payloadAttrs, payloadOut))
+        payloadAttrs, payloadOut, broadcast))
   }
 }

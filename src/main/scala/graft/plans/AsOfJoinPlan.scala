@@ -19,6 +19,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * @param payloadOut the operator's OUTPUT attributes for the payload:
   *                   fresh expr-ids, forced nullable (a left row before
   *                   any right row yields an all-NULL payload)
+  * @param broadcast  physical-strategy hint, mirroring Spark's join
+  *                   hints: `true` plans [[BroadcastAsOfJoinExec]] (right
+  *                   side broadcast as a sorted index, left side never
+  *                   shuffled or sorted), `false` plans [[AsOfJoinExec]]
+  *                   (co-partitioned sort-merge, both sides spill-safe)
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -28,7 +33,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute])
+    payloadOut: Seq[Attribute],
+    broadcast: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut

@@ -12,9 +12,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-        payload, payloadOut) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut, broadcast) =>
+      if (broadcast)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          payload, payloadOut) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          payload, payloadOut) :: Nil
     case _ => Nil
   }
 }

@@ -102,6 +102,49 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q123: the SAME as-of semantics through the BROADCAST physical
+    // operator (BroadcastAsOfJoinExec: right side broadcast as a
+    // per-key sorted index, fact side a pure map — no shuffle, no
+    // sort of the left) — gated by q41's oracle VERBATIM, the third
+    // formulation held to the identical hash-exact bar.
+    Q(
+      "q123_asof_join_broadcast",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        AsOfJoin.asofBackwardBroadcast(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("asof_orderkey", "asof_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(

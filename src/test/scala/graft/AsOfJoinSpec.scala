@@ -5,12 +5,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Dedicated edge-semantics spec for the TWO as-of implementations —
-  * the union+window formulation ([[AsOfJoin.asofBackward]]) and the
-  * native physical operator ([[AsOfJoin.asofBackwardNative]], planned
-  * by GraftStrategies as one co-partitioned merge pass). Every test
-  * runs against BOTH, pinning them to each other and to a brute-force
-  * per-key oracle:
+/** Dedicated edge-semantics spec for the THREE as-of implementations —
+  * the union+window formulation ([[AsOfJoin.asofBackward]]), the native
+  * sort-merge physical operator ([[AsOfJoin.asofBackwardNative]], one
+  * co-partitioned merge pass), and the broadcast physical operator
+  * ([[AsOfJoin.asofBackwardBroadcast]], right side broadcast as a
+  * sorted index, fact side a pure map). Every test runs against ALL,
+  * pinning them to each other and to a brute-force per-key oracle:
   *
   *  1. Equal-timestamp ties: right rows sort BEFORE left rows at the same
   *     timestamp (AsOfJoin tie rule), so the join has `<=` semantics — a
@@ -39,7 +40,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     (DataFrame, DataFrame, String, String, String, String, Seq[String]) => DataFrame
   private val impls: Seq[(String, Impl)] = Seq(
     "window" -> (AsOfJoin.asofBackward _),
-    "native" -> (AsOfJoin.asofBackwardNative _))
+    "native" -> (AsOfJoin.asofBackwardNative _),
+    "broadcast" -> (AsOfJoin.asofBackwardBroadcast _))
 
   private def run(impl: Impl)(l: DataFrame, r: DataFrame)
       : Array[(String, Int, Int, Option[Int], Option[Int])] =
@@ -109,5 +111,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
+  }
+
+  test("broadcast plan: BroadcastExchange on the right, NO shuffle and NO sort of the left") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k2", 9, 2)))
+    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k2", 10, Some(100), 1000)))
+    val df = AsOfJoin.asofBackwardBroadcast(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"fact side must not sort:\n$plan")
+  }
+
+  test("broadcast impl at sf0.001: hash-identical to the window formulation on real tables") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    def canon(df: DataFrame) = df
+      .select("event_id", "user_id", "ts", "asof_orderkey")
+      .orderBy("event_id").collect().toSeq
+    val viaWindow = canon(AsOfJoin.asofBackward(
+      ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", Seq("asof_orderkey")))
+    val viaBroadcast = canon(AsOfJoin.asofBackwardBroadcast(
+      ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", Seq("asof_orderkey")))
+    assert(viaWindow.nonEmpty)
+    assert(viaBroadcast == viaWindow)
   }
 }
