@@ -61,6 +61,48 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ payload.map(c => col("__p").getField(c).as(c)): _*)
   }
 
+  /** Forward as-of join, union+window formulation: for every left row,
+    * the payload of the EARLIEST right row with the same key and
+    * `rightTime >= leftTime` (the "next event after" shape — next
+    * order after a click, next quote after a trade). Mirror image of
+    * [[asofBackward]]: left rows sort BEFORE right rows at equal
+    * timestamps so `>=` semantics apply, and the nearest FOLLOWING
+    * payload is carried by first(ignoreNulls) over the forward frame.
+    * Same preconditions (right deduplicated per (key, time)). */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def typedNull(df: DataFrame, c: String) =
+      lit(null).cast(df.schema(c).dataType).as(c)
+    val payloadType = StructType(payload.map(c => right.schema(c)))
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("__p"): _*)
+    val taggedRight = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isLeft", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(c => typedNull(left, c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+
+    // left (isLeft=1) sorts before right (isLeft=0) at equal __t, so the
+    // currentRow..following frame of a left row INCLUDES the equal-t right
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__isLeft").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__isLeft") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
   /** [[asofBackward]] semantics through the engine's NATIVE physical
     * operator ([[graft.plans.AsOfJoinPlan]] →
     * [[graft.plans.AsOfJoinExec]], planned by
@@ -81,6 +123,25 @@ object AsOfJoin {
     planNative(left, right, leftKey, rightKey, leftTime, rightTime,
       payload, broadcast = false)
 
+  /** [[asofForward]] semantics through the native sort-merge operator
+    * (forward needs no carried state: the first not-yet-passed right
+    * row per key IS the match). */
+  def asofForwardNative(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String]): DataFrame =
+    planNative(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = false, forward = true)
+
+  /** [[asofForward]] semantics through the broadcast operator (binary
+    * search flips to first-at-or-after). */
+  def asofForwardBroadcast(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           payload: Seq[String]): DataFrame =
+    planNative(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = true, forward = true)
+
   /** [[asofBackwardNative]] with the BROADCAST physical strategy
     * ([[graft.plans.BroadcastAsOfJoinExec]]): the right side collects
     * into a per-key sorted index broadcast to every executor, and the
@@ -100,7 +161,8 @@ object AsOfJoin {
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
                          payload: Seq[String],
-                         broadcast: Boolean): DataFrame = {
+                         broadcast: Boolean,
+                         forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -119,6 +181,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        payloadAttrs, payloadOut, broadcast))
+        payloadAttrs, payloadOut, broadcast, forward))
   }
 }

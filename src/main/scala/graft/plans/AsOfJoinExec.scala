@@ -45,7 +45,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute])
+    payloadOut: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -115,7 +116,10 @@ case class AsOfJoinExec(
 
           override def hasNext: Boolean = lIter.hasNext
 
-          override def next(): InternalRow = {
+          override def next(): InternalRow =
+            if (forward) nextForward() else nextBackward()
+
+          private def nextBackward(): InternalRow = {
             val l = lIter.next()
             val lk = lKeyProj(l)
             // key changed → the carried match belongs to a previous key
@@ -146,6 +150,38 @@ case class AsOfJoinExec(
             }
             resultProj(
               joined(l, if (carriedPayload != null) carriedPayload else nullPayload))
+          }
+
+          /** Forward needs NO carried state: left times are
+            * non-decreasing within a key, so a right row skipped for
+            * being `< lt` can never match a later left row either —
+            * the current right row (if on the same key) IS the match. */
+          private def nextForward(): InternalRow = {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            var matched: InternalRow = null
+            if (rRow != null) {
+              val lt = lTimeProj(l)
+              var done = false
+              while (!done && rRow != null) {
+                val c = keyOrd.compare(rKey, lk)
+                if (c < 0) {
+                  advanceRight()
+                } else if (c > 0) {
+                  done = true
+                } else if (timeOrd.compare(rTime, lt) < 0) {
+                  // same key, strictly before the left time: dead for
+                  // this and every later left row
+                  advanceRight()
+                } else {
+                  // first right with rTime >= lt: the forward match
+                  matched = payloadProj(rRow)
+                  done = true
+                }
+              }
+            }
+            resultProj(
+              joined(l, if (matched != null) matched else nullPayload))
           }
         }
     }

@@ -24,6 +24,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   side broadcast as a sorted index, left side never
   *                   shuffled or sorted), `false` plans [[AsOfJoinExec]]
   *                   (co-partitioned sort-merge, both sides spill-safe)
+  * @param forward    direction: `false` = backward (latest right with
+  *                   `rightTime <= leftTime`, the trade/quote shape);
+  *                   `true` = forward (EARLIEST right with
+  *                   `rightTime >= leftTime`, the next-event shape)
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -34,7 +38,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    broadcast: Boolean = false)
+    broadcast: Boolean = false,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut

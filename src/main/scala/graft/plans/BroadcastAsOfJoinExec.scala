@@ -109,7 +109,8 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute])
+    payloadOut: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -157,15 +158,21 @@ case class BroadcastAsOfJoinExec(
         var matched: InternalRow = null
         if (group != null) {
           val lt = lTimeProj(l)
-          // binary search: last right time <= lt (nulls sort smallest)
+          // binary search over the time-sorted group (nulls smallest):
+          // backward = LAST right time <= lt; forward = FIRST >= lt
           var lo = 0
           var hi = group.times.length - 1
           var best = -1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (timeOrd.compare(group.times(mid), lt) <= 0) {
-              best = mid; lo = mid + 1
-            } else hi = mid - 1
+            val cmp = timeOrd.compare(group.times(mid), lt)
+            if (forward) {
+              if (cmp >= 0) { best = mid; hi = mid - 1 }
+              else lo = mid + 1
+            } else {
+              if (cmp <= 0) { best = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
           }
           if (best >= 0) matched = group.payloads(best)
         }

@@ -12,13 +12,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut, broadcast) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut,
+        broadcast, forward) =>
       if (broadcast)
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          payload, payloadOut) :: Nil
+          payload, payloadOut, forward) :: Nil
       else
         AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          payload, payloadOut) :: Nil
+          payload, payloadOut, forward) :: Nil
     case _ => Nil
   }
 }

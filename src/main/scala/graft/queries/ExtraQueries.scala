@@ -145,6 +145,49 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q124: FORWARD as-of through the native operator — for every
+    // event, the EARLIEST order at-or-after it (the "next purchase
+    // after a click" attribution shape). Oracle mirrors q41's
+    // correlated-extreme SQL with MIN/>= — the direction flag is held
+    // to the same hash-exact bar as the backward paths.
+    Q(
+      "q124_asof_join_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("next_orderkey"),
+            col("o_totalprice").as("next_totalprice"))
+        AsOfJoin.asofForwardNative(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("next_orderkey", "next_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS next_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.next_orderkey,
+                 o.o_totalprice AS next_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.next_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.next_orderkey, w.next_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MIN(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate >= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(

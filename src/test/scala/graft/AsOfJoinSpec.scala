@@ -125,6 +125,69 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"fact side must not sort:\n$plan")
   }
 
+  private val forwardImpls: Seq[(String, Impl)] = Seq(
+    "fwd-window" -> (AsOfJoin.asofForward _),
+    "fwd-native" -> (AsOfJoin.asofForwardNative _),
+    "fwd-broadcast" -> (AsOfJoin.asofForwardBroadcast _))
+
+  for ((name, impl) <- forwardImpls) {
+
+    test(s"[$name] equal timestamps: left row at t matches the right row at exactly t (>= semantics)") {
+      val l = leftDf(Seq(("k1", 10, 1), ("k1", 11, 2)))
+      val r = rightDf(Seq(("k1", 10, Some(100), 1000), ("k1", 15, Some(150), 1500)))
+      val got = run(impl)(l, r).map(x => (x._2, x._4, x._5)).toSeq
+      // t=10 sees the t=10 row (not t=15); t=11 sees the t=15 row
+      assert(got == Seq((10, Some(100), Some(1000)), (11, Some(150), Some(1500))))
+    }
+
+    test(s"[$name] left rows after the last right row, and keys with no right side, get an all-NULL payload") {
+      val l = leftDf(Seq(("k1", 99, 1), ("k2", 3, 2)))
+      val r = rightDf(Seq(("k1", 4, Some(1), 10)))
+      val got = run(impl)(l, r).map(x => (x._1, x._4, x._5)).toSeq
+      assert(got == Seq(("k1", None, None), ("k2", None, None)))
+    }
+
+    test(s"[$name] randomized cross-check vs brute-force per-key forward scan") {
+      for (seed <- 101 to 108) {
+        val rnd = new scala.util.Random(seed)
+        val keys = Seq("a", "b", "c", "d", "e")
+        val right = keys.flatMap { k =>
+          rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(10)).map { t =>
+            (k, t, if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(100)), rnd.nextInt(1000))
+          }
+        }.filter(_ => rnd.nextDouble() < 0.9)
+        val left = (1 to 60).map { i =>
+          (keys(rnd.nextInt(keys.size + 1) min (keys.size - 1)), rnd.nextInt(40), i)
+        }
+        val expected = left.map { case (k, t, id) =>
+          val cand = right.filter(r => r._1 == k && r._2 >= t)
+          if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
+          else {
+            val best = cand.minBy(_._2)
+            (k, t, id, best._3, Some(best._4))
+          }
+        }.sortBy(x => (x._1, x._2, x._3))
+        val got = run(impl)(leftDf(left), rightDf(right)).toSeq
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
+
+  test("tolerance composes over any impl: carry rightTime in the payload, post-filter the match distance") {
+    // backward as-of picks the NEAREST preceding right row, so a
+    // tolerance bound is exactly a post-condition on the matched time —
+    // no operator support needed, the payload can carry `rt` itself
+    val l = leftDf(Seq(("k1", 10, 1), ("k1", 30, 2)))
+    val r = rightDf(Seq(("k1", 8, Some(80), 800), ("k1", 12, Some(120), 1200)))
+    val within5 = AsOfJoin.asofBackwardNative(l, r, "k", "rk", "t", "rt", Seq("a", "b", "rt"))
+      .withColumn("a", when(col("t") - col("rt") <= 5, col("a")))
+      .withColumn("b", when(col("t") - col("rt") <= 5, col("b")))
+      .select(col("t"), col("a"), col("b"))
+      .as[(Int, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    // t=10 matches rt=8 (distance 2, kept); t=30 matches rt=12 (distance 18, nulled)
+    assert(within5 == Seq((10, Some(80), Some(800)), (30, None, None)))
+  }
+
   test("broadcast impl at sf0.001: hash-identical to the window formulation on real tables") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
