@@ -157,6 +157,53 @@ object AsOfJoin {
     planNative(left, right, leftKey, rightKey, leftTime, rightTime,
       payload, broadcast = true)
 
+  /** NEAREST as-of: for every left row, the payload of the right row
+    * whose time is CLOSEST to the left's (same key, either direction);
+    * ties prefer the backward (at-or-before) match, pandas-style.
+    *
+    * Composed from the two native single-direction operators — the
+    * backward join's output feeds the forward join as its left side
+    * (each native op only APPENDS payload columns, so no re-join on a
+    * synthetic row id is ever needed), and a final projection picks
+    * the nearer match per row. Plan cost: the left side shuffles once
+    * per direction on the same key (the second exchange is the price
+    * of composition; a fused nearest exec would reuse the first), the
+    * right side once per direction.
+    *
+    * The matched right TIME is carried internally for the distance
+    * comparison and dropped from the output. Payload columns keep
+    * their right-side names, like every other formulation. */
+  def asofNearestNative(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String]): DataFrame = {
+    val bT = "__asof_bt"
+    val fT = "__asof_ft"
+    val bCols = payload.map(c => s"__b_$c")
+    val fCols = payload.map(c => s"__f_$c")
+    def renamed(prefix: String, timeAlias: String): DataFrame =
+      right.select(
+        Seq(col(rightKey), col(rightTime).as(timeAlias)) ++
+          payload.map(c => col(c).as(s"${prefix}_$c")): _*)
+    val backward = planNative(
+      left, renamed("__b", bT),
+      leftKey, rightKey, leftTime, bT,
+      bCols :+ bT, broadcast = false)
+    val both = planNative(
+      backward, renamed("__f", fT),
+      leftKey, rightKey, leftTime, fT,
+      fCols :+ fT, broadcast = false, forward = true)
+    val lt = col(leftTime)
+    // backward wins when forward is absent OR its distance is >= the
+    // backward distance (tie → backward, pandas merge_asof nearest rule)
+    val backWins = col(bT).isNotNull &&
+      (col(fT).isNull || (lt - col(bT)) <= (col(fT) - lt))
+    val out = payload.zip(bCols.zip(fCols)).map { case (c, (b, f)) =>
+      when(backWins, col(b)).otherwise(col(f)).as(c)
+    }
+    both.select(left.columns.map(col).toSeq ++ out: _*)
+  }
+
   private def planNative(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,

@@ -188,6 +188,55 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q125: NEAREST as-of — the closer of the backward/forward matches
+    // per event (tie → backward, pandas merge_asof rule), composed from
+    // the two native operators. Oracle picks the same winner with a
+    // correlated ORDER BY distance LIMIT 1 — an INDEPENDENT algorithm,
+    // so the composition's choose-nearer projection is value-checked,
+    // not mirrored.
+    Q(
+      "q125_asof_join_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("near_orderkey"),
+            col("o_totalprice").as("near_totalprice"))
+        AsOfJoin.asofNearestNative(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("near_orderkey", "near_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS near_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.near_orderkey,
+                 o.o_totalprice AS near_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.near_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.near_orderkey, w.near_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT o2.o_orderdate FROM orders o2
+          WHERE o2.o_custkey = e.user_id
+          ORDER BY (CASE WHEN CAST(o2.o_orderdate AS TIMESTAMP) <= e.ts
+                         THEN e.ts - CAST(o2.o_orderdate AS TIMESTAMP)
+                         ELSE CAST(o2.o_orderdate AS TIMESTAMP) - e.ts END) ASC,
+                   (CAST(o2.o_orderdate AS TIMESTAMP) <= e.ts) DESC
+          LIMIT 1)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(

@@ -173,6 +173,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest: picks the closer of backward/forward, ties prefer backward") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k1", 14, 2), ("k1", 15, 3), ("k2", 5, 4)))
+    val r = rightDf(Seq(("k1", 8, Some(80), 800), ("k1", 20, Some(200), 2000)))
+    val got = AsOfJoin.asofNearestNative(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+      .select(col("t"), col("a"), col("b"))
+      .as[(Int, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    // t=10: back dist 2 vs fwd 10 → back; t=14: 6 vs 6 TIE → back;
+    // t=15: 7 vs 5 → fwd; k2 has no right side → all-NULL
+    assert(got == Seq(
+      (5, None, None),
+      (10, Some(80), Some(800)),
+      (14, Some(80), Some(800)),
+      (15, Some(200), Some(2000))))
+  }
+
+  test("nearest randomized cross-check vs brute-force (closest distance, tie → backward)") {
+    for (seed <- 201 to 206) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq("a", "b", "c")
+      val right = keys.flatMap { k =>
+        rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(8)).map { t =>
+          (k, t, Some(rnd.nextInt(100)): Option[Int], rnd.nextInt(1000))
+        }
+      }.filter(_ => rnd.nextDouble() < 0.9)
+      val left = (1 to 40).map { i => (keys(rnd.nextInt(keys.size)), rnd.nextInt(40), i) }
+      val expected = left.map { case (k, t, id) =>
+        val cand = right.filter(_._1 == k)
+        if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
+        else {
+          // min distance; tie (one back, one fwd) → the backward row
+          val best = cand.minBy(r => ((r._2 - t).abs, if (r._2 <= t) 0 else 1))
+          (k, t, id, best._3, Some(best._4))
+        }
+      }.sortBy(x => (x._1, x._2, x._3))
+      val got = AsOfJoin.asofNearestNative(
+          leftDf(left), rightDf(right), "k", "rk", "t", "rt", Seq("a", "b"))
+        .select(col("k"), col("t"), col("left_id"), col("a"), col("b"))
+        .as[(String, Int, Int, Option[Int], Option[Int])]
+        .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("tolerance composes over any impl: carry rightTime in the payload, post-filter the match distance") {
     // backward as-of picks the NEAREST preceding right row, so a
     // tolerance bound is exactly a post-condition on the matched time —
