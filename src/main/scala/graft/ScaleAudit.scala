@@ -35,11 +35,17 @@ object ScaleAudit {
                                        // pre-trained by pass 1; min-of-passes
                                        // reports the train-once-serve-many
                                        // path the sidecars exist for)
-    "q114", "q115")                    // incremental IVF lists + streaming
+    "q114", "q115",                    // incremental IVF lists + streaming
                                        // CDC->view (q113/q116 are excluded by
                                        // design: their generated media corpora
                                        // are fixed-size decode gates, not
                                        // scale-sensitive workloads)
+    "q122")                            // native as-of exec (family
+                                       // representative; q123 broadcast is
+                                       // dim-side-only BY DESIGN — its right
+                                       // side here grows with the corpus and
+                                       // would OOM like any fact-sized
+                                       // broadcast, see SCALING.md r11)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
