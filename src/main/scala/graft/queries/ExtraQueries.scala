@@ -237,6 +237,60 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q126: per-key daily gap fill + linear interpolation (the pandas
+    // reindex().ffill() / interpolate() pair over the events series) —
+    // per-key spine from its own bounds (never a global calendar cross
+    // join), one keyed join, one window partition for both directions.
+    // MAX per day (order-independent), never SUM-of-doubles, keeps the
+    // daily value engine-deterministic; the interpolation formula's
+    // operation order matches the oracle's exactly for bit-equal
+    // doubles.
+    Q(
+      "q126_gap_fill_interpolate",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+        graft.operators.GapFill.fillDaily(daily, "user_id", "d", "v")
+          .select("user_id", "d", "v", "v_locf", "v_interp")
+          .orderBy("user_id", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), bounds AS (
+          SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax FROM daily GROUP BY 1
+        ), spine AS (
+          SELECT b.user_id, CAST(gs.g AS DATE) AS d
+          FROM bounds b, UNNEST(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS gs(g)
+        ), j AS (
+          SELECT s.user_id, s.d, daily.v
+          FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+        ), win AS (
+          SELECT user_id, d, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM j
+        )
+        SELECT user_id, d, v, pv AS v_locf,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN NULL
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+          END AS v_interp
+        FROM win ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
