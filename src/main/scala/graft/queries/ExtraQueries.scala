@@ -291,6 +291,49 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q127: daily OHLC resample — the classic market-data downsample
+    // (pandas resample('D').ohlc()) as ONE hash aggregate: open/close
+    // come from min/max over struct(ts, event_id, value) (lexicographic
+    // struct extremes: earliest/latest event's value, event_id breaking
+    // ts ties deterministically), so the plan is partial+final agg
+    // around a single keyed exchange — no sort, no window. The oracle
+    // derives open/close with an INDEPENDENT row_number formulation.
+    Q(
+      "q127_ohlc_resample",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"), col("value"))
+        ev.groupBy("user_id", "d").agg(
+            min(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("px_open"),
+            max(col("value")).as("px_high"),
+            min(col("value")).as("px_low"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("px_close"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "d")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT user_id, d,
+          MAX(CASE WHEN rn_a = 1 THEN value END) AS px_open,
+          MAX(value) AS px_high,
+          MIN(value) AS px_low,
+          MAX(CASE WHEN rn_d = 1 THEN value END) AS px_close,
+          COUNT(*) AS n_events
+        FROM ranked GROUP BY 1, 2
+        ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
