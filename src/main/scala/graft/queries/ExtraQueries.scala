@@ -334,6 +334,44 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q128: per-key EWMA (pandas ewm(0.5, adjust=False).mean()) over
+    // the daily series — a RECURSIVE feature no window frame can
+    // express, folded per key after one exchange (the Sessionize
+    // shape). α=0.5 makes both fold coefficients exact binary doubles,
+    // so the oracle's recursive CTE replays the identical rounding
+    // sequence and the DOUBLES hash-match bit-exactly.
+    Q(
+      "q128_ewma_daily",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("v"))
+        graft.operators.Ewma.ewmaByKey(daily, "user_id", "t", "v", alpha = 0.5)
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM daily
+        ), rec AS (
+          SELECT user_id, t, v, rn, v AS ewma FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.v, r.rn,
+                 (1 - 0.5) * p.ewma + 0.5 * r.v
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        )
+        SELECT user_id, t, v, ewma FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
