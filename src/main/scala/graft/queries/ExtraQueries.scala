@@ -372,6 +372,42 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q129: running peak + drawdown per key (the max-drawdown feature
+    // every price pipeline computes): one window partition, running max
+    // frame; drawdown = (v - peak) / peak in a fixed operation order
+    // (subtract, then divide — both correctly rounded from exact
+    // inputs) so the doubles hash-match. MAX over a growing frame is
+    // order-insensitive, so no float-sum caveats apply.
+    Q(
+      "q129_running_drawdown",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("d")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .withColumn("peak", max(col("v")).over(w))
+          .withColumn("drawdown", (col("v") - col("peak")) / col("peak"))
+          .orderBy("user_id", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, d, v,
+          MAX(v) OVER (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+          (v - MAX(v) OVER (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           / MAX(v) OVER (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawdown
+        FROM daily ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
