@@ -53,4 +53,63 @@ object Ewma {
       }
       .toDF(key, order, value, "ewma")
   }
+
+  /** Continue the per-key fold over a NEW batch of strictly-later rows
+    * — the incremental-maintenance form: because EWMA is a left fold,
+    * the ONLY state a batch append needs is each key's last (order,
+    * ewma) pair, so per-batch cost is O(batch + touched keys), never a
+    * history re-read. Replaying batches through this function is
+    * bit-identical to [[ewmaByKey]] over the concatenated input (the
+    * recursion simply continues from the carried double — same
+    * operation sequence), which is what lets q130 gate the maintained
+    * path with q128's oracle VERBATIM.
+    *
+    * @param state (key, order, ewma) — last row per key from prior
+    *              batches (empty on the first); every batch row's
+    *              `order` must exceed its key's state `order`
+    * @return the batch rows with their ewma column (same shape as
+    *         [[ewmaByKey]]'s output, new rows only) */
+  def ewmaAppendBatch(batch: DataFrame, state: DataFrame,
+                      key: String, order: String, value: String,
+                      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.select(col(key).cast("long"), col(order).cast("long"),
+      col(value).cast("double"), lit(false).as("__init"), lit(0.0).as("__prev"))
+    // state rows sort first naturally: their order predates every batch row
+    val s = state.select(col(key).cast("long"), col(order).cast("long"),
+      lit(0.0).as(value), lit(true).as("__init"),
+      col("ewma").cast("double").as("__prev"))
+    s.unionByName(b).as[(Long, Long, Double, Boolean, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double, Boolean, Double)]) =>
+        val rows = it.toSeq.sortBy(_._2)
+        var prev = 0.0
+        var first = true
+        rows.iterator.flatMap { case (_, t, x, isInit, p) =>
+          if (isInit) { prev = p; first = false; None }
+          else {
+            val y = if (first) { first = false; x }
+                    else (1.0 - alpha) * prev + alpha * x
+            prev = y
+            Some((k, t, x, y))
+          }
+        }
+      }
+      .toDF(key, order, value, "ewma")
+  }
+
+  /** Fold a batch's output into the carried state: per key, the later
+    * of the existing state row and the batch's last row. */
+  def mergeState(state: DataFrame, batchOut: DataFrame,
+                 key: String, order: String): DataFrame = {
+    val last = batchOut.groupBy(col(key))
+      .agg(max(struct(col(order), col("ewma"))).as("__s"))
+      .select(col(key), col(s"__s.$order"), col("__s.ewma"))
+    state.select(col(key), col(order), col("ewma")).unionByName(last)
+      .groupBy(col(key))
+      .agg(max(struct(col(order), col("ewma"))).as("__s"))
+      .select(col(key), col(s"__s.$order"), col("__s.ewma"))
+  }
 }

@@ -408,6 +408,61 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q130: INCREMENTALLY MAINTAINED EWMA — the q128 feature replayed
+    // as four chronological ingest batches through ewmaAppendBatch,
+    // carrying only each key's last (t, ewma) between batches (EWMA is
+    // a left fold: O(batch + touched keys) per append, never a history
+    // re-read). Gated by q128's oracle VERBATIM: the maintained rows
+    // must hash-equal the one-shot fold bit-for-bit.
+    Q(
+      "q130_incremental_ewma",
+      (s, dir) => {
+        import graft.operators.Ewma
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("v"))
+        val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+          .map(d => java.time.LocalDate.parse(d).toEpochDay)
+        val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        import s.implicits._
+        var state = Seq.empty[(Long, Long, Double)].toDF("user_id", "t", "ewma")
+        val outs = ranges.map { case (lo, hi) =>
+          val batch = daily.where(col("t") >= lo && col("t") < hi)
+          // pin each batch's fold result: the next state reads it, and
+          // the final union reads it again — without the checkpoint the
+          // lazy chain re-folds every prior batch per consumer
+          val out = Ewma.ewmaAppendBatch(batch, state,
+            "user_id", "t", "v", alpha = 0.5).localCheckpoint(true)
+          state = Ewma.mergeState(state, out, "user_id", "t")
+          out
+        }
+        outs.reduce(_.unionByName(_))
+          .select("user_id", "t", "v", "ewma")
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM daily
+        ), rec AS (
+          SELECT user_id, t, v, rn, v AS ewma FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.v, r.rn,
+                 (1 - 0.5) * p.ewma + 0.5 * r.v
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        )
+        SELECT user_id, t, v, ewma FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
