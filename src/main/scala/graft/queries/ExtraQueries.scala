@@ -463,6 +463,75 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q131: weekly OHLC from the daily bars — the struct-extreme
+    // resample COMPOSES: weekly open/close are the first/last day's
+    // open/close via min/max over struct(d, px), so the second level
+    // is again one aggregate pass (two stacked agg pairs, both keyed
+    // by user — the (user,day) partials re-key to (user,week) with one
+    // exchange). Oracle re-derives both levels with the independent
+    // row_number formulation.
+    Q(
+      "q131_ohlc_weekly",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"), col("value"))
+        val bars = ev.groupBy("user_id", "d").agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("px_open"),
+          max(col("value")).as("px_high"),
+          min(col("value")).as("px_low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("px_close"),
+          count(lit(1)).as("n_events"))
+        bars
+          .withColumn("w", date_trunc("week", col("d")).cast("date"))
+          .groupBy("user_id", "w").agg(
+            min(struct(col("d"), col("px_open")))
+              .getField("px_open").as("px_open"),
+            max(col("px_high")).as("px_high"),
+            min(col("px_low")).as("px_low"),
+            max(struct(col("d"), col("px_close")))
+              .getField("px_close").as("px_close"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy("user_id", "w")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        ), bars AS (
+          SELECT user_id, d,
+            MAX(CASE WHEN rn_a = 1 THEN value END) AS px_open,
+            MAX(value) AS px_high,
+            MIN(value) AS px_low,
+            MAX(CASE WHEN rn_d = 1 THEN value END) AS px_close,
+            COUNT(*) AS n_events
+          FROM ranked GROUP BY 1, 2
+        ), wk AS (
+          SELECT user_id, CAST(date_trunc('week', d) AS DATE) AS w,
+            d, px_open, px_high, px_low, px_close, n_events,
+            row_number() OVER (PARTITION BY user_id, date_trunc('week', d)
+              ORDER BY d) AS r_a,
+            row_number() OVER (PARTITION BY user_id, date_trunc('week', d)
+              ORDER BY d DESC) AS r_d
+          FROM bars
+        )
+        SELECT user_id, w,
+          MAX(CASE WHEN r_a = 1 THEN px_open END) AS px_open,
+          MAX(px_high) AS px_high,
+          MIN(px_low) AS px_low,
+          MAX(CASE WHEN r_d = 1 THEN px_close END) AS px_close,
+          CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM wk GROUP BY 1, 2
+        ORDER BY user_id, w
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
