@@ -231,6 +231,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(within5 == Seq((10, Some(80), Some(800)), (30, None, None)))
   }
 
+  test("native as-of stays correct when AQE coalesces the co-partitioned exchanges") {
+    // force aggressive post-shuffle coalescing (tiny data + a large min
+    // partition size → AQE collapses both exchanges); the exec's merge
+    // reads co-partitioned children, so AQE must coalesce BOTH sides
+    // identically — this is the regression test for that contract
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64MB")
+    try {
+      val rnd = new scala.util.Random(42)
+      val left = (1 to 500).map { i =>
+        (s"k${rnd.nextInt(20)}", rnd.nextInt(1000), i)
+      }
+      val right = (0 until 20).flatMap { k =>
+        (0 until 30).map(_ => (s"k$k", rnd.nextInt(1000),
+          Some(rnd.nextInt(100)): Option[Int], rnd.nextInt(9999)))
+      }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val viaWindow = run(AsOfJoin.asofBackward _)(leftDf(left), rightDf(right)).toSeq
+      val viaNative = run(AsOfJoin.asofBackwardNative _)(leftDf(left), rightDf(right)).toSeq
+      assert(viaNative == viaWindow)
+    } finally {
+      prev match {
+        case Some(v) => conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
+        case None => conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      }
+    }
+  }
+
   test("broadcast impl at sf0.001: hash-identical to the window formulation on real tables") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
