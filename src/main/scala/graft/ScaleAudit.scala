@@ -40,12 +40,16 @@ object ScaleAudit {
                                        // design: their generated media corpora
                                        // are fixed-size decode gates, not
                                        // scale-sensitive workloads)
-    "q122")                            // native as-of exec (family
+    "q122",                            // native as-of exec (family
                                        // representative; q123 broadcast is
                                        // dim-side-only BY DESIGN — its right
                                        // side here grows with the corpus and
                                        // would OOM like any fact-sized
                                        // broadcast, see SCALING.md r11)
+    "q126", "q128", "q130")            // time-series family representatives:
+                                       // spine+2-frame gap fill, recursive
+                                       // keyed EWMA fold, and its 4-batch
+                                       // incremental maintenance
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
