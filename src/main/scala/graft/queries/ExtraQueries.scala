@@ -532,6 +532,67 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q132: MACD(12,26,9) — three composed EWMA folds (fast, slow,
+    // then the signal line over their difference) plus the histogram.
+    // The α constants are written as the same division expression on
+    // both engines (2.0/13.0 …), so every fold coefficient is the
+    // identical IEEE double and the recursive arithmetic hash-matches
+    // bit-exactly, dyadic or not — determinism comes from operation
+    // ORDER, exactness of the coefficients only sharpens it.
+    Q(
+      "q132_macd",
+      (s, dir) => {
+        import graft.operators.Ewma
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("v"))
+        val e12 = Ewma.ewmaByKey(daily, "user_id", "t", "v", 2.0 / 13.0)
+          .select(col("user_id"), col("t"), col("ewma").as("e12"))
+        val e26 = Ewma.ewmaByKey(daily, "user_id", "t", "v", 2.0 / 27.0)
+          .select(col("user_id"), col("t"), col("ewma").as("e26"))
+        val macd = e12.join(e26, Seq("user_id", "t"))
+          .withColumn("macd", col("e12") - col("e26"))
+        Ewma.ewmaByKey(macd.select("user_id", "t", "macd"),
+            "user_id", "t", "macd", 2.0 / 10.0)
+          .select(col("user_id"), col("t"), col("macd"),
+            col("ewma").as("sig_v"))
+          .withColumn("hist", col("macd") - col("sig_v"))
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM daily
+        ), rec AS (
+          SELECT user_id, t, v, rn, v AS e12, v AS e26 FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.v, r.rn,
+                 (1 - 2.0/13.0) * p.e12 + (2.0/13.0) * r.v,
+                 (1 - 2.0/27.0) * p.e26 + (2.0/27.0) * r.v
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        ), macd_t AS (
+          SELECT user_id, t, rn, e12 - e26 AS macd FROM rec
+        ), sig AS (
+          SELECT user_id, t, rn, macd, macd AS sig_v FROM macd_t WHERE rn = 1
+          UNION ALL
+          SELECT m.user_id, m.t, m.rn, m.macd,
+                 (1 - 2.0/10.0) * p.sig_v + (2.0/10.0) * m.macd
+          FROM macd_t m JOIN sig p
+            ON p.user_id = m.user_id AND m.rn = p.rn + 1
+        )
+        SELECT user_id, t, macd, sig_v, macd - sig_v AS hist
+        FROM sig ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
