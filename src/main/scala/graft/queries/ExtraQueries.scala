@@ -593,6 +593,79 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q133: RSI(14) — day-over-day gains/losses (LAG + GREATEST, both
+    // exact), Wilder smoothing = the EWMA fold at α=1/14 over each
+    // stream, then RSI with an explicit zero-loss guard (CASE → 100)
+    // because x/0.0 is NULL in Spark but inf in DuckDB — the guard
+    // keeps the engines on the same branch. All remaining arithmetic
+    // shares one operation order; hash-exact.
+    Q(
+      "q133_rsi",
+      (s, dir) => {
+        import graft.operators.Ewma
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("t")
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("v"))
+        val diffs = daily
+          .withColumn("prev", lag("v", 1).over(w))
+          .where(col("prev").isNotNull)
+          .withColumn("gain", greatest(col("v") - col("prev"), lit(0.0)))
+          .withColumn("loss", greatest(col("prev") - col("v"), lit(0.0)))
+        val g = Ewma.ewmaByKey(diffs.select("user_id", "t", "gain"),
+            "user_id", "t", "gain", 1.0 / 14.0)
+          .select(col("user_id"), col("t"), col("ewma").as("avg_gain"))
+        val l = Ewma.ewmaByKey(diffs.select("user_id", "t", "loss"),
+            "user_id", "t", "loss", 1.0 / 14.0)
+          .select(col("user_id"), col("t"), col("ewma").as("avg_loss"))
+        g.join(l, Seq("user_id", "t"))
+          .withColumn("rsi",
+            when(col("avg_loss") === 0.0, lit(100.0))
+              .otherwise(lit(100.0) -
+                lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))))
+          .select("user_id", "t", "avg_gain", "avg_loss", "rsi")
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), series AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t, v FROM daily
+        ), diffs AS (
+          SELECT user_id, t,
+            GREATEST(v - prev, 0.0) AS gain,
+            GREATEST(prev - v, 0.0) AS loss
+          FROM (
+            SELECT user_id, t, v,
+              lag(v) OVER (PARTITION BY user_id ORDER BY t) AS prev
+            FROM series
+          ) WHERE prev IS NOT NULL
+        ), ranked AS (
+          SELECT user_id, t, gain, loss,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM diffs
+        ), rec AS (
+          SELECT user_id, t, rn, gain AS avg_gain, loss AS avg_loss
+          FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.rn,
+                 (1 - 1.0/14.0) * p.avg_gain + (1.0/14.0) * r.gain,
+                 (1 - 1.0/14.0) * p.avg_loss + (1.0/14.0) * r.loss
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        )
+        SELECT user_id, t, avg_gain, avg_loss,
+          CASE WHEN avg_loss = 0.0 THEN 100.0
+               ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi
+        FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(
