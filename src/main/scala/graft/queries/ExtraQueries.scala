@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Rolling}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -664,6 +664,54 @@ object ExtraQueries {
                ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi
         FROM rec ORDER BY user_id, t
       """)),
+
+    // ----------------------------------------------------------------
+    // q134: Bollinger bands (rolling mean ± 2σ over the trailing
+    // 8-value frame) on q19's audited machinery: exact DECIMAL power
+    // sums materialized ONCE as columns (the skew lesson — inlining
+    // window sums into the band formula would re-evaluate each
+    // occurrence as its own window aggregate), then one fixed-order
+    // per-row expression; sqrt is IEEE correctly-rounded, so the bands
+    // hash-match like every other engineered-determinism double.
+    Q(
+      "q134_bollinger_bands",
+      (s, dir) => {
+        val w8 = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts").rowsBetween(-7, 0)
+        val base = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          Rolling.s1(col("value"), w8).as("__s1"),
+          Rolling.s2(col("value"), w8).as("__s2"),
+          Rolling.n(col("value"), w8).as("__n"))
+        val m = when(col("__n") === 8, col("__s1") / col("__n"))
+        val v = when(col("__n") === 8,
+          (col("__s2") - col("__s1") * col("__s1") / col("__n")) / col("__n"))
+        base.select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          m.as("mid"),
+          (m + lit(2.0) * sqrt(v)).as("upper"),
+          (m - lit(2.0) * sqrt(v)).as("lower"))
+      },
+      Some {
+        val frame = "PARTITION BY user_id ORDER BY ts " +
+          "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW"
+        s"""
+        WITH base AS (
+          SELECT event_id, user_id, ts, value,
+            ${Rolling.Sql.s1("value", frame)} AS s1x,
+            ${Rolling.Sql.s2("value", frame)} AS s2x,
+            ${Rolling.Sql.n("value", frame)} AS nx
+          FROM events
+        )
+        SELECT event_id, user_id, ts, value,
+          CASE WHEN nx = 8 THEN s1x / nx END AS mid,
+          (CASE WHEN nx = 8 THEN s1x / nx END) + 2.0 * sqrt(
+            CASE WHEN nx = 8 THEN (s2x - s1x * s1x / nx) / nx END) AS upper,
+          (CASE WHEN nx = 8 THEN s1x / nx END) - 2.0 * sqrt(
+            CASE WHEN nx = 8 THEN (s2x - s1x * s1x / nx) / nx END) AS lower
+        FROM base
+      """
+      }),
 
     // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
