@@ -1,19 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Per-key exponentially weighted moving average — pandas
   * `ewm(alpha, adjust=False).mean()`: `y_0 = x_0`,
   * `y_t = (1-α)·y_{t-1} + α·x_t`, folded in ascending time order.
   *
   * EWMA is inherently recursive (not a frame-expressible window
-  * aggregate), so the scalable formulation is the Sessionize shape:
-  * ONE keyed exchange, then each key's history sorts and folds inside
-  * the executor. Per-key state is a single double, but the fold needs
-  * the key's rows together — per-key history must fit an executor
-  * task, the same contract as any sessionization; for unbounded
-  * streams the same fold runs incrementally per micro-batch.
+  * aggregate), so the scalable formulation is: ONE keyed exchange
+  * (`repartition(key)`), a partition-local sort on (key, order) —
+  * which spills through Spark's UnsafeExternalSorter, never the task
+  * heap — and then a STREAMING per-key fold in `mapPartitions` whose
+  * state is one double per accumulator. Nothing buffers a key's
+  * history anywhere: a hot key with a billion rows costs disk-backed
+  * sort spill, not executor memory. (Earlier rounds used
+  * `groupByKey.flatMapGroups(it.toSeq.sortBy)`, which materialized
+  * each key on the heap — same fold order, worse memory contract.)
   *
   * Determinism: with a DYADIC α (0.5, 0.25, 0.75, …) both fold
   * coefficients are exact binary doubles, so every multiply is
@@ -26,32 +30,80 @@ import org.apache.spark.sql.functions._
   */
 object Ewma {
 
+  /** One EWMA accumulator: fold `value` at `alpha`, emit as `out`. */
+  final case class Spec(value: String, alpha: Double, out: String)
+
   /** @param df    input with the three columns below
     * @param key   LONG-castable series key
     * @param order LONG-castable sort column (epoch days/micros, seq no)
     * @param value DOUBLE-castable observation
     * @return (key, order, value, ewma) — one row per input row */
   def ewmaByKey(df: DataFrame, key: String, order: String, value: String,
-                alpha: Double): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(key).cast("long"), col(order).cast("long"),
-        col(value).cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
-        val rows = it.toSeq.sortBy(_._2)
-        var prev = 0.0
-        var first = true
-        rows.iterator.map { case (_, t, x) =>
-          val y = if (first) { first = false; x }
-                  else (1.0 - alpha) * prev + alpha * x
-          prev = y
-          (k, t, x, y)
+                alpha: Double): DataFrame =
+    ewmaMulti(df, key, order, Seq(Spec(value, alpha, "ewma")))
+
+  /** Fold SEVERAL EWMAs over the same keyed, ordered frame in ONE
+    * pass — one exchange, one sort, one scan, N doubles of state —
+    * instead of one exchange per accumulator plus a rejoin. This is
+    * the shape q133 (gain+loss at the same α) and q132 (e12+e26 at
+    * different α over the same series) want: each accumulator's
+    * arithmetic sequence is independent, so per-accumulator results
+    * are bit-identical to running [[ewmaByKey]] separately.
+    *
+    * @param specs value column → α → output column, all folded in the
+    *              shared ascending-(order) order
+    * @return (key, order, distinct value cols…, spec outputs…) */
+  def ewmaMulti(df: DataFrame, key: String, order: String,
+                specs: Seq[Spec]): DataFrame = {
+    require(specs.nonEmpty, "need at least one accumulator")
+    specs.foreach(sp => require(sp.alpha > 0 && sp.alpha <= 1,
+      s"alpha must be in (0, 1], got ${sp.alpha}"))
+    val valCols = specs.map(_.value).distinct
+    require((Seq(key, order) ++ valCols ++ specs.map(_.out)).distinct.size ==
+      2 + valCols.size + specs.size, s"column-name collision in $specs")
+    val prepared = df
+      .select(col(key).cast("long") :: col(order).cast("long") ::
+        valCols.toList.map(c => col(c).cast("double")): _*)
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(order))
+    val valIdx = specs.map(sp => 2 + valCols.indexOf(sp.value)).toArray
+    val alphas = specs.map(_.alpha).toArray
+    val n = specs.length
+    val outSchema = StructType(
+      StructField(key, LongType, nullable = false) ::
+      StructField(order, LongType, nullable = false) ::
+      valCols.toList.map(StructField(_, DoubleType, nullable = false)) :::
+      specs.toList.map(sp => StructField(sp.out, DoubleType, nullable = false)))
+    prepared.mapPartitions { it =>
+      var curKey = 0L
+      var anyKey = false
+      val prev = new Array[Double](n)
+      it.map { r =>
+        var c = 0
+        while (c < 2 + valCols.length) {
+          if (r.isNullAt(c)) throw new NullPointerException(
+            s"null in EWMA input column ${outSchema(c).name}")
+          c += 1
         }
+        val k = r.getLong(0)
+        val first = !anyKey || k != curKey
+        if (first) { curKey = k; anyKey = true }
+        val out = new Array[Any](2 + valCols.length + n)
+        out(0) = k
+        out(1) = r.getLong(1)
+        var i = 0
+        while (i < valCols.length) { out(2 + i) = r.getDouble(2 + i); i += 1 }
+        var j = 0
+        while (j < n) {
+          val x = r.getDouble(valIdx(j))
+          val y = if (first) x else (1.0 - alphas(j)) * prev(j) + alphas(j) * x
+          prev(j) = y
+          out(2 + valCols.length + j) = y
+          j += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
       }
-      .toDF(key, order, value, "ewma")
+    }(Encoders.row(outSchema))
   }
 
   /** Continue the per-key fold over a NEW batch of strictly-later rows
@@ -63,6 +115,11 @@ object Ewma {
     * recursion simply continues from the carried double — same
     * operation sequence), which is what lets q130 gate the maintained
     * path with q128's oracle VERBATIM.
+    *
+    * Same spill-safe shape as [[ewmaMulti]]; the sort breaks (key,
+    * order) ties with state-first, and a batch row at-or-before its
+    * key's state order — a violated precondition that would silently
+    * corrupt the recursion — FAILS LOUDLY instead.
     *
     * @param state (key, order, ewma) — last row per key from prior
     *              batches (empty on the first); every batch row's
@@ -77,19 +134,39 @@ object Ewma {
     import spark.implicits._
     val b = batch.select(col(key).cast("long"), col(order).cast("long"),
       col(value).cast("double"), lit(false).as("__init"), lit(0.0).as("__prev"))
-    // state rows sort first naturally: their order predates every batch row
     val s = state.select(col(key).cast("long"), col(order).cast("long"),
       lit(0.0).as(value), lit(true).as("__init"),
       col("ewma").cast("double").as("__prev"))
-    s.unionByName(b).as[(Long, Long, Double, Boolean, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double, Boolean, Double)]) =>
-        val rows = it.toSeq.sortBy(_._2)
+    s.unionByName(b)
+      .repartition(col(key))
+      // state first on an order tie (desc: true before false) so the
+      // violation check below sees it and fails loudly
+      .sortWithinPartitions(col(key), col(order), col("__init").desc)
+      .as[(Long, Long, Double, Boolean, Double)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var anyKey = false
         var prev = 0.0
         var first = true
-        rows.iterator.flatMap { case (_, t, x, isInit, p) =>
-          if (isInit) { prev = p; first = false; None }
-          else {
+        var stateT = Long.MinValue
+        var hasState = false
+        it.flatMap { case (k, t, x, isInit, p) =>
+          if (!anyKey || k != curKey) {
+            curKey = k; anyKey = true
+            first = true; hasState = false; stateT = Long.MinValue
+          }
+          if (isInit) {
+            if (hasState) throw new IllegalStateException(
+              s"duplicate state row for key $k at order $t")
+            if (!first) throw new IllegalStateException(
+              s"batch rows for key $k precede the state order $t — " +
+                "ewmaAppendBatch requires strictly-later rows")
+            prev = p; first = false; hasState = true; stateT = t
+            None
+          } else {
+            if (hasState && t <= stateT) throw new IllegalStateException(
+              s"batch row (key $k, order $t) does not follow its state " +
+                s"order $stateT — ewmaAppendBatch requires strictly-later rows")
             val y = if (first) { first = false; x }
                     else (1.0 - alpha) * prev + alpha * x
             prev = y

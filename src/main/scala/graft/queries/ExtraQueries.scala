@@ -549,11 +549,11 @@ object ExtraQueries {
           .select(col("user_id"),
             datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
             col("v"))
-        val e12 = Ewma.ewmaByKey(daily, "user_id", "t", "v", 2.0 / 13.0)
-          .select(col("user_id"), col("t"), col("ewma").as("e12"))
-        val e26 = Ewma.ewmaByKey(daily, "user_id", "t", "v", 2.0 / 27.0)
-          .select(col("user_id"), col("t"), col("ewma").as("e26"))
-        val macd = e12.join(e26, Seq("user_id", "t"))
+        // fast + slow lines in ONE keyed pass (two accumulators, two
+        // doubles of state) — not two folds plus a (user_id,t) rejoin
+        val macd = Ewma.ewmaMulti(daily, "user_id", "t",
+            Seq(Ewma.Spec("v", 2.0 / 13.0, "e12"),
+                Ewma.Spec("v", 2.0 / 27.0, "e26")))
           .withColumn("macd", col("e12") - col("e26"))
         Ewma.ewmaByKey(macd.select("user_id", "t", "macd"),
             "user_id", "t", "macd", 2.0 / 10.0)
@@ -616,13 +616,12 @@ object ExtraQueries {
           .where(col("prev").isNotNull)
           .withColumn("gain", greatest(col("v") - col("prev"), lit(0.0)))
           .withColumn("loss", greatest(col("prev") - col("v"), lit(0.0)))
-        val g = Ewma.ewmaByKey(diffs.select("user_id", "t", "gain"),
-            "user_id", "t", "gain", 1.0 / 14.0)
-          .select(col("user_id"), col("t"), col("ewma").as("avg_gain"))
-        val l = Ewma.ewmaByKey(diffs.select("user_id", "t", "loss"),
-            "user_id", "t", "loss", 1.0 / 14.0)
-          .select(col("user_id"), col("t"), col("ewma").as("avg_loss"))
-        g.join(l, Seq("user_id", "t"))
+        // gain + loss Wilder folds in ONE keyed pass (the oracle's own
+        // dual-accumulator recursion) — one exchange, no rejoin
+        Ewma.ewmaMulti(diffs.select("user_id", "t", "gain", "loss"),
+            "user_id", "t",
+            Seq(Ewma.Spec("gain", 1.0 / 14.0, "avg_gain"),
+                Ewma.Spec("loss", 1.0 / 14.0, "avg_loss")))
           .withColumn("rsi",
             when(col("avg_loss") === 0.0, lit(100.0))
               .otherwise(lit(100.0) -

@@ -46,6 +46,54 @@ class EwmaSpec extends AnyFunSuite {
     assert(replayed == oneShot) // == on doubles: bit-exact, no tolerance
   }
 
+  test("ewmaMulti folds several accumulators bit-identically to separate passes") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 1L to 4L; t <- 1L to 50L if rnd.nextDouble() < 0.8)
+      yield (k, t, rnd.nextDouble() * 100, rnd.nextDouble() * 10)
+    val df = rows.toDF("k", "t", "a", "b")
+    val multi = Ewma.ewmaMulti(df, "k", "t", Seq(
+        Ewma.Spec("a", 2.0 / 13.0, "ea"), Ewma.Spec("a", 2.0 / 27.0, "ea2"),
+        Ewma.Spec("b", 1.0 / 14.0, "eb")))
+      .select("k", "t", "ea", "ea2", "eb")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .sortBy(x => (x._1, x._2)).toSeq
+    def single(valueCol: String, alpha: Double) =
+      Ewma.ewmaByKey(df.select("k", "t", valueCol), "k", "t", valueCol, alpha)
+        .as[(Long, Long, Double, Double)].collect()
+        .sortBy(x => (x._1, x._2)).map(_._4).toSeq
+    assert(multi.map(_._3) == single("a", 2.0 / 13.0)) // == bit-exact
+    assert(multi.map(_._4) == single("a", 2.0 / 27.0))
+    assert(multi.map(_._5) == single("b", 1.0 / 14.0))
+  }
+
+  test("one hot key with a huge history streams through without buffering") {
+    // 2M rows on ONE key: the pre-r12 flatMapGroups shape materialized
+    // this as a task-heap Seq; the streaming fold's state is one double
+    // and the sort spills. Closed form at α=1/2 with x_t = 1 constant:
+    // ewma stays exactly 1.0 forever — verifiable without a driver fold.
+    val n = 2000000
+    val df = spark.range(n).selectExpr("CAST(1 AS LONG) AS k", "id AS t", "CAST(1.0 AS DOUBLE) AS v")
+    val out = Ewma.ewmaByKey(df, "k", "t", "v", 0.5)
+    val agg = out.agg(count("*"), min("ewma"), max("ewma"), max("t"))
+      .as[(Long, Double, Double, Long)].head()
+    assert(agg == ((n.toLong, 1.0, 1.0, n - 1L)))
+  }
+
+  test("ewmaAppendBatch fails loudly when a batch row does not follow state") {
+    def chainMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val state = Seq((1L, 10L, 5.0)).toDF("k", "t", "ewma")
+    for (badT <- Seq(9L, 10L)) { // earlier AND tied are both violations
+      val bad = Seq((1L, badT, 7.0)).toDF("k", "t", "v")
+      val ex = intercept[Throwable] {
+        Ewma.ewmaAppendBatch(bad, state, "k", "t", "v", 0.5).collect()
+      }
+      assert(chainMessages(ex).exists(_.contains("strictly-later")),
+        s"expected loud precondition failure for batch order $badT, got $ex")
+    }
+  }
+
   test("α=1 degenerates to the value itself; α=0.25 stays dyadic-exact") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 9.0)).toDF("k", "t", "v")
     val id = Ewma.ewmaByKey(df, "k", "t", "v", 1.0)
