@@ -41,10 +41,14 @@ object MediaCodec {
     val height = math.abs(rawHeight)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
-    val rowStride = ((width * 3 + 3) / 4) * 4
-    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+    // height <= 0 also rejects abs(Int.MinValue); Long row stride: a
+    // crafted width near Int.MaxValue/3 wraps `width * 3` negative in
+    // Int and would slip past the bounds check below
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowStrideL = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStrideL * height > bytes.length)
       return None
+    val rowStride = rowStrideL.toInt // fits: rowStrideL * height <= bytes.length
     var (sb, sg, sr) = (0.0, 0.0, 0.0)
     var sl, sl2 = 0.0
     var row = 0
@@ -168,10 +172,14 @@ object MediaCodec {
     val height = math.abs(rawHeight)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
-    val rowStride = ((width * 3 + 3) / 4) * 4
-    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+    // height <= 0 also rejects abs(Int.MinValue); Long row stride: a
+    // crafted width near Int.MaxValue/3 wraps `width * 3` negative in
+    // Int and would slip past the bounds check below
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowStrideL = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStrideL * height > bytes.length)
       return None
+    val rowStride = rowStrideL.toInt // fits: rowStrideL * height <= bytes.length
     var (sb, sg, sr) = (0.0, 0.0, 0.0)
     var sl, sl2 = 0.0
     var yo = 0
@@ -221,10 +229,14 @@ object MediaCodec {
     val height = math.abs(rawHeight)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
-    val rowStride = ((width * 3 + 3) / 4) * 4
-    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > bytes.length)
+    // height <= 0 also rejects abs(Int.MinValue); Long row stride: a
+    // crafted width near Int.MaxValue/3 wraps `width * 3` negative in
+    // Int and would slip past the bounds check below
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowStrideL = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowStrideL * height > bytes.length)
       return None
+    val rowStride = rowStrideL.toInt // fits: rowStrideL * height <= bytes.length
     def luma(gx: Int, gy: Int): Double = {
       val sx = (gx * width) / 9
       val sy = (gy * height) / 8
@@ -268,7 +280,9 @@ object MediaCodec {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // Long: `off + 8 + size` wraps negative in Int for sizes near
+      // Int.MaxValue and would slip past this check
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -281,7 +295,9 @@ object MediaCodec {
           dataLen = size
         case _ => ()
       }
-      off += 8 + size + (size & 1)
+      val next = off.toLong + 8 + size + (size & 1) // chunks are word-aligned
+      if (next > Int.MaxValue) return None
+      off = next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
     val nSamples = dataLen / 2
@@ -334,7 +350,8 @@ object MediaCodec {
       while (off + 8 <= to) {
         val id = fourcc(off)
         val size = le32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > to) return false
+        // Long: Int `off + 8 + size` wraps negative for huge sizes
+        if (size < 0 || off.toLong + 8 + size > to) return false
         if (id == "LIST") {
           if (size < 4) return false
           if (!walk(off + 12, off + 8 + size)) return false
@@ -348,14 +365,18 @@ object MediaCodec {
         } else if (id.endsWith("db") || id.endsWith("dc")) {
           frames += ((off + 8, size))
         }
-        off += 8 + size + (size & 1) // chunks are word-aligned
+        val next = off.toLong + 8 + size + (size & 1) // word-aligned
+        if (next > Int.MaxValue) return false
+        off = next.toInt
       }
       true
     }
     if (!walk(12, bytes.length)) return None
     if (width <= 0 || height <= 0 || frames.isEmpty) return None
-    val rowStride = ((width * 3 + 3) / 4) * 4
-    if (frames.exists(_._2 != rowStride * height)) return None
+    // Long: a crafted strf width wraps `width * 3` negative in Int
+    val rowStrideL = (width.toLong * 3 + 3) / 4 * 4
+    if (frames.exists(_._2.toLong != rowStrideL * height)) return None
+    val rowStride = rowStrideL.toInt // fits: equals a validated chunk size
     try {
       Some((0 until frames.length by stride).map { i =>
         val (base, _) = frames(i)
@@ -405,7 +426,8 @@ object MediaCodec {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // Long: Int `off + 8 + size` wraps negative for huge sizes
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -419,7 +441,9 @@ object MediaCodec {
           dataLen = size
         case _ => ()
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      val next = off.toLong + 8 + size + (size & 1) // word-aligned
+      if (next > Int.MaxValue) return None
+      off = next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
     val nSamples = dataLen / 2

@@ -22,12 +22,25 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** Internal tag columns of the union+window formulation. An input
+    * that already carries one of these would silently shadow the tags
+    * (wrong results) or fail analysis — reject it up front. */
+  private val ReservedCols = Seq("__k", "__t", "__isLeft", "__p")
+
+  private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
+    val hit = (left.columns ++ right.columns).filter(ReservedCols.contains)
+    require(hit.isEmpty, s"input columns ${hit.distinct.mkString(", ")} " +
+      s"collide with AsOfJoin internal names (${ReservedCols.mkString(", ")})" +
+      " — rename them before the as-of join")
+  }
+
   /** @param payload right-side columns to carry (must not collide with
     *                left column names). */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    payload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right)
     val leftCols = left.columns.toSeq
     def typedNull(df: DataFrame, c: String) =
       lit(null).cast(df.schema(c).dataType).as(c)
@@ -73,6 +86,7 @@ object AsOfJoin {
                   leftKey: String, rightKey: String,
                   leftTime: String, rightTime: String,
                   payload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right)
     val leftCols = left.columns.toSeq
     def typedNull(df: DataFrame, c: String) =
       lit(null).cast(df.schema(c).dataType).as(c)
@@ -181,6 +195,10 @@ object AsOfJoin {
     val fT = "__asof_ft"
     val bCols = payload.map(c => s"__b_$c")
     val fCols = payload.map(c => s"__f_$c")
+    val internal = (bCols ++ fCols :+ bT :+ fT).toSet
+    val hit = left.columns.filter(internal.contains)
+    require(hit.isEmpty, s"left columns ${hit.mkString(", ")} collide with " +
+      "asofNearestNative internal names — rename them before the join")
     def renamed(prefix: String, timeAlias: String): DataFrame =
       right.select(
         Seq(col(rightKey), col(rightTime).as(timeAlias)) ++

@@ -1730,7 +1730,8 @@ object PipelineQueries {
           graft.operators.DeltaStore(s"$out/table", 16),
           Seq("coin_id", "fetch_date"))
         val vstore = graft.operators.DeltaStore(s"$out/view", 16)
-        def drain(): Unit = s.readStream.schema(schema).parquet(s"$out/in")
+        def drain(): org.apache.spark.sql.streaming.StreamingQuery =
+          s.readStream.schema(schema).parquet(s"$out/in")
           .writeStream
           .option("checkpointLocation", s"$out/ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -1745,12 +1746,19 @@ object PipelineQueries {
               Seq("coin_id", "yr", "mon"), "price_usd", bid)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination(300000)
+          .start()
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           // ONE file per drop: a batch id names a complete ingest unit
           mkBatch(y0, y1, b).coalesce(1)
             .write.mode("append").parquet(s"$out/in")
-          drain()
+          // a timed-out drain left running would race the next drop's
+          // query on the same checkpoint — stop it and fail loudly
+          val q = drain()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException(
+              s"q115 drain of batch $b did not finish within 300 s")
+          }
         }
         val gschema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("coin_id",

@@ -173,6 +173,31 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.wavFeatures("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("crafted near-Int.MaxValue sizes return None instead of wrapping") {
+    def withLe32(base: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val b = base.clone()
+      ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+      b
+    }
+    // BMP width 0x2AAAAAAB: `width * 3` wraps negative in Int, so an
+    // Int row stride would slip past the bounds check and index OOB
+    val hugeW = withLe32(bmp2x2, 18, 0x2AAAAAAB)
+    assert(MediaCodec.bmpFeatures(hugeW).isEmpty)
+    assert(MediaCodec.bmpResizeFeatures(hugeW, 2, 2).isEmpty)
+    assert(MediaCodec.bmpDHashBands(hugeW).isEmpty)
+    // height Int.MinValue: math.abs stays negative
+    assert(MediaCodec.bmpFeatures(withLe32(bmp2x2, 22, Int.MinValue)).isEmpty)
+    // WAV fmt chunk size 0x7FFFFFF0: `off + 8 + size` wraps negative
+    val hugeChunk = withLe32(wav4, 16, 0x7FFFFFF0)
+    assert(MediaCodec.wavFeatures(hugeChunk).isEmpty)
+    assert(MediaCodec.wavWindowFeatures(hugeChunk, 2).isEmpty)
+    // AVI LIST chunk with a wrapping size
+    val avi = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    avi.put("RIFF".getBytes).putInt(16).put("AVI ".getBytes)
+    avi.put("LIST".getBytes).putInt(0x7FFFFFF0).putInt(0)
+    assert(MediaCodec.aviDibFrameFeatures(avi.array(), 1).isEmpty)
+  }
+
   test("extractFeatures uses real decode for BMP/PNG/JPEG/WAV and stub otherwise") {
     val spark = TestSpark.spark
     val rows = Seq(
