@@ -39,6 +39,19 @@ object Q {
         System.getProperty("java.io.tmpdir", "/tmp")).stripSuffix("/") +
       s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Fixed-location artifact dir a DuckDB oracle can read back. Unlike
+    * [[scratch]] the root is NOT scale-dir-keyed — the oracle SQL is a
+    * static string, so the path must be knowable without `dir` — and
+    * instead each SCALE gets its own `n=<count>` subdir (runs at
+    * different scales never overwrite each other) plus an `n` column in
+    * the data, which the oracle filters against the live corpus count.
+    * Assumes the default /tmp tmpdir (the gate's environment); a
+    * non-default java.io.tmpdir breaks only the oracle replay, not the
+    * engine. */
+  def oracleArtifact(tag: String, n: Long): String =
+    System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/") +
+      s"/graft_${tag}_oracle/n=$n"
+
   val Dec: DecimalType = DecimalType(18, 2)
   def dec2(c: Column): Column = c.cast(Dec)
   /** Exact sum of a 2-decimal double column, emitted as double. */

@@ -143,23 +143,33 @@ object PqIndex {
 
   /** ADC top-k with exact re-rank: score every candidate from codes +
     * a broadcast per-query LUT, keep the ADC top-`shortlist`, then ONE
-    * exact cosine join re-ranks the shortlist to the final top-k. */
+    * exact cosine join re-ranks the shortlist to the final top-k.
+    *
+    * LUT entries are QUANTIZED to integer micro-units (1e-12) before
+    * the per-candidate sum: a sum of m doubles would depend on the
+    * nondeterministic arrival order of the joined rows, while a sum of
+    * m BIGINTs is exact and order-free — which is what lets q101 sit
+    * under the DuckDB hash gate (and makes the shortlist itself
+    * run-to-run stable). At 1e-12 the quantization is far below any
+    * recall-relevant score gap. */
   def searchTopK(emb: DataFrame, codebook: DataFrame, codes: DataFrame,
                  queryPred: Column, k: Int, shortlist: Int = 100,
                  m: Int = 8): DataFrame = {
-    // per-query ADC lookup table: (query_id, sub, code, ip); tiny —
+    // per-query ADC lookup table: (query_id, sub, code, ipq); tiny —
     // |Q| * m * |codebook per sub| rows — and broadcast
+    val ip = dot(col("subvec"), col("centroid"))
     val lut = subvectors(emb.where(queryPred), m)
       .select(col("vec_id").as("query_id"), col("sub"), col("subvec"))
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
-        dot(col("subvec"), col("centroid")).as("ip"))
+        (signum(ip) * floor(abs(ip) * lit(1e12) + lit(0.5)))
+          .cast("long").as("ipq"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("cand_id").asc)
     val short = codes.select(col("vec_id").as("cand_id"), col("sub"), col("code"))
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy("query_id", "cand_id")
-      .agg(sum(col("ip")).as("adc_score"))
+      .agg(sum(col("ipq")).as("adc_score"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("srank", row_number().over(wShort))
       .where(col("srank") <= shortlist)

@@ -14,6 +14,14 @@ import graft.ml.GroupedRegression
   */
 object MlQueries {
 
+  /** DuckDB mirror of [[graft.ml.PqIndex]]'s squared euclidean distance:
+    * the same left-assoc fold over (x-y)^2 terms as the Spark-side
+    * `aggregate(zip_with(...))`, so d2 is bit-identical in both engines. */
+  private def sqDistSql(a: String, b: String) =
+    s"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP($a, $b), " +
+      "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * " +
+      "(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+
   def defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q64: per-group closed-form OLS (simple regression of extended
@@ -179,16 +187,21 @@ object MlQueries {
 
     // ----------------------------------------------------------------
     // q101: LEARNED product-quantization ANN (FAISS IVFADC's PQ half,
-    // ml/PqIndex) as a bench-visible registry entry. K-means codebook
-    // output is engine-specific, so no SQL oracle can replay it (q44's
-    // class — the driver records rows>0; PqSpec pins recall >= 0.9 vs
-    // the exact baseline); registering it puts the learned path's
-    // ENCODE + ADC-scan + exact-re-rank cost under BENCH and the scale
-    // audit every round. The codebook is a PERSISTED artifact
-    // (train-once-serve-many, as a real index): trainIfAbsent keys the
-    // sidecar by corpus count + train params, so only the first
-    // invocation per corpus pays the 8 KMeans fits. Query set is the
-    // fixed scale-invariant workload (see q37).
+    // ml/PqIndex) as a bench-visible registry entry. The k-means
+    // CODEBOOK is engine-specific (no SQL can retrain it; PqSpec pins
+    // recall >= 0.9 vs the exact baseline), but the SERVE path given
+    // the codebook — normalize, encode (nearest-centroid argmin), ADC
+    // score from integer micro-unit LUT sums, exact cosine re-rank —
+    // is pure arithmetic, so the oracle HASH-GATES it: the entry
+    // persists the trained codebook as a DuckDB-readable parquet
+    // sidecar (Q.oracleArtifact: fixed root, scale-keyed subdir) and
+    // the oracle replays the whole serve pipeline from that artifact.
+    // Fold orders mirror exactly (dotSql ≡ DotProductF; the LUT is
+    // quantized BIGINTs so the per-candidate sum is order-free).
+    // The codebook is a PERSISTED artifact (train-once-serve-many):
+    // trainIfAbsent keys the sidecar by corpus count + train params,
+    // so only the first invocation per corpus pays the 8 KMeans fits.
+    // Query set is the fixed scale-invariant workload (see q37).
     Q(
       "q101_pq_learned_ann",
       (s, dir) => {
@@ -197,22 +210,85 @@ object MlQueries {
         val codebook = graft.ml.PqIndex.trainIfAbsent(s, emb,
           s"${Q.scratch(s, "q101_pq", dir)}/codebook_n${n}_m8_k64_s42",
           m = 8, k = 64)
+        codebook.withColumn("n", lit(n))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(Q.oracleArtifact("q101_pq", n))
         val codes = graft.ml.PqIndex.encode(emb, codebook)
         graft.ml.PqIndex.searchTopK(emb, codebook, codes,
             pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") <= 2000,
             k = 5, shortlist = 100)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""
+        WITH cb AS (
+          SELECT sub, code, centroid
+          FROM read_parquet('/tmp/graft_q101_pq_oracle/*/*.parquet')
+          WHERE n = (SELECT COUNT(*) FROM embeddings)
+        ), nrm AS (
+          SELECT vec_id, embedding,
+                 SQRT(${SimilarityQueries.dotSql("embedding", "embedding")}) AS nn
+          FROM embeddings
+        ), sv AS (
+          SELECT vec_id, g.sub,
+                 LIST_TRANSFORM(embedding[g.sub*8+1 : g.sub*8+8],
+                                x -> CAST(x AS DOUBLE) / nn) AS subvec
+          FROM nrm, UNNEST(GENERATE_SERIES(0, 7)) AS g(sub)
+          WHERE nn > 0
+        ), codes AS (
+          SELECT vec_id AS cand_id, sub, code FROM (
+            SELECT sv.vec_id, sv.sub, cb.code,
+                   ${sqDistSql("sv.subvec", "cb.centroid")} AS d2
+            FROM sv JOIN cb ON cb.sub = sv.sub)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, code) = 1
+        ), lut AS (
+          SELECT query_id, sub, code,
+                 CAST(SIGN(ip) * FLOOR(ABS(ip) * 1000000000000.0 + 0.5)
+                      AS BIGINT) AS ipq
+          FROM (SELECT sv.vec_id AS query_id, sv.sub AS sub, cb.code AS code,
+                       ${SimilarityQueries.dotSql("sv.subvec", "cb.centroid")} AS ip
+                FROM sv JOIN cb ON cb.sub = sv.sub
+                WHERE sv.vec_id % 100 = 0 AND sv.vec_id <= 2000)
+        ), adc AS (
+          SELECT l.query_id, c.cand_id, SUM(l.ipq) AS adc_score
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          WHERE l.query_id <> c.cand_id
+          GROUP BY 1, 2
+        ), short AS (
+          SELECT query_id, cand_id FROM adc
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_score DESC, cand_id ASC) <= 100
+        ), ref AS (
+          SELECT s.query_id, s.cand_id,
+                 ${SimilarityQueries.dotSql("q.embedding", "c.embedding")}
+                   / (SQRT(${SimilarityQueries.dotSql("q.embedding", "q.embedding")}) *
+                      SQRT(${SimilarityQueries.dotSql("c.embedding", "c.embedding")}))
+                   AS cosine_sim
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.cand_id
+        )
+        SELECT query_id, CAST(rnk AS INTEGER) AS rank,
+               cand_id AS neighbor_id, cosine_sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, cand_id ASC) AS rnk
+              FROM ref)
+        WHERE rnk <= 5
+        ORDER BY query_id, rank
+      """)),
 
     // ----------------------------------------------------------------
     // q102: LEARNED k-means IVF ANN (ml/IvfIndex; the trained
     // counterpart of q49's deterministic sign-plane cells) as a
-    // bench-visible registry entry — same q44-class rationale as q101
-    // (IvfSpec pins recall; the driver checks rows>0). nlist=16,
-    // nprobe=4 matches the spec's >=0.9-recall operating region at
-    // bench scale; production picks nlist ~ sqrt(n) at build time the
-    // same way q49's plane count adapts.
+    // bench-visible registry entry. Like q101, the INDEX (k-means
+    // centroids + cell assignments) is engine-specific — IvfSpec pins
+    // recall — but the SERVE path given the index is replayable, so
+    // the entry persists BOTH index halves as parquet sidecars and
+    // the oracle hash-gates probe selection (d2 ranking), the cell
+    // equi-join, the micro-unit-quantized cosine, and the top-k.
+    // nlist=16, nprobe=4 matches the spec's >=0.9-recall operating
+    // region at bench scale; production picks nlist ~ sqrt(n) at
+    // build time the same way q49's plane count adapts.
     // The coarse quantizer is a persisted artifact too (buildOrLoad —
     // the fitted KMeansModel in Spark ML writer format), keyed like
     // q101's codebook.
@@ -224,11 +300,58 @@ object MlQueries {
         val (cells, centroids) = graft.ml.IvfIndex.buildOrLoad(s, emb,
           nlist = 16,
           path = s"${Q.scratch(s, "q102_ivf", dir)}/kmeans_n${n}_l16_s42")
+        centroids.withColumn("n", lit(n))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(Q.oracleArtifact("q102_centroids", n))
+        cells.select(col("vec_id"), col("cell_id")).withColumn("n", lit(n))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(Q.oracleArtifact("q102_cells", n))
         graft.ml.IvfIndex.searchTopK(cells, centroids,
             pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") <= 2000,
             k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(s"""
+        WITH cent AS (
+          SELECT cell_id, centroid
+          FROM read_parquet('/tmp/graft_q102_centroids_oracle/*/*.parquet')
+          WHERE n = (SELECT COUNT(*) FROM embeddings)
+        ), cells AS (
+          SELECT vec_id, cell_id
+          FROM read_parquet('/tmp/graft_q102_cells_oracle/*/*.parquet')
+          WHERE n = (SELECT COUNT(*) FROM embeddings)
+        ), nrm AS (
+          SELECT vec_id, embedding,
+                 ${SimilarityQueries.dotSql("embedding", "embedding")} AS n2
+          FROM embeddings
+        ), probes AS (
+          SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, cent.cell_id,
+                   q.n2 - 2.0 * ${SimilarityQueries.dotSql("q.embedding", "cent.centroid")}
+                        + ${SimilarityQueries.dotSql("cent.centroid", "cent.centroid")} AS d2
+            FROM nrm q CROSS JOIN cent
+            WHERE q.vec_id % 100 = 0 AND q.vec_id <= 2000)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY d2 ASC, cell_id ASC) <= 4
+        ), scored AS (
+          SELECT DISTINCT p.query_id, cl.vec_id AS cand_id,
+                 CAST(FLOOR(${SimilarityQueries.dotSql("q.embedding", "c.embedding")}
+                        / (SQRT(q.n2) * SQRT(c.n2)) * 1000000.0 + 0.5)
+                      AS BIGINT) AS sim_q
+          FROM probes p
+          JOIN cells cl ON cl.cell_id = p.cell_id
+          JOIN nrm q ON q.vec_id = p.query_id
+          JOIN nrm c ON c.vec_id = cl.vec_id
+          WHERE p.query_id <> cl.vec_id
+        )
+        SELECT query_id, CAST(rnk AS INTEGER) AS rank,
+               cand_id AS neighbor_id,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim_q DESC, cand_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+        ORDER BY query_id, rank
+      """))
   )
 }
