@@ -30,8 +30,17 @@ import org.apache.spark.sql.types._
   */
 object Ewma {
 
-  /** One EWMA accumulator: fold `value` at `alpha`, emit as `out`. */
-  final case class Spec(value: String, alpha: Double, out: String)
+  /** One EWMA accumulator: fold `value` at `alpha`, emit as `out`.
+    *
+    * `adjust = false` is the plain recursion `y_t = (1-α)y_{t-1} + αx_t`
+    * (pandas `ewm(alpha, adjust=False)`); `adjust = true` is pandas'
+    * DEFAULT `ewm(alpha)` — the finite-window normalized form
+    * `y_t = Σ(1-α)^i x_{t-i} / Σ(1-α)^i`, maintained as TWO recursions
+    * (`num_t = (1-α)num_{t-1} + x_t`, `den_t = (1-α)den_{t-1} + 1`)
+    * with `y_t = num_t/den_t` — still O(1) state, and the division is
+    * a single correctly-rounded op on deterministic operands. */
+  final case class Spec(value: String, alpha: Double, out: String,
+                        adjust: Boolean = false)
 
   /** @param df    input with the three columns below
     * @param key   LONG-castable series key
@@ -74,10 +83,12 @@ object Ewma {
       StructField(order, LongType, nullable = false) ::
       valCols.toList.map(StructField(_, DoubleType, nullable = false)) :::
       specs.toList.map(sp => StructField(sp.out, DoubleType, nullable = false)))
+    val adjust = specs.map(_.adjust).toArray
     prepared.mapPartitions { it =>
       var curKey = 0L
       var anyKey = false
-      val prev = new Array[Double](n)
+      val num = new Array[Double](n) // adjust=false: the previous y
+      val den = new Array[Double](n) // adjust=true only
       it.map { r =>
         var c = 0
         while (c < 2 + valCols.length) {
@@ -96,8 +107,18 @@ object Ewma {
         var j = 0
         while (j < n) {
           val x = r.getDouble(valIdx(j))
-          val y = if (first) x else (1.0 - alphas(j)) * prev(j) + alphas(j) * x
-          prev(j) = y
+          val y = if (adjust(j)) {
+            if (first) { num(j) = x; den(j) = 1.0 }
+            else {
+              num(j) = (1.0 - alphas(j)) * num(j) + x
+              den(j) = (1.0 - alphas(j)) * den(j) + 1.0
+            }
+            num(j) / den(j)
+          } else {
+            val v = if (first) x else (1.0 - alphas(j)) * num(j) + alphas(j) * x
+            num(j) = v
+            v
+          }
           out(2 + valCols.length + j) = y
           j += 1
         }

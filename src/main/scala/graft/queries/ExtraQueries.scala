@@ -713,6 +713,52 @@ object ExtraQueries {
       }),
 
     // ----------------------------------------------------------------
+    // q135: pandas-DEFAULT EWMA — `ewm(alpha).mean()` with
+    // adjust=True, the finite-window normalized form a notebook user
+    // hits before q128's adjust=False recursion. Same spill-safe keyed
+    // fold (Ewma.Spec(adjust = true)): O(1) state per key is now TWO
+    // doubles (numerator and denominator recursions) and the emitted
+    // value is their single correctly-rounded division. α = 0.5 keeps
+    // both fold coefficients dyadic, and the oracle's recursive CTE
+    // replays the identical num/den operation sequence — hash-exact
+    // doubles, no tolerance.
+    Q(
+      "q135_ewma_adjusted",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d").agg(max("value").as("v"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("v"))
+        graft.operators.Ewma.ewmaMulti(daily, "user_id", "t",
+            Seq(graft.operators.Ewma.Spec("v", 0.5, "ewma", adjust = true)))
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM daily
+        ), rec AS (
+          SELECT user_id, t, v, rn,
+                 v AS num, CAST(1.0 AS DOUBLE) AS den
+          FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.v, r.rn,
+                 (1 - 0.5) * p.num + r.v,
+                 (1 - 0.5) * p.den + 1.0
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        )
+        SELECT user_id, t, v, num / den AS ewma
+        FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
     // + hash-agg pass (the reference has no grouping sets, §2.E).
     Q(

@@ -94,6 +94,21 @@ class EwmaSpec extends AnyFunSuite {
     }
   }
 
+  test("adjust=true matches the pandas normalized form, hand-computed") {
+    // pandas ewm(alpha=0.5).mean() (adjust defaults to True):
+    // y_t = sum (1-a)^i x_{t-i} / sum (1-a)^i
+    val df = Seq((1L, 1L, 4.0), (1L, 2L, 8.0), (1L, 3L, 2.0)).toDF("k", "t", "v")
+    val got = Ewma.ewmaMulti(df, "k", "t",
+        Seq(Ewma.Spec("v", 0.5, "ewma", adjust = true)))
+      .select("t", "ewma").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val y1 = 4.0
+    val y2 = (0.5 * 4.0 + 8.0) / (0.5 + 1.0)                 // 10/1.5
+    val y3 = (0.5 * (0.5 * 4.0 + 8.0) + 2.0) / (0.5 * 1.5 + 1.0) // 7/1.75
+    assert(got == Seq((1L, y1), (2L, y2), (3L, y3))) // == bit-exact
+    assert(math.abs(got(1)._2 - 6.666666666666667) < 1e-12)
+    assert(math.abs(got(2)._2 - 4.0) < 1e-12)
+  }
+
   test("α=1 degenerates to the value itself; α=0.25 stays dyadic-exact") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 9.0)).toDF("k", "t", "v")
     val id = Ewma.ewmaByKey(df, "k", "t", "v", 1.0)
