@@ -237,6 +237,77 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q121: STREAM-STATIC as-of enrichment — the broadcast as-of
+    // operator deployed as a continuous pipeline: the event stream is
+    // micro-batched (several files, maxFilesPerTrigger) through
+    // foreachBatch, each batch enriched against the STATIC deduped
+    // order dimension by asofBackwardBroadcast (dim broadcast once per
+    // batch; the event stream is never shuffled or sorted — per-row
+    // cost is a hash probe + binary search). As-of enrichment is
+    // row-wise against a fixed right side, so the union of all batches
+    // must equal the one-shot batch join — which is why this entry is
+    // gated by q41's oracle VERBATIM, the same hash-exact bar as the
+    // three batch formulations. (StreamAsOfSpec additionally pins the
+    // checkpoint-resume path.) Fills the registry numbering hole the
+    // round-11 audit flagged.
+    Q(
+      "q121_stream_asof_enrich",
+      (s, dir) => {
+        val out = Q.scratch(s, "q121_streamasof", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        ev.repartition(4).write.parquet(s"$out/in")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$out/in")
+          .writeStream
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            AsOfJoin.asofBackwardBroadcast(b, orders,
+                "user_id", "o_custkey", "ts", "o_orderdate",
+                Seq("asof_orderkey", "asof_totalprice"))
+              .write.mode("append").parquet(s"$out/enriched")
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("q121 drain did not finish in 300 s")
+        }
+        s.read.parquet(s"$out/enriched")
+          .select("event_id", "user_id", "ts", "asof_orderkey", "asof_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q126: per-key daily gap fill + linear interpolation (the pandas
     // reindex().ffill() / interpolate() pair over the events series) —
     // per-key spine from its own bounds (never a global calendar cross
@@ -756,6 +827,83 @@ object ExtraQueries {
         )
         SELECT user_id, t, v, num / den AS ewma
         FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
+    // q136: TIME-WEIGHTED interpolation over IRREGULAR timestamps —
+    // pandas interpolate(method='time') (q126 interpolates over a
+    // daily spine; here the gaps are the raw event stream's own uneven
+    // microsecond timestamps). Missing values (every 7th event, a
+    // deterministic mask) take the prev/next observed values weighted
+    // by actual elapsed time; trailing gaps carry the last observation
+    // (pandas' forward fill-out), leading gaps stay NULL. Two window
+    // frames on ONE keyed sort (last/first ignoreNulls), then a single
+    // fixed-order arithmetic expression on epoch-micros deltas — the
+    // doubles hash-match the oracle, and a same-timestamp observation
+    // pair short-circuits to the previous value instead of Spark's
+    // NULL-on-/0 vs DuckDB's Inf divergence.
+    Q(
+      "q136_time_interpolate",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wP = W.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val wN = W.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+        val base = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), col("ts"),
+          // ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+          // NTZ→LTZ cast keeps the wall-clock == DuckDB's EPOCH_US
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value").cast("double")).as("v"))
+        val obsT = when(col("v").isNotNull, col("t"))
+        val bounds = base
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
+          .withColumn("pt", last(obsT, ignoreNulls = true).over(wP))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wN))
+          .withColumn("nt", first(obsT, ignoreNulls = true).over(wN))
+        val frac = (col("t") - col("pt")).cast("double") /
+          (col("nt") - col("pt")).cast("double")
+        bounds.select(
+          col("event_id"), col("user_id"), col("ts"), col("v"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, lit(null).cast("double"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+            .as("filled"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, user_id, ts, EPOCH_US(ts) AS t,
+                 CASE WHEN event_id % 7 = 0 THEN NULL
+                      ELSE CAST(value AS DOUBLE) END AS v
+          FROM events
+        ), bounds AS (
+          SELECT *,
+            LAST_VALUE(v IGNORE NULLS) OVER w1 AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER w1 AS pt,
+            FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER w2 AS nt
+          FROM base
+          WINDOW w1 AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w2 AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts, v,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN NULL
+               WHEN nv IS NULL THEN pv
+               WHEN nt = pt THEN pv
+               ELSE pv + (nv - pv) *
+                    (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+          END AS filled
+        FROM bounds ORDER BY event_id
       """)),
 
     // ----------------------------------------------------------------
