@@ -222,12 +222,42 @@ object AsOfJoin {
     both.select(left.columns.map(col).toSeq ++ out: _*)
   }
 
+  /** [[asofBackwardNative]] semantics with the physical strategy left
+    * to the PLANNER: [[graft.plans.GraftStrategies]] broadcasts when
+    * the right side's size estimate fits
+    * `spark.sql.autoBroadcastJoinThreshold`, else sort-merges — the
+    * as-of analogue of an unhinted equi-join, for callers who don't
+    * know (or shouldn't hard-code) which side is dim-sized. */
+  def asofBackwardAuto(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = None)
+
+  /** [[asofForwardNative]] semantics, planner-chosen strategy. */
+  def asofForwardAuto(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = None, forward = true)
+
   private def planNative(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
                          payload: Seq[String],
                          broadcast: Boolean,
-                         forward: Boolean = false): DataFrame = {
+                         forward: Boolean = false): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, Some(broadcast), forward)
+
+  private def planNativeOpt(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            payload: Seq[String],
+                            broadcast: Option[Boolean],
+                            forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =

@@ -20,10 +20,14 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   fresh expr-ids, forced nullable (a left row before
   *                   any right row yields an all-NULL payload)
   * @param broadcast  physical-strategy hint, mirroring Spark's join
-  *                   hints: `true` plans [[BroadcastAsOfJoinExec]] (right
-  *                   side broadcast as a sorted index, left side never
-  *                   shuffled or sorted), `false` plans [[AsOfJoinExec]]
-  *                   (co-partitioned sort-merge, both sides spill-safe)
+  *                   hints: `Some(true)` plans [[BroadcastAsOfJoinExec]]
+  *                   (right side broadcast as a sorted index, left side
+  *                   never shuffled or sorted), `Some(false)` plans
+  *                   [[AsOfJoinExec]] (co-partitioned sort-merge, both
+  *                   sides spill-safe), and `None` lets the PLANNER
+  *                   choose from the right side's size estimate vs
+  *                   `spark.sql.autoBroadcastJoinThreshold` — the exact
+  *                   rule Spark's JoinSelection applies to equi-joins
   * @param forward    direction: `false` = backward (latest right with
   *                   `rightTime <= leftTime`, the trade/quote shape);
   *                   `true` = forward (EARLIEST right with
@@ -38,7 +42,7 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    broadcast: Boolean = false,
+    broadcast: Option[Boolean] = None,
     forward: Boolean = false)
   extends BinaryNode {
 

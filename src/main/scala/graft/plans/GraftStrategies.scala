@@ -14,7 +14,15 @@ object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut,
         broadcast, forward) =>
-      if (broadcast)
+      // Unhinted (None): decide like Spark's JoinSelection — broadcast
+      // when the right side's logical size estimate fits under
+      // spark.sql.autoBroadcastJoinThreshold (<= 0 disables broadcast).
+      val useBroadcast = broadcast.getOrElse {
+        val threshold =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
+      if (useBroadcast)
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
           payload, payloadOut, forward) :: Nil
       else

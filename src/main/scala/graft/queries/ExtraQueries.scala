@@ -308,6 +308,53 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q137: UNHINTED as-of join — the native operator with the
+    // physical strategy left to the planner (GraftStrategies mirrors
+    // JoinSelection: broadcast iff the right side's size estimate fits
+    // spark.sql.autoBroadcastJoinThreshold, else co-partitioned
+    // sort-merge). Gated by q41's oracle VERBATIM: whichever exec the
+    // stats pick must produce the identical hash-exact rows — which is
+    // precisely the property that makes the cost-based choice safe to
+    // leave to the engine at 100 TB, where the dim side's size varies
+    // by deployment and a hard-coded hint rots.
+    Q(
+      "q137_asof_join_auto",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        AsOfJoin.asofBackwardAuto(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("asof_orderkey", "asof_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q126: per-key daily gap fill + linear interpolation (the pandas
     // reindex().ffill() / interpolate() pair over the events series) —
     // per-key spine from its own bounds (never a global calendar cross

@@ -125,6 +125,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"fact side must not sort:\n$plan")
   }
 
+  test("auto strategy: broadcasts a dim-sized right, sort-merges when disabled") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k2", 9, 2)))
+    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k2", 10, Some(100), 1000)))
+    // tiny right side under the default 10 MB threshold → broadcast
+    val auto = AsOfJoin.asofBackwardAuto(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    // threshold disabled → the SAME unhinted call plans the sort-merge
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sm = AsOfJoin.asofBackwardAuto(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+      val plan = sm.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"), plan)
+      // and both strategies return identical rows
+      assert(sm.collect().toSet == auto.collect().toSet)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   private val forwardImpls: Seq[(String, Impl)] = Seq(
     "fwd-window" -> (AsOfJoin.asofForward _),
     "fwd-native" -> (AsOfJoin.asofForwardNative _),
