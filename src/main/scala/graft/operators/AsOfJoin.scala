@@ -175,22 +175,65 @@ object AsOfJoin {
     * whose time is CLOSEST to the left's (same key, either direction);
     * ties prefer the backward (at-or-before) match, pandas-style.
     *
-    * Composed from the two native single-direction operators — the
-    * backward join's output feeds the forward join as its left side
-    * (each native op only APPENDS payload columns, so no re-join on a
-    * synthetic row id is ever needed), and a final projection picks
-    * the nearer match per row. Plan cost: the left side shuffles once
-    * per direction on the same key (the second exchange is the price
-    * of composition; a fused nearest exec would reuse the first), the
-    * right side once per direction.
+    * FUSED physical operator: one sort-merge pass tracks the backward
+    * carry and the forward lookahead simultaneously
+    * ([[graft.plans.AsOfJoinExec]] `nearest=true`), so nearest costs
+    * exactly what a single direction costs — one exchange + sort per
+    * side — instead of the composition's two left exchanges. Falls
+    * back to [[asofNearestComposed]] when the time type has no
+    * distance arithmetic (e.g. string/decimal times). */
+  def asofNearestNative(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String]): DataFrame =
+    if (graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType))
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast = Some(false), nearest = true)
+    else
+      asofNearestComposed(left, right, leftKey, rightKey, leftTime,
+        rightTime, payload)
+
+  /** [[asofNearestNative]] semantics with the BROADCAST physical
+    * strategy: the right side broadcasts once as the sorted per-key
+    * index and each left row costs one hash probe + TWO binary
+    * searches — the left side is never shuffled or sorted. */
+  def asofNearestBroadcast(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), nearest = true)
+
+  /** [[asofNearestNative]] semantics, planner-chosen physical strategy
+    * (size-estimate rule, as [[asofBackwardAuto]]). */
+  def asofNearestAuto(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String]): DataFrame =
+    if (graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType))
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast = None, nearest = true)
+    else
+      asofNearestComposed(left, right, leftKey, rightKey, leftTime,
+        rightTime, payload)
+
+  /** NEAREST as-of composed from the two native single-direction
+    * operators — the backward join's output feeds the forward join as
+    * its left side (each native op only APPENDS payload columns, so no
+    * re-join on a synthetic row id is ever needed), and a final
+    * projection picks the nearer match per row. Plan cost: the left
+    * side shuffles once per direction on the same key — one exchange
+    * MORE than the fused [[asofNearestNative]]; this formulation
+    * remains (a) the generic-time-type fallback and (b) the
+    * independent cross-check the fused execs are pinned against.
     *
     * The matched right TIME is carried internally for the distance
     * comparison and dropped from the output. Payload columns keep
     * their right-side names, like every other formulation. */
-  def asofNearestNative(left: DataFrame, right: DataFrame,
-                        leftKey: String, rightKey: String,
-                        leftTime: String, rightTime: String,
-                        payload: Seq[String]): DataFrame = {
+  def asofNearestComposed(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTime: String, rightTime: String,
+                          payload: Seq[String]): DataFrame = {
     val bT = "__asof_bt"
     val fT = "__asof_ft"
     val bCols = payload.map(c => s"__b_$c")
@@ -257,7 +300,8 @@ object AsOfJoin {
                             leftTime: String, rightTime: String,
                             payload: Seq[String],
                             broadcast: Option[Boolean],
-                            forward: Boolean = false): DataFrame = {
+                            forward: Boolean = false,
+                            nearest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -276,6 +320,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        payloadAttrs, payloadOut, broadcast, forward))
+        payloadAttrs, payloadOut, broadcast, forward, nearest))
   }
 }

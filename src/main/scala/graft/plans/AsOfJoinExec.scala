@@ -8,6 +8,61 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+
+/** Distance arithmetic for NEAREST as-of semantics, shared by the
+  * sort-merge and broadcast execs. The decision rule is pinned to the
+  * composed two-join formulation's projection
+  * (`bt IS NOT NULL AND (ft IS NULL OR lt-bt <= ft-lt)`), so the fused
+  * operators and the composition are value-interchangeable — including
+  * the null-time corners, where a null-time backward match always
+  * LOSES (a null time has no distance).
+  */
+private[graft] object AsOfNearest {
+
+  /** Single-field time rows whose distance is computable: integral-
+    * backed types compare exactly; float/double use IEEE arithmetic
+    * (the same expression shape the composed projection evaluates). */
+  def supported(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType |
+         DateType | ShortType | ByteType | DoubleType | FloatType => true
+    case _ => false
+  }
+
+  /** `(bt, lt, ft) => backward-wins`, for non-null single-field rows
+    * with bt <= lt <= ft under the natural ordering: true iff
+    * `lt - bt <= ft - lt` (tie → backward, pandas merge_asof rule).
+    * Integral case: both differences are non-negative, so the wrapped
+    * two's-complement difference read as UNSIGNED 64-bit is exact even
+    * when the signed subtraction overflows. */
+  def backWins(dt: DataType): (UnsafeRow, UnsafeRow, UnsafeRow) => Boolean =
+    dt match {
+      case TimestampType | TimestampNTZType | LongType =>
+        (b, l, f) => java.lang.Long.compareUnsigned(
+          l.getLong(0) - b.getLong(0), f.getLong(0) - l.getLong(0)) <= 0
+      case DateType | IntegerType =>
+        (b, l, f) =>
+          l.getInt(0).toLong - b.getInt(0) <= f.getInt(0).toLong - l.getInt(0)
+      case ShortType =>
+        (b, l, f) =>
+          l.getShort(0).toLong - b.getShort(0) <=
+            f.getShort(0).toLong - l.getShort(0)
+      case ByteType =>
+        (b, l, f) =>
+          l.getByte(0).toLong - b.getByte(0) <=
+            f.getByte(0).toLong - l.getByte(0)
+      case DoubleType =>
+        (b, l, f) =>
+          l.getDouble(0) - b.getDouble(0) <= f.getDouble(0) - l.getDouble(0)
+      case FloatType =>
+        (b, l, f) =>
+          l.getFloat(0) - b.getFloat(0) <= f.getFloat(0) - l.getFloat(0)
+      case other =>
+        throw new IllegalArgumentException(
+          s"nearest as-of does not support time type $other")
+    }
+}
 
 /** Physical backward as-of join: ONE co-partitioned, co-sorted merge
   * pass over both inputs.
@@ -46,7 +101,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -54,6 +110,11 @@ case class AsOfJoinExec(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types must match (got ${leftTime.dataType} vs " +
       s"${rightTime.dataType}); cast before joining")
+  require(!(forward && nearest),
+    "as-of join direction is backward, forward OR nearest — not both")
+  require(!nearest || AsOfNearest.supported(leftTime.dataType),
+    s"nearest as-of needs a distance-computable time type, got " +
+      s"${leftTime.dataType} — use the composed formulation")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -94,6 +155,8 @@ case class AsOfJoinExec(
         val resultProj = UnsafeProjection.create(output, output)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+        val nearerBack =
+          if (nearest) AsOfNearest.backWins(timeType) else null
 
         new Iterator[InternalRow] {
           private val joined = new JoinedRow
@@ -105,6 +168,11 @@ case class AsOfJoinExec(
           private var rTime: UnsafeRow = _
           private var carriedKey: UnsafeRow = _
           private var carriedPayload: InternalRow = _
+          // nearest-only state: the carried match's TIME (for the
+          // distance comparison) and the key's FIRST right row (the
+          // forward match of a null-time left row)
+          private var carriedTime: UnsafeRow = _
+          private var firstCarriedPayload: InternalRow = _
 
           private def advanceRight(): Unit =
             if (rIter.hasNext) {
@@ -117,7 +185,9 @@ case class AsOfJoinExec(
           override def hasNext: Boolean = lIter.hasNext
 
           override def next(): InternalRow =
-            if (forward) nextForward() else nextBackward()
+            if (nearest) nextNearest()
+            else if (forward) nextForward()
+            else nextBackward()
 
           private def nextBackward(): InternalRow = {
             val l = lIter.next()
@@ -182,6 +252,68 @@ case class AsOfJoinExec(
             }
             resultProj(
               joined(l, if (matched != null) matched else nullPayload))
+          }
+
+          /** NEAREST: one merge pass tracks BOTH candidates — the
+            * backward match is the carried state (as in nextBackward,
+            * plus its time), and the forward match is simply the
+            * current lookahead right row (first not-yet-consumed row of
+            * the key — exactly the first right with time > lt, since
+            * everything <= lt was consumed into the carry). Decision
+            * rule pinned to the composed projection: a backward match
+            * only wins when its time is NON-NULL and either no forward
+            * candidate exists or `lt - bt <= ft - lt` (tie → backward).
+            * A null-time LEFT row's forward match is the key's first
+            * right row (`>= null` matches everything), which is the
+            * first CARRIED row when the key has null-time rights —
+            * tracked in firstCarriedPayload — else the lookahead row. */
+          private def nextNearest(): InternalRow = {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            if (carriedKey != null && keyOrd.compare(carriedKey, lk) != 0) {
+              carriedKey = null
+              carriedPayload = null
+              carriedTime = null
+              firstCarriedPayload = null
+            }
+            val lt = lTimeProj(l)
+            if (rRow != null) {
+              var done = false
+              while (!done && rRow != null) {
+                val c = keyOrd.compare(rKey, lk)
+                if (c < 0) {
+                  advanceRight()
+                } else if (c > 0) {
+                  done = true
+                } else if (timeOrd.compare(rTime, lt) <= 0) {
+                  if (carriedKey == null) carriedKey = lk.copy()
+                  carriedPayload = payloadProj(rRow).copy()
+                  carriedTime = rTime // advanceRight mints a fresh copy
+                  if (firstCarriedPayload == null)
+                    firstCarriedPayload = carriedPayload
+                  advanceRight()
+                } else {
+                  done = true
+                }
+              }
+            }
+            val fwdSameKey = rRow != null && keyOrd.compare(rKey, lk) == 0
+            val chosen =
+              if (lt.isNullAt(0)) {
+                // bt can only be null here (bt <= null ⇒ null) → forward:
+                // the key's first right row, whatever its time
+                if (firstCarriedPayload != null) firstCarriedPayload
+                else if (fwdSameKey) payloadProj(rRow)
+                else nullPayload
+              } else {
+                val backWins = carriedPayload != null &&
+                  !carriedTime.isNullAt(0) &&
+                  (!fwdSameKey || nearerBack(carriedTime, lt, rTime))
+                if (backWins) carriedPayload
+                else if (fwdSameKey) payloadProj(rRow)
+                else nullPayload
+              }
+            resultProj(joined(l, chosen))
           }
         }
     }

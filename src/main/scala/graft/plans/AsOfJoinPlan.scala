@@ -32,6 +32,17 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   `rightTime <= leftTime`, the trade/quote shape);
   *                   `true` = forward (EARLIEST right with
   *                   `rightTime >= leftTime`, the next-event shape)
+  * @param nearest    `true` = NEAREST semantics (the closer of the
+  *                   backward/forward matches, tie → backward, pandas
+  *                   merge_asof `direction='nearest'`) fused into ONE
+  *                   physical pass — the execs track both candidates in
+  *                   the same merge/probe that a single direction costs,
+  *                   instead of composing two joins (two left
+  *                   exchanges). Requires an integral- or
+  *                   floating-backed time type (distance arithmetic);
+  *                   [[graft.operators.AsOfJoin.asofNearestNative]]
+  *                   falls back to the composition otherwise.
+  *                   Mutually exclusive with `forward`.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -43,8 +54,12 @@ case class AsOfJoinPlan(
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
     broadcast: Option[Boolean] = None,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryNode {
+
+  require(!(forward && nearest),
+    "as-of join direction is backward, forward OR nearest — not both")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 

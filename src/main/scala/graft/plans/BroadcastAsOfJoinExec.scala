@@ -110,7 +110,8 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -118,6 +119,11 @@ case class BroadcastAsOfJoinExec(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join time types must match (got ${leftTime.dataType} vs " +
       s"${rightTime.dataType}); cast before joining")
+  require(!(forward && nearest),
+    "as-of join direction is backward, forward OR nearest — not both")
+  require(!nearest || AsOfNearest.supported(leftTime.dataType),
+    s"nearest as-of needs a distance-computable time type, got " +
+      s"${leftTime.dataType} — use the composed formulation")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -150,31 +156,54 @@ case class BroadcastAsOfJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val timeOrd =
         RowOrdering.createNaturalAscendingOrdering(Seq(index.timeType))
+      val nearerBack =
+        if (nearest) AsOfNearest.backWins(index.timeType) else null
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(numPayload)
+
+      // binary search over a time-sorted group (nulls smallest):
+      // fwd=false → LAST right time <= lt; fwd=true → FIRST >= lt
+      def search(group: AsOfIndex.Group, lt: UnsafeRow, fwd: Boolean): Int = {
+        var lo = 0
+        var hi = group.times.length - 1
+        var best = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val cmp = timeOrd.compare(group.times(mid), lt)
+          if (fwd) {
+            if (cmp >= 0) { best = mid; hi = mid - 1 }
+            else lo = mid + 1
+          } else {
+            if (cmp <= 0) { best = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+        }
+        best
+      }
 
       lIter.map { l =>
         val group = index.groups.get(lKeyProj(l))
         var matched: InternalRow = null
         if (group != null) {
           val lt = lTimeProj(l)
-          // binary search over the time-sorted group (nulls smallest):
-          // backward = LAST right time <= lt; forward = FIRST >= lt
-          var lo = 0
-          var hi = group.times.length - 1
-          var best = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            val cmp = timeOrd.compare(group.times(mid), lt)
-            if (forward) {
-              if (cmp >= 0) { best = mid; hi = mid - 1 }
-              else lo = mid + 1
-            } else {
-              if (cmp <= 0) { best = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
+          if (nearest) {
+            // both candidates from two probes of the same index; the
+            // decision rule is the composed projection's, verbatim —
+            // a null-time backward match always loses (no distance)
+            val b = search(group, lt, fwd = false)
+            val f = search(group, lt, fwd = true)
+            val backOk = b >= 0 && !group.times(b).isNullAt(0)
+            val fwdNullOrAbsent = f < 0 || group.times(f).isNullAt(0)
+            val backWins = backOk && (fwdNullOrAbsent ||
+              nearerBack(group.times(b), lt, group.times(f)))
+            matched =
+              if (backWins) group.payloads(b)
+              else if (f >= 0) group.payloads(f)
+              else null
+          } else {
+            val best = search(group, lt, forward)
+            if (best >= 0) matched = group.payloads(best)
           }
-          if (best >= 0) matched = group.payloads(best)
         }
         resultProj(joined(l, if (matched != null) matched else nullPayload))
       }

@@ -192,47 +192,130 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("nearest: picks the closer of backward/forward, ties prefer backward") {
-    val l = leftDf(Seq(("k1", 10, 1), ("k1", 14, 2), ("k1", 15, 3), ("k2", 5, 4)))
-    val r = rightDf(Seq(("k1", 8, Some(80), 800), ("k1", 20, Some(200), 2000)))
-    val got = AsOfJoin.asofNearestNative(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
-      .select(col("t"), col("a"), col("b"))
-      .as[(Int, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
-    // t=10: back dist 2 vs fwd 10 → back; t=14: 6 vs 6 TIE → back;
-    // t=15: 7 vs 5 → fwd; k2 has no right side → all-NULL
-    assert(got == Seq(
-      (5, None, None),
-      (10, Some(80), Some(800)),
-      (14, Some(80), Some(800)),
-      (15, Some(200), Some(2000))))
+  private val nearestImpls: Seq[(String, Impl)] = Seq(
+    "near-composed" -> (AsOfJoin.asofNearestComposed _),
+    "near-fused" -> (AsOfJoin.asofNearestNative _),
+    "near-broadcast" -> (AsOfJoin.asofNearestBroadcast _))
+
+  for ((name, impl) <- nearestImpls) {
+
+    test(s"[$name] picks the closer of backward/forward, ties prefer backward") {
+      val l = leftDf(Seq(("k1", 10, 1), ("k1", 14, 2), ("k1", 15, 3), ("k2", 5, 4)))
+      val r = rightDf(Seq(("k1", 8, Some(80), 800), ("k1", 20, Some(200), 2000)))
+      val got = impl(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+        .select(col("t"), col("a"), col("b"))
+        .as[(Int, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+      // t=10: back dist 2 vs fwd 10 → back; t=14: 6 vs 6 TIE → back;
+      // t=15: 7 vs 5 → fwd; k2 has no right side → all-NULL
+      assert(got == Seq(
+        (5, None, None),
+        (10, Some(80), Some(800)),
+        (14, Some(80), Some(800)),
+        (15, Some(200), Some(2000))))
+    }
+
+    test(s"[$name] randomized cross-check vs brute-force (closest distance, tie → backward)") {
+      for (seed <- 201 to 206) {
+        val rnd = new scala.util.Random(seed)
+        val keys = Seq("a", "b", "c")
+        val right = keys.flatMap { k =>
+          rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(8)).map { t =>
+            (k, t, Some(rnd.nextInt(100)): Option[Int], rnd.nextInt(1000))
+          }
+        }.filter(_ => rnd.nextDouble() < 0.9)
+        val left = (1 to 40).map { i => (keys(rnd.nextInt(keys.size)), rnd.nextInt(40), i) }
+        val expected = left.map { case (k, t, id) =>
+          val cand = right.filter(_._1 == k)
+          if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
+          else {
+            // min distance; tie (one back, one fwd) → the backward row
+            val best = cand.minBy(r => ((r._2 - t).abs, if (r._2 <= t) 0 else 1))
+            (k, t, id, best._3, Some(best._4))
+          }
+        }.sortBy(x => (x._1, x._2, x._3))
+        val got = impl(leftDf(left), rightDf(right), "k", "rk", "t", "rt", Seq("a", "b"))
+          .select(col("k"), col("t"), col("left_id"), col("a"), col("b"))
+          .as[(String, Int, Int, Option[Int], Option[Int])]
+          .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+        assert(got == expected, s"seed=$seed")
+      }
+    }
   }
 
-  test("nearest randomized cross-check vs brute-force (closest distance, tie → backward)") {
-    for (seed <- 201 to 206) {
-      val rnd = new scala.util.Random(seed)
-      val keys = Seq("a", "b", "c")
-      val right = keys.flatMap { k =>
-        rnd.shuffle((0 until 40).toList).take(4 + rnd.nextInt(8)).map { t =>
-          (k, t, Some(rnd.nextInt(100)): Option[Int], rnd.nextInt(1000))
-        }
-      }.filter(_ => rnd.nextDouble() < 0.9)
-      val left = (1 to 40).map { i => (keys(rnd.nextInt(keys.size)), rnd.nextInt(40), i) }
-      val expected = left.map { case (k, t, id) =>
-        val cand = right.filter(_._1 == k)
-        if (cand.isEmpty) (k, t, id, None: Option[Int], None: Option[Int])
-        else {
-          // min distance; tie (one back, one fwd) → the backward row
-          val best = cand.minBy(r => ((r._2 - t).abs, if (r._2 <= t) 0 else 1))
-          (k, t, id, best._3, Some(best._4))
-        }
-      }.sortBy(x => (x._1, x._2, x._3))
-      val got = AsOfJoin.asofNearestNative(
-          leftDf(left), rightDf(right), "k", "rk", "t", "rt", Seq("a", "b"))
-        .select(col("k"), col("t"), col("left_id"), col("a"), col("b"))
-        .as[(String, Int, Int, Option[Int], Option[Int])]
-        .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
-      assert(got == expected, s"seed=$seed")
-    }
+  test("nearest null-time corners: fused execs match the composed projection verbatim") {
+    // null times sort smallest; the composed rule is
+    // `bt IS NOT NULL AND (ft IS NULL OR lt-bt <= ft-lt)` — so a
+    // null-time backward match always LOSES, and a null-time LEFT row's
+    // forward match is the key's FIRST right row. Pin all three
+    // formulations to each other on every combination.
+    val l = Seq[(String, Option[Int], Int)](
+      ("k1", None, 1), ("k1", Some(5), 2), ("k1", Some(40), 3),
+      ("k2", None, 4), ("k2", Some(7), 5),
+      ("k3", None, 6), ("k3", Some(1), 7),
+      ("k4", Some(3), 8)
+    ).toDF("k", "t", "left_id")
+    val r = Seq[(String, Option[Int], Option[Int], Int)](
+      ("k1", None, Some(1), 10),    // null-time right: loses as backward
+      ("k1", Some(30), Some(2), 20),
+      ("k2", None, Some(3), 30),    // key with ONLY a null-time right
+      ("k3", Some(9), Some(4), 40)  // null-lt left, no null-time rights
+    ).toDF("rk", "rt", "a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("left_id"), col("a"), col("b"))
+      .as[(String, Int, Option[Int], Option[Int])]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    val composed = canon(AsOfJoin.asofNearestComposed(l, r, "k", "rk", "t", "rt", Seq("a", "b")))
+    val fused = canon(AsOfJoin.asofNearestNative(l, r, "k", "rk", "t", "rt", Seq("a", "b")))
+    val bcast = canon(AsOfJoin.asofNearestBroadcast(l, r, "k", "rk", "t", "rt", Seq("a", "b")))
+    assert(fused == composed, s"fused=$fused\ncomposed=$composed")
+    assert(bcast == composed, s"bcast=$bcast\ncomposed=$composed")
+    // and the rule itself, spelled out: k1's null-lt left takes the
+    // key's FIRST right row (the null-time one); k1 t=5 takes the
+    // t=30 forward row because its backward match has a null time
+    assert(composed.filter(_._1 == "k1").map(x => (x._2, x._3)) ==
+      Seq((1, Some(1)), (2, Some(2)), (3, Some(2))))
+  }
+
+  test("fused nearest plans ONE exchange per side; the composition needs an extra left exchange") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k2", 9, 2)))
+    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k2", 10, Some(100), 1000)))
+    val fused = AsOfJoin.asofNearestNative(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    val fusedPlan = fused.queryExecution.executedPlan.toString
+    assert(fusedPlan.contains("AsOfJoin"), fusedPlan)
+    val fusedEx = "Exchange hashpartitioning".r.findAllIn(fusedPlan).size
+    assert(fusedEx == 2, s"fused nearest must cost ONE exchange per side, got $fusedEx:\n$fusedPlan")
+    val composed = AsOfJoin.asofNearestComposed(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    val composedEx = "Exchange hashpartitioning".r
+      .findAllIn(composed.queryExecution.executedPlan.toString).size
+    assert(composedEx > fusedEx,
+      s"composition should need more exchanges than the fused pass ($composedEx vs $fusedEx)")
+  }
+
+  test("broadcast nearest: BroadcastExchange on the right, NO shuffle and NO sort of the left") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k2", 9, 2)))
+    val r = rightDf(Seq(("k1", 5, Some(50), 500), ("k2", 10, Some(100), 1000)))
+    val df = AsOfJoin.asofNearestBroadcast(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), s"fact side must not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"fact side must not sort:\n$plan")
+  }
+
+  test("nearest auto strategy: broadcasts a dim-sized right, sort-merges when disabled; identical rows") {
+    val l = leftDf(Seq(("k1", 10, 1), ("k1", 14, 2), ("k2", 9, 3)))
+    val r = rightDf(Seq(("k1", 8, Some(80), 800), ("k1", 20, Some(200), 2000)))
+    val auto = AsOfJoin.asofNearestAuto(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sm = AsOfJoin.asofNearestAuto(l, r, "k", "rk", "t", "rt", Seq("a", "b"))
+      val plan = sm.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"), plan)
+      assert(sm.collect().toSet == auto.collect().toSet)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("tolerance composes over any impl: carry rightTime in the payload, post-filter the match distance") {
