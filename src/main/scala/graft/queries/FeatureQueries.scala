@@ -1,0 +1,348 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Cross-series / cross-sectional feature engineering — the second wave
+  * of the time-series layer (q126–q136): rolling correlation between two
+  * series, volume-weighted resampling, cross-sectional winsorization,
+  * and the two classic OHLC-derived indicators that need more than one
+  * input column (ATR, stochastic oscillator).
+  *
+  * Reference analog: the notebooks' pandas feature blocks
+  * (transform_data.ipynb rolling/lag cells, EDA.ipynb's grouped stats) —
+  * the WHAT is pandas feature semantics; the HOW here is one keyed
+  * exchange per query and exact-decimal power sums wherever a float SUM
+  * would otherwise make the result order-dependent (the q19/q134
+  * machinery). Every double below is produced by a fixed operation
+  * order over exact inputs, so the DuckDB oracles hash-match bitwise.
+  *
+  * Scale: each query is one hash exchange (groupBy day-key) plus at
+  * most one window partition per entity key — the same shape at 100 TB,
+  * where per-key daily series are tiny relative to the raw event table
+  * that the FIRST aggregate reduces by orders of magnitude.
+  */
+object FeatureQueries {
+
+  import graft.Q.dec2
+
+  /** Per-(user, day) bars: deterministic daily value (MAX — order-free,
+    * never SUM-of-doubles) and the day's event count. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .groupBy("user_id", "d")
+      .agg(max("value").as("v"), count(lit(1)).as("c"))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v,
+      |         COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  def defs: Vector[Q] = Vector(
+
+    // ----------------------------------------------------------------
+    // q138: rolling Pearson correlation between TWO series per key —
+    // pandas df.groupby(k).rolling(8).corr(other) between the daily
+    // value level and the daily activity count. The five power sums
+    // (Σx, Σx², Σy, Σy², Σxy) come from exact DECIMAL window sums
+    // materialized ONCE as columns (the q134 lesson: inlining window
+    // sums into the formula re-evaluates each occurrence as its own
+    // window aggregate), then one fixed-order double expression:
+    // (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²)). All shares one
+    // Exchange+Sort on user_id with every other sum.
+    Q(
+      "q138_rolling_corr",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(-7, Window.currentRow)
+        val sums = daily(s, dir)
+          .withColumn("n", count(col("v")).over(w))
+          .withColumn("sx", sum(dec2(col("v"))).over(w).cast(DoubleType))
+          .withColumn("sxx",
+            sum(dec2(col("v")) * dec2(col("v"))).over(w).cast(DoubleType))
+          .withColumn("sy", sum(dec2(col("c"))).over(w).cast(DoubleType))
+          .withColumn("syy",
+            sum(dec2(col("c")) * dec2(col("c"))).over(w).cast(DoubleType))
+          .withColumn("sxy",
+            sum(dec2(col("v")) * dec2(col("c"))).over(w).cast(DoubleType))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+        sums
+          .withColumn("roll_corr",
+            when(col("n") === 8 && den > lit(0.0), num / den))
+          .select("user_id", "d", "v", "c", "roll_corr")
+          .orderBy("user_id", "d")
+      },
+      Some(s"""
+        WITH $dailySql, sums AS (
+          SELECT user_id, d, v, c,
+            COUNT(v) OVER w AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+            CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+                 OVER w AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(c AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sy,
+            CAST(SUM(CAST(c AS DECIMAL(18,2)) * CAST(c AS DECIMAL(18,2)))
+                 OVER w AS DOUBLE) AS syy,
+            CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(c AS DECIMAL(18,2)))
+                 OVER w AS DOUBLE) AS sxy
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, d, v, c,
+          CASE WHEN n = 8 AND
+                    sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0.0
+               THEN (n * sxy - sx * sy) /
+                    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+          END AS roll_corr
+        FROM sums ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
+    // q139: VWAP resample — the volume-weighted monthly price per
+    // supplier that a naive AVG(price) gets wrong. ONE hash aggregate
+    // (partial+final around a single keyed exchange, no sort, no
+    // window); both the Σ(p·q) numerator and the Σq denominator are
+    // exact decimal sums, so the one final division is the only IEEE
+    // op and the result is bit-deterministic regardless of partition
+    // order — the property that lets this run on a 100 TB trade table
+    // with map-side combine doing most of the work.
+    Q(
+      "q139_vwap_resample",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_suppkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("m"),
+            col("l_extendedprice"), col("l_quantity"))
+          .groupBy("l_suppkey", "m")
+          .agg(
+            (sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+              .cast(DoubleType) /
+              sum(dec2(col("l_quantity"))).cast(DoubleType)).as("vwap"),
+            sum(dec2(col("l_quantity"))).cast(DoubleType).as("qty"),
+            count(lit(1)).as("n_trades"))
+          .orderBy("l_suppkey", "m")
+      },
+      Some("""
+        SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          COUNT(*) AS n_trades
+        FROM lineitem GROUP BY 1, 2
+        ORDER BY l_suppkey, m
+      """)),
+
+    // ----------------------------------------------------------------
+    // q140: cross-sectional rank + winsorization — for every day,
+    // rank all entities' values across the cross-section and clip to
+    // the day's [5th, 95th] percentile ORDER STATISTICS (the k-th
+    // smallest via integer rank arithmetic — never an interpolated
+    // quantile, whose fraction arithmetic is not bit-portable across
+    // engines). One window partition on the DAY key (the cross-
+    // sectional axis — orthogonal to every per-entity query); ranks
+    // break ties on user_id for a total order. This is the
+    // feature-normalization step of a cross-sectional factor model:
+    // percent_rank is exact rational arithmetic on integers.
+    Q(
+      "q140_cross_sectional_winsor",
+      (s, dir) => {
+        val byDay = Window.partitionBy("d")
+        val wOrd = byDay.orderBy(col("v").asc, col("user_id").asc)
+        val base = daily(s, dir)
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(byDay))
+        // k_lo = ceil(n/20) via integer arithmetic; k_hi mirrors it
+        val kLo = expr("(n + 19) DIV 20")
+        val kHi = col("n") - kLo + lit(1)
+        base
+          .withColumn("pct_rank",
+            when(col("n") === 1, lit(0.0))
+              .otherwise((col("rn") - lit(1)).cast(DoubleType) /
+                (col("n") - lit(1)).cast(DoubleType)))
+          .withColumn("lo_v", max(when(col("rn") === kLo, col("v"))).over(byDay))
+          .withColumn("hi_v", max(when(col("rn") === kHi, col("v"))).over(byDay))
+          .withColumn("w_v", least(greatest(col("v"), col("lo_v")), col("hi_v")))
+          .select("user_id", "d", "v", "rn", "pct_rank", "lo_v", "hi_v", "w_v")
+          .orderBy("d", "rn")
+      },
+      Some(s"""
+        WITH $dailySql, ranked AS (
+          SELECT user_id, d, v,
+            row_number() OVER (PARTITION BY d ORDER BY v, user_id) AS rn,
+            COUNT(*) OVER (PARTITION BY d) AS n
+          FROM daily
+        ), bounded AS (
+          SELECT user_id, d, v, rn, n,
+            MAX(CASE WHEN rn = (n + 19) // 20 THEN v END)
+              OVER (PARTITION BY d) AS lo_v,
+            MAX(CASE WHEN rn = n - (n + 19) // 20 + 1 THEN v END)
+              OVER (PARTITION BY d) AS hi_v
+          FROM ranked
+        )
+        SELECT user_id, d, v, CAST(rn AS INT) AS rn,
+          CASE WHEN n = 1 THEN 0.0
+               ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct_rank,
+          lo_v, hi_v,
+          LEAST(GREATEST(v, lo_v), hi_v) AS w_v
+        FROM bounded ORDER BY d, rn
+      """)),
+
+    // ----------------------------------------------------------------
+    // q141: ATR(14) — Wilder's average true range over the daily OHLC
+    // bars (q127's one-aggregate resample feeding q128's recursive
+    // fold): TR = max(high−low, |high−prev_close|, |low−prev_close|)
+    // (first bar: high−low), then the α=1/14 Wilder EWMA through the
+    // spill-safe one-exchange fold. GREATEST/ABS/subtraction are all
+    // exact-or-correctly-rounded single ops; the fold replays the
+    // oracle's recursion bit-for-bit like the rest of the EWMA family.
+    Q(
+      "q141_atr",
+      (s, dir) => {
+        import graft.operators.Ewma
+        val w = Window.partitionBy("user_id").orderBy("t")
+        val ohlc = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"), col("value"))
+          .groupBy("user_id", "d")
+          .agg(
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("high"), col("low"), col("close"))
+        val tr = ohlc
+          .withColumn("pc", lag("close", 1).over(w))
+          .withColumn("tr",
+            when(col("pc").isNull, col("high") - col("low"))
+              .otherwise(greatest(col("high") - col("low"),
+                abs(col("high") - col("pc")), abs(col("low") - col("pc")))))
+        Ewma.ewmaByKey(tr.select("user_id", "t", "tr"),
+            "user_id", "t", "tr", alpha = 1.0 / 14.0)
+          .select(col("user_id"), col("t"), col("tr"), col("ewma").as("atr"))
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH RECURSIVE ranked0 AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        ), ohlc AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t,
+            MAX(value) AS high, MIN(value) AS low,
+            MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+          FROM ranked0 GROUP BY 1, 2
+        ), tr_t AS (
+          SELECT user_id, t,
+            CASE WHEN pc IS NULL THEN high - low
+                 ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+            END AS tr
+          FROM (
+            SELECT user_id, t, high, low,
+              lag(close) OVER (PARTITION BY user_id ORDER BY t) AS pc
+            FROM ohlc
+          )
+        ), ranked AS (
+          SELECT user_id, t, tr,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM tr_t
+        ), rec AS (
+          SELECT user_id, t, tr, rn, tr AS atr FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.t, r.tr, r.rn,
+                 (1 - 1.0/14.0) * p.atr + (1.0/14.0) * r.tr
+          FROM ranked r JOIN rec p
+            ON p.user_id = r.user_id AND r.rn = p.rn + 1
+        )
+        SELECT user_id, t, tr, atr FROM rec ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
+    // q142: stochastic oscillator %K/%D over the daily bars — %K =
+    // 100·(close − LL14)/(HH14 − LL14) with rolling min/max frames
+    // (order-free extremes, full-frame-only like pandas min_periods),
+    // %D = the 3-sample SMA of %K spelled as (k + lag(k,1) + lag(k,2))/3
+    // — explicit lags give a FIXED left-to-right addition order,
+    // where a window SUM over doubles would let either engine
+    // re-associate the sum (DuckDB's sliding-frame segment tree). The
+    // flat-window HH=LL edge is guarded to NULL before the division
+    // on BOTH engines (Spark /0→NULL vs DuckDB →Inf — neither may
+    // evaluate it).
+    Q(
+      "q142_stochastic_oscillator",
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("t")
+        val w14 = wOrd.rowsBetween(-13, Window.currentRow)
+        val ohlc = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"), col("value"))
+          .groupBy("user_id", "d")
+          .agg(
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"))
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+            col("high"), col("low"), col("close"))
+        val k = ohlc
+          .withColumn("nn", count(lit(1)).over(w14))
+          .withColumn("hh", max(col("high")).over(w14))
+          .withColumn("ll", min(col("low")).over(w14))
+          .withColumn("pk",
+            when(col("nn") === 14 && col("hh") > col("ll"),
+              lit(100.0) * (col("close") - col("ll")) / (col("hh") - col("ll"))))
+        k.withColumn("pd",
+            when(col("pk").isNotNull && lag("pk", 1).over(wOrd).isNotNull &&
+              lag("pk", 2).over(wOrd).isNotNull,
+              (col("pk") + lag("pk", 1).over(wOrd) + lag("pk", 2).over(wOrd))
+                / lit(3.0)))
+          .select("user_id", "t", "close", "hh", "ll", "pk", "pd")
+          .orderBy("user_id", "t")
+      },
+      Some("""
+        WITH ranked0 AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        ), ohlc AS (
+          SELECT user_id, (d - DATE '1970-01-01') AS t,
+            MAX(value) AS high, MIN(value) AS low,
+            MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+          FROM ranked0 GROUP BY 1, 2
+        ), kline AS (
+          SELECT user_id, t, close,
+            MAX(high) OVER w14 AS hh, MIN(low) OVER w14 AS ll,
+            CASE WHEN COUNT(*) OVER w14 = 14 AND
+                      MAX(high) OVER w14 > MIN(low) OVER w14
+                 THEN 100.0 * (close - MIN(low) OVER w14) /
+                      (MAX(high) OVER w14 - MIN(low) OVER w14)
+            END AS pk
+          FROM ohlc
+          WINDOW w14 AS (PARTITION BY user_id ORDER BY t
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, CAST(t AS INT) AS t, close, hh, ll, pk,
+          CASE WHEN pk IS NOT NULL
+                AND lag(pk, 1) OVER wo IS NOT NULL
+                AND lag(pk, 2) OVER wo IS NOT NULL
+               THEN (pk + lag(pk, 1) OVER wo + lag(pk, 2) OVER wo) / 3.0
+          END AS pd
+        FROM kline
+        WINDOW wo AS (PARTITION BY user_id ORDER BY t)
+        ORDER BY user_id, t
+      """))
+  )
+}
