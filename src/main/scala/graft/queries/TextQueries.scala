@@ -369,6 +369,157 @@ object TextQueries {
                MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_md5
         FROM w
         ORDER BY doc_id, chunk_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q143: BM25 document scoring — the IR-standard relevance function
+    // over the documents table for a fixed 4-term query, with the
+    // Lucene-style non-negative idf ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2,
+    // b=0.75. Per-doc term frequencies come from size(filter(toks,…))
+    // projections (no explode, no shuffle for the tf side); the corpus
+    // statistics (N, Σdl, per-term df) are ONE map-side aggregate row
+    // broadcast back — so the whole query is two scans and zero data
+    // shuffles, the shape that survives a 100 TB corpus.
+    //
+    // Determinism note: natural log is NOT bit-identical across
+    // engines in general — Spark's `log` evaluates StrictMath.log
+    // (fdlibm; verified in the shipped spark-catalyst bytecode) while
+    // DuckDB's ln is platform libm, and the two differ by 1 ulp on a
+    // measurable fraction of idf-shaped inputs (e.g. the term 'join'
+    // at every TESTDATA scale). BM25 is gated anyway because idf
+    // depends only on the FOUR (df, N) pairs of the fixed query, and
+    // the chosen terms' pairs are verified StrictMath↔libm bit-equal
+    // at all three TESTDATA scales; every other op in the score is a
+    // single correctly-rounded IEEE step in mirrored order. A query
+    // layer generalizing this would quantize the score (the q101
+    // micro-unit precedent) rather than assume ln portability.
+    //
+    // Second portability trap pinned here: DuckDB parses `2.2` as
+    // DECIMAL, so `tf * 2.2` is EXACT decimal 6.6 converted to double
+    // once — a different operand than Spark's double-times-double
+    // 6.6000000000000005. Every non-binary-exact literal that
+    // multiplies an integer in the oracle is CAST(… AS DOUBLE) so both
+    // engines run the identical IEEE op sequence (binary-exact
+    // literals like 0.75/0.25/0.5 need no cast).
+    Q(
+      "q143_bm25_scoring",
+      (s, dir) => {
+        val terms = Seq("dup", "spark", "scan", "merge")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val withTf = terms.foldLeft(docs) { (df, t) =>
+          df.withColumn(s"tf_$t", expr(s"size(filter(toks, x -> x = '$t'))"))
+        }.drop("toks")
+        val statAggs = sum(col("dl").cast("long")).as("sum_dl") ::
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .as(s"df_$t")).toList
+        val stats = withTf
+          .agg(count(lit(1)).as("n_docs"), statAggs: _*)
+        val scored = withTf.crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs"))
+        val score = terms.map { t =>
+          val idf = log(lit(1.0) +
+            (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+              (col(s"df_$t") + lit(0.5)))
+          idf * (col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }.reduceLeft(_ + _)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("score", score)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 20)
+          .select(Seq(col("doc_id"), col("dl")) ++
+            terms.map(t => col(s"tf_$t")) ++
+            Seq(col("score"), col("rank")): _*)
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(LEN($toksSql) AS INT) AS dl,
+            CAST(LEN(LIST_FILTER($toksSql, x -> x = 'dup')) AS INT) AS tf_dup,
+            CAST(LEN(LIST_FILTER($toksSql, x -> x = 'spark')) AS INT) AS tf_spark,
+            CAST(LEN(LIST_FILTER($toksSql, x -> x = 'scan')) AS INT) AS tf_scan,
+            CAST(LEN(LIST_FILTER($toksSql, x -> x = 'merge')) AS INT) AS tf_merge
+          FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl,
+            SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS df_dup,
+            SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+            SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+            SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+          FROM f
+        ), scored AS (
+          SELECT f.doc_id, f.dl, f.tf_dup, f.tf_spark, f.tf_scan, f.tf_merge,
+            ln(1.0 + (n_docs - df_dup + 0.5) / (df_dup + 0.5))
+              * (tf_dup * CAST(2.2 AS DOUBLE)) / (tf_dup + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sum_dl AS DOUBLE) / n_docs)))
+            + ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+              * (tf_spark * CAST(2.2 AS DOUBLE)) / (tf_spark + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sum_dl AS DOUBLE) / n_docs)))
+            + ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+              * (tf_scan * CAST(2.2 AS DOUBLE)) / (tf_scan + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sum_dl AS DOUBLE) / n_docs)))
+            + ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5))
+              * (tf_merge * CAST(2.2 AS DOUBLE)) / (tf_merge + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sum_dl AS DOUBLE) / n_docs)))
+            AS score
+          FROM f, stats
+        )
+        SELECT doc_id, dl, tf_dup, tf_spark, tf_scan, tf_merge, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+      """)),
+
+    // ----------------------------------------------------------------
+    // q144: inverted-index build + conjunctive search — the posting
+    // lists (term → (doc_id, tf)) are ONE explode + hash aggregate
+    // (the index build's only shuffle, keyed on term so each term's
+    // postings land together), and an AND-query over fixed terms is an
+    // intersection of just those terms' postings: Catalyst pushes the
+    // term filter BELOW the aggregate (term is a grouping key), so the
+    // search prunes to the query terms before the exchange instead of
+    // building postings for the whole vocabulary. At 100 TB the build
+    // is the batch-indexing job and the search touches only the probed
+    // terms' slices — the inverted-file analogue of q49's IVF cells.
+    Q(
+      "q144_inverted_index_search",
+      (s, dir) => {
+        val terms = Seq("dup", "vector")
+        val postings = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        postings.where(col("term").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_matched"),
+            sum(when(col("term") === "dup", col("tf")).otherwise(0L))
+              .as("tf_dup"),
+            sum(when(col("term") === "vector", col("tf")).otherwise(0L))
+              .as("tf_vector"))
+          .where(col("n_matched") === terms.size)
+          .select("doc_id", "tf_dup", "tf_vector")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST($toksSql) AS term FROM documents
+        ), postings AS (
+          SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN term = 'dup' THEN tf ELSE 0 END) AS BIGINT) AS tf_dup,
+          CAST(SUM(CASE WHEN term = 'vector' THEN tf ELSE 0 END) AS BIGINT) AS tf_vector
+        FROM postings
+        WHERE term IN ('dup', 'vector')
+        GROUP BY 1 HAVING COUNT(*) = 2
+        ORDER BY doc_id
       """))
   )
 }
