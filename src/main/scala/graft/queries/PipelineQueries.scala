@@ -1791,6 +1791,63 @@ object PipelineQueries {
         FROM g
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // ----------------------------------------------------------------
+    // q145: STREAMING exact dedup under the gate — the batch hash-dedup
+    // family (q32) deployed as a continuous pipeline:
+    // dropDuplicatesWithinWatermark keyed on event_id, state bounded by
+    // the event-time watermark (the property that makes streaming dedup
+    // survivable on an unbounded stream — plain dropDuplicates keeps
+    // every key forever). The input is the event table plus a second
+    // copy of every third event, written as SEPARATE file groups so
+    // duplicates arrive in DIFFERENT micro-batches (maxFilesPerTrigger)
+    // and the dedup state must carry across batches; the watermark
+    // delay exceeds the corpus' full time span, so no fingerprint
+    // expires and the streamed output must equal batch DISTINCT —
+    // which is exactly what the oracle asserts. StreamDedupSpec pins
+    // the OTHER half of the contract (state expiry ⇒ re-emit) that the
+    // gate's equality check can't see.
+    Q(
+      "q145_stream_dedup_replay",
+      (s, dir) => {
+        val out = scratch(s, "q145_sdedup", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        ev.repartition(3).write.parquet(s"$out/in")
+        ev.where(col("event_id") % 3 === 0)
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        // event-time watermarks require TIMESTAMP (not NTZ): derive a
+        // watermark-only column and drop it at the sink — the stored ts
+        // stays NTZ micros, matching what the oracle reads
+        val deduped = graft.streaming.StreamDedup.withinWatermark(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2").parquet(s"$out/in")
+            .withColumn("wmts", col("ts").cast("timestamp")),
+          "wmts", "3650 days", Seq("event_id"))
+        val q = deduped.writeStream
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.drop("wmts").write.mode("append").parquet(s"$out/deduped")
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("q145 drain did not finish in 300 s")
+        }
+        s.read.parquet(s"$out/deduped")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events ORDER BY event_id
       """))
   )
 
