@@ -46,10 +46,17 @@ object ScaleAudit {
                                        // side here grows with the corpus and
                                        // would OOM like any fact-sized
                                        // broadcast, see SCALING.md r11)
-    "q126", "q128", "q130")            // time-series family representatives:
+    "q126", "q128", "q130",            // time-series family representatives:
                                        // spine+2-frame gap fill, recursive
                                        // keyed EWMA fold, and its 4-batch
                                        // incremental maintenance
+    "q125",                            // FUSED nearest as-of (r12): one
+                                       // merge pass for both directions
+    "q138", "q140",                    // r12 feature family reps: 5-power-sum
+                                       // rolling corr, cross-sectional winsor
+    "q143", "q144",                    // BM25 zero-shuffle scoring + inverted
+                                       // postings build/search
+    "q145")                            // streaming watermark dedup replay
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
