@@ -128,8 +128,9 @@ object AsOfJoin {
     *
     * The right time column is cast to the left's type when they differ
     * (e.g. DATE → TIMESTAMP_NTZ), mirroring the union formulation's
-    * implicit coercion. Left and right must be DISTINCT plans (no
-    * self-join of the identical relation — standard exprId caveat). */
+    * implicit coercion. A right side derived from the left's own scan
+    * is re-aliased to fresh exprIds automatically
+    * ([[graft.plans.PlanDedup]]) — self-derived joins are fine. */
   def asofBackwardNative(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
@@ -308,7 +309,10 @@ object AsOfJoin {
       if (right.schema(rightTime).dataType == lType) right
       else right.withColumn(rightTime, col(rightTime).cast(lType))
     val lPlan = left.queryExecution.analyzed
-    val rPlan = r0.queryExecution.analyzed
+    // exprId hygiene for self-derived right sides (see PlanDedup): a
+    // right child sharing the left's scan re-aliases to fresh exprIds
+    val rPlan = graft.plans.PlanDedup.freshRight(lPlan,
+      r0.queryExecution.analyzed)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              n: String) =
       p.output.find(_.name == n).getOrElse(

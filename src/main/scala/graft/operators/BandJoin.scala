@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BAND (interval) join: for every left row, ALL right rows with the
+  * same key and `rightTime − leftTime` in the half-open band
+  * `(lo, hi]`, INNER semantics — the 1:N sibling of [[AsOfJoin]] and
+  * the batch face of a stream-stream interval join. The attribution
+  * query "every event within 24 h after each purchase" is
+  * `bandJoinNative(purchases, events, …, lo = 0, hi = 24h)`; the
+  * reverse orientation "each event's purchases in the preceding 24 h"
+  * is a NEGATIVE band `(−24h−1, −1]` on integral time units.
+  *
+  * Three formulations, same contract (BandJoinSpec pins them against
+  * each other and a brute force):
+  *  - [[bandJoinNative]]: custom sort-merge physical operator — one
+  *    exchange+sort per side, merge memory bounded by band OCCUPANCY
+  *    ([[graft.plans.BandJoinExec]]);
+  *  - [[bandJoinBroadcast]]: dim-sized right broadcast as the per-key
+  *    time-sorted index; fact side never shuffled/sorted, two binary
+  *    searches + a contiguous slice per row;
+  *  - [[bandJoinBucketed]]: the pure-DataFrame composition (the q93
+  *    shape generalized) — explode each left row into the two
+  *    band-width buckets its band can touch, equi-join on
+  *    (key, bucket), post-filter the exact band. Kept as the
+  *    any-engine fallback and independent cross-check; requires
+  *    non-negative times (integer `div` truncation).
+  *
+  * `lo`/`hi` are Longs in the time type's native unit (micros for
+  * timestamps, days for dates, raw for integrals); times must be
+  * integral-backed. Null keys group; null times never match.
+  */
+object BandJoin {
+
+  def bandJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     lo: Long, hi: Long,
+                     payload: Seq[String]): DataFrame =
+    plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+      payload, broadcast = Some(false))
+
+  def bandJoinBroadcast(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        lo: Long, hi: Long,
+                        payload: Seq[String]): DataFrame =
+    plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+      payload, broadcast = Some(true))
+
+  /** Planner-chosen strategy (right-side size estimate vs
+    * `spark.sql.autoBroadcastJoinThreshold`, as the as-of family). */
+  def bandJoinAuto(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   lo: Long, hi: Long,
+                   payload: Seq[String]): DataFrame =
+    plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+      payload, broadcast = None)
+
+  /** Bucket-explode composition: left rows duplicate into the (at most
+    * two) band-width buckets their band overlaps, the join is a plain
+    * equi-join on (key, bucket), and the exact band is a post-filter.
+    * 2x left inflation + post-filter — the price the native operator
+    * exists to remove; non-negative times only (`div` truncates). */
+  def bandJoinBucketed(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       lo: Long, hi: Long,
+                       payload: Seq[String]): DataFrame = {
+    require(lo < hi, s"band must be non-empty: lo=$lo, hi=$hi")
+    val w = hi - lo
+    val lt = col(leftTime).cast("long")
+    val rt = col(rightTime).cast("long")
+    val leftCols = left.columns.toSeq
+    val b0 = floor((lt + lit(lo)) / lit(w).cast("double")).cast("long")
+    val banded = left
+      .withColumn("__band_bucket", explode(array(b0, b0 + lit(1))))
+    val tagged = right.select(
+      (Seq(col(rightKey).as("__band_rk"),
+        floor(rt / lit(w).cast("double")).cast("long").as("__band_bucket"),
+        rt.as("__band_rt")) ++ payload.map(col)): _*)
+    banded
+      .join(tagged,
+        col(leftKey) === col("__band_rk") &&
+          banded("__band_bucket") === tagged("__band_bucket"))
+      .where(col("__band_rt") - lt > lo && col("__band_rt") - lt <= hi)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  private def plan(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   lo: Long, hi: Long,
+                   payload: Seq[String],
+                   broadcast: Option[Boolean]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val lType = left.schema(leftTime).dataType
+    val r0 =
+      if (right.schema(rightTime).dataType == lType) right
+      else right.withColumn(rightTime, col(rightTime).cast(lType))
+    val lPlan = left.queryExecution.analyzed
+    // A right side derived from the SAME scan as the left (the q93
+    // attribution shape: purchases filtered out of events) shares its
+    // attributes' exprIds — re-alias them so key/time/payload lookups
+    // bind to the right child, as the Analyzer's DeduplicateRelations
+    // does for ordinary joins.
+    val rPlan = graft.plans.PlanDedup.freshRight(lPlan,
+      r0.queryExecution.analyzed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$n' in ${p.output.map(_.name)}"))
+    val payloadAttrs = payload.map(attr(rPlan, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.GraftPlanApi.ofRows(left.sparkSession,
+      graft.plans.BandJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        lo, hi, payloadAttrs, payloadOut, broadcast))
+  }
+}

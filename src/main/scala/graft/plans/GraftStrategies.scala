@@ -28,6 +28,19 @@ object GraftStrategies extends SparkStrategy {
       else
         AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
           payload, payloadOut, forward, nearest) :: Nil
+    case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi, payload, payloadOut,
+        broadcast) =>
+      val useBroadcast = broadcast.getOrElse {
+        val threshold =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
+      if (useBroadcast)
+        BroadcastBandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          lo, hi, payload, payloadOut) :: Nil
+      else
+        BandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          lo, hi, payload, payloadOut) :: Nil
     case _ => Nil
   }
 }

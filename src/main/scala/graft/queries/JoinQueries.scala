@@ -13,6 +13,35 @@ import org.apache.spark.sql.types._
 object JoinQueries {
   import graft.Q._
 
+  /** Shared oracle for the attribution family: q93 (bucket-explode
+    * composition), q146 (native band-join exec) and q147 (broadcast
+    * band join, reversed orientation) must all hash-match this SAME
+    * independent SQL — one theta join the oracle engine is free to
+    * plan however it likes. */
+  private val attributionOracle: String = """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 event_type
+          FROM events),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, t_us AS p_us
+          FROM e WHERE event_type = 'purchase'),
+        j AS (
+          SELECT p.purchase_id, e.event_type
+          FROM p JOIN e ON e.user_id = p.user_id
+                       AND e.t_us > p.p_us
+                       AND e.t_us <= p.p_us + 86400000000),
+        a AS (
+          SELECT purchase_id, COUNT(*) AS n_attr,
+                 COUNT(DISTINCT event_type) AS n_types
+          FROM j GROUP BY 1)
+        SELECT p.purchase_id, p.user_id, p.p_us,
+               CAST(COALESCE(a.n_attr, 0) AS BIGINT) AS n_attr,
+               CAST(COALESCE(a.n_types, 0) AS BIGINT) AS n_types
+        FROM p LEFT JOIN a USING (purchase_id)
+        ORDER BY p.purchase_id
+      """
+
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q09: left-join enrich + distinct & conditional aggregates per nation
@@ -316,28 +345,80 @@ object JoinQueries {
             coalesce(col("n_types"), lit(0L)).as("n_types"))
           .orderBy("purchase_id")
       },
-      Some("""
-        WITH e AS (
-          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
-                 event_type
-          FROM events),
-        p AS (
-          SELECT event_id AS purchase_id, user_id, t_us AS p_us
-          FROM e WHERE event_type = 'purchase'),
-        j AS (
-          SELECT p.purchase_id, e.event_type
-          FROM p JOIN e ON e.user_id = p.user_id
-                       AND e.t_us > p.p_us
-                       AND e.t_us <= p.p_us + 86400000000),
-        a AS (
-          SELECT purchase_id, COUNT(*) AS n_attr,
-                 COUNT(DISTINCT event_type) AS n_types
-          FROM j GROUP BY 1)
-        SELECT p.purchase_id, p.user_id, p.p_us,
-               CAST(COALESCE(a.n_attr, 0) AS BIGINT) AS n_attr,
-               CAST(COALESCE(a.n_types, 0) AS BIGINT) AS n_types
-        FROM p LEFT JOIN a USING (purchase_id)
-        ORDER BY p.purchase_id
-      """))
+      Some(attributionOracle)),
+
+    // ----------------------------------------------------------------
+    // q146: the q93 attribution through the NATIVE band-join operator
+    // (BandJoinPlan → GraftStrategies → BandJoinExec): purchases are
+    // the left, events the right, band (0, 24h] in micros — one
+    // exchange+sort per side and a streaming merge whose memory is
+    // bounded by band OCCUPANCY, replacing the bucket-explode rewrite
+    // (2x left inflation + post-filter + bucket bookkeeping). The
+    // right side is the left's OWN scan filtered (purchases ⊂ events)
+    // — the self-derived shape PlanDedup re-aliases. Gated by q93's
+    // oracle VERBATIM.
+    Q(
+      "q146_band_join_native",
+      (s, dir) => bandAttribution(s, dir, broadcastDim = false),
+      Some(attributionOracle)),
+
+    // ----------------------------------------------------------------
+    // q147: the same attribution through the BROADCAST band join, in
+    // the REVERSED orientation that makes the dim side the broadcast
+    // side: events are the left (the 100 TB fact stream — never
+    // shuffled, never sorted), purchases the broadcast right, and the
+    // band flips sign: event e attributes to purchase p iff
+    // t_e − t_p ∈ (0, W] ⇔ t_p − t_e ∈ [−W, −1] = (−W−1, −1] on
+    // integer micros. Each event answers with two binary searches of
+    // the per-key purchase index + a contiguous slice. Same aggregate,
+    // same oracle VERBATIM — the reversal is exact, not approximate.
+    Q(
+      "q147_band_join_broadcast",
+      (s, dir) => bandAttribution(s, dir, broadcastDim = true),
+      Some(attributionOracle))
   )
+
+  /** q93's attribution computed through the custom band-join operator
+    * family — both strategies produce the identical (purchase, event)
+    * pair set, aggregated identically. */
+  private def bandAttribution(s: org.apache.spark.sql.SparkSession,
+                              dir: String, broadcastDim: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.BandJoin
+    val W = 86400000000L
+    val ev = Tables.df(s, dir, "events")
+      .selectExpr("event_id", "user_id",
+        s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("t_us").as("p_us"))
+    val pairs =
+      if (broadcastDim)
+        // fact-side left: every event picks up its preceding-24h
+        // purchases from the broadcast index, then re-keys to purchases
+        BandJoin.bandJoinBroadcast(
+          ev.select(col("user_id"), col("event_id"), col("t_us"),
+            col("event_type")),
+          purch.select(col("user_id").as("p_user"), col("purchase_id"),
+            col("p_us")),
+          "user_id", "p_user", "t_us", "p_us",
+          lo = -W - 1, hi = -1,
+          payload = Seq("purchase_id"))
+          .select(col("purchase_id"), col("event_type"))
+      else
+        BandJoin.bandJoinNative(
+          purch, ev.select(col("user_id"), col("t_us"), col("event_type")),
+          "user_id", "user_id", "p_us", "t_us",
+          lo = 0, hi = W,
+          payload = Seq("event_type"))
+          .select(col("purchase_id"), col("event_type"))
+    val attributed = pairs.groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_attr"),
+        countDistinct(col("event_type")).as("n_types"))
+    purch.join(attributed, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_us"),
+        coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .orderBy("purchase_id")
+  }
 }
