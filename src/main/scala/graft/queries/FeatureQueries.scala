@@ -356,6 +356,146 @@ object FeatureQueries {
         FROM kline
         WINDOW wo AS (PARTITION BY user_id ORDER BY t)
         ORDER BY user_id, t
+      """)),
+
+    // ----------------------------------------------------------------
+    // q148: rolling MEDIAN over an ODD window (pandas
+    // rolling(7).median(), min_periods=7) — the robust rolling center.
+    // Odd window ⇒ the median is the 4th ORDER STATISTIC of the frame:
+    // no interpolation, no arithmetic at all, so cross-engine equality
+    // is set equality, not float discipline. Spark side: sorted frame
+    // list → element 4 (a window collect over 7 rows — constant per
+    // row); DuckDB's windowed median on an odd count resolves to the
+    // same exact element. An even window would interpolate (engine-
+    // specific fraction math) — the odd choice is load-bearing.
+    Q(
+      "q148_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        daily(s, dir)
+          .withColumn("nn", count(col("v")).over(w))
+          .withColumn("med7",
+            when(col("nn") === 7,
+              element_at(sort_array(collect_list(col("v")).over(w)), 4)))
+          .select("user_id", "d", "v", "med7")
+          .orderBy("user_id", "d")
+      },
+      Some(s"""
+        WITH $dailySql
+        SELECT user_id, d, v,
+          CASE WHEN COUNT(v) OVER w = 7 THEN median(v) OVER w END AS med7
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
+    // q149: cross-sectional robust z-score — (v − median) / (1.4826 ·
+    // MAD) per day, the outlier scale that survives what mean/σ does
+    // not. BOTH medians come from explicit integer rank arithmetic
+    // (k-th order statistics; even cross-sections average the two
+    // middles with one add + one exact halving), never an engine
+    // quantile — the q140 rule. Two ranking windows on the DAY
+    // partition (values, then absolute deviations); the 1.4826
+    // constant is CAST to DOUBLE in the oracle (the q143 DECIMAL-
+    // literal trap). MAD = 0 cross-sections guard to NULL before the
+    // division on both engines.
+    Q(
+      "q149_robust_zscore",
+      (s, dir) => {
+        val byDay = Window.partitionBy("d")
+        def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
+          val wOrd = byDay.orderBy(col(c).asc, col("user_id").asc)
+          val k1 = expr("(__n + 1) DIV 2")
+          val k2 = expr("(__n + 2) DIV 2")
+          df.withColumn("__rn", row_number().over(wOrd))
+            .withColumn("__n", count(lit(1)).over(byDay))
+            .withColumn("__m1", max(when(col("__rn") === k1, col(c))).over(byDay))
+            .withColumn("__m2", max(when(col("__rn") === k2, col(c))).over(byDay))
+            .withColumn(out, (col("__m1") + col("__m2")) / lit(2.0))
+            .drop("__rn", "__n", "__m1", "__m2")
+        }
+        val withMed = medianOf(daily(s, dir), "v", "med")
+          .withColumn("adev", abs(col("v") - col("med")))
+        val withMad = medianOf(withMed, "adev", "mad")
+        withMad
+          .withColumn("rz",
+            when(col("mad") > lit(0.0),
+              (col("v") - col("med")) / (lit(1.4826) * col("mad"))))
+          .select("user_id", "d", "v", "med", "mad", "rz")
+          .orderBy("d", "user_id")
+      },
+      Some(s"""
+        WITH $dailySql, r1 AS (
+          SELECT user_id, d, v,
+            row_number() OVER (PARTITION BY d ORDER BY v, user_id) AS rn,
+            COUNT(*) OVER (PARTITION BY d) AS n
+          FROM daily
+        ), m1 AS (
+          SELECT user_id, d, v,
+            (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER (PARTITION BY d)
+             + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) OVER (PARTITION BY d))
+              / 2.0 AS med
+          FROM r1
+        ), r2 AS (
+          SELECT user_id, d, v, med, ABS(v - med) AS adev,
+            row_number() OVER (PARTITION BY d ORDER BY ABS(v - med), user_id) AS rn,
+            COUNT(*) OVER (PARTITION BY d) AS n
+          FROM m1
+        ), m2 AS (
+          SELECT user_id, d, v, med,
+            (MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) OVER (PARTITION BY d)
+             + MAX(CASE WHEN rn = (n + 2) // 2 THEN adev END) OVER (PARTITION BY d))
+              / 2.0 AS mad
+          FROM r2
+        )
+        SELECT user_id, d, v, med, mad,
+          CASE WHEN mad > 0.0
+               THEN (v - med) / (CAST(1.4826 AS DOUBLE) * mad) END AS rz
+        FROM m2 ORDER BY d, user_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q150: RUNNING DISTINCT COUNT per key (pandas expanding()
+    // .nunique()) — Spark has no windowed COUNT(DISTINCT), so the
+    // standard rewrite: a first-occurrence flag from one ranking
+    // window on (key, value-to-count) and a running SUM of flags on
+    // the key's timeline. Two window partitions (two exchanges) of
+    // integer work; exact at any scale, and each state is one counter
+    // — no distinct-set buffering anywhere.
+    Q(
+      "q150_running_distinct",
+      (s, dir) => {
+        val firstSeen = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val timeline = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("first_seen",
+            when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_so_far", sum(col("first_seen")).over(timeline))
+          .select("user_id", "event_id", "event_type", "first_seen",
+            "n_types_so_far")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1
+                 THEN 1 ELSE 0 END AS first_seen
+          FROM events
+        )
+        SELECT user_id, event_id, event_type,
+          CAST(first_seen AS BIGINT) AS first_seen,
+          CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_types_so_far
+        FROM f ORDER BY event_id
       """))
   )
 }

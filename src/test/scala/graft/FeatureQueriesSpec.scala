@@ -149,6 +149,61 @@ class FeatureQueriesSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("q148 rolling median == sorted-frame middle element, exact") {
+    val rows = q("q148_rolling_median")
+      .select("user_id", "d", "v", "med7").collect()
+    var full = 0
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expected =
+          if (i < 6) None
+          else Some(sorted.slice(i - 6, i + 1).map(_.getDouble(2)).sorted.apply(3))
+        assert((if (r.isNullAt(3)) None else Some(r.getDouble(3))) == expected,
+          s"row $r")
+        if (expected.isDefined) full += 1
+      }
+    }
+    assert(full > 50, s"too few full frames: $full")
+  }
+
+  test("q149 robust z == per-day median/MAD order statistics, bit-exact") {
+    val rows = q("q149_robust_zscore")
+      .select("user_id", "d", "v", "med", "mad", "rz").collect()
+    rows.groupBy(_.getDate(1).toString).foreach { case (_, day) =>
+      def medOf(xs: Seq[(Double, Long)]): Double = {
+        val s = xs.sortBy(identity).map(_._1)
+        val n = s.length
+        (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2.0
+      }
+      val med = medOf(day.map(r => (r.getDouble(2), r.getLong(0))).toSeq)
+      val mad = medOf(day.map(r => (math.abs(r.getDouble(2) - med), r.getLong(0))).toSeq)
+      day.foreach { r =>
+        assert(r.getDouble(3) == med && r.getDouble(4) == mad, s"center: $r")
+        val rz = if (mad > 0.0) Some((r.getDouble(2) - med) / (1.4826 * mad))
+          else None
+        assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) == rz, s"rz: $r")
+      }
+    }
+  }
+
+  test("q150 running distinct == expanding nunique fold, exact") {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val expected: Map[Long, Long] = ev.groupBy(_._1).iterator.flatMap {
+      case (_, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val seen = scala.collection.mutable.Set.empty[String]
+        sorted.map { e => seen += e._4; e._3 -> seen.size.toLong }
+    }.toMap
+    val got = q("q150_running_distinct").select("event_id", "n_types_so_far")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (id, n) => assert(n == expected(id), s"event $id") }
+    assert(got.length == ev.length)
+  }
+
   test("q144 conjunctive search == brute-force intersection") {
     val docs = Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(trim(text), ' +') AS toks").collect()
