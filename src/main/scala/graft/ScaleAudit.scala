@@ -56,7 +56,11 @@ object ScaleAudit {
                                        // rolling corr, cross-sectional winsor
     "q143", "q144",                    // BM25 zero-shuffle scoring + inverted
                                        // postings build/search
-    "q145")                            // streaming watermark dedup replay
+    "q145",                            // streaming watermark dedup replay
+    "q146", "q147",                    // native + broadcast band join
+                                       // (attribution via the custom exec)
+    "q149", "q150")                    // cross-sectional median/MAD;
+                                       // running-distinct ranking rewrite
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
