@@ -197,13 +197,20 @@ object AsOfJoin {
   /** [[asofNearestNative]] semantics with the BROADCAST physical
     * strategy: the right side broadcasts once as the sorted per-key
     * index and each left row costs one hash probe + TWO binary
-    * searches — the left side is never shuffled or sorted. */
+    * searches — the left side is never shuffled or sorted. Falls back
+    * to [[asofNearestComposed]] for time types with no distance
+    * arithmetic, like its two siblings (instead of throwing at
+    * planning). */
   def asofNearestBroadcast(left: DataFrame, right: DataFrame,
                            leftKey: String, rightKey: String,
                            leftTime: String, rightTime: String,
                            payload: Seq[String]): DataFrame =
-    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
-      payload, broadcast = Some(true), nearest = true)
+    if (graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType))
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast = Some(true), nearest = true)
+    else
+      asofNearestComposed(left, right, leftKey, rightKey, leftTime,
+        rightTime, payload)
 
   /** [[asofNearestNative]] semantics, planner-chosen physical strategy
     * (size-estimate rule, as [[asofBackwardAuto]]). */

@@ -52,12 +52,21 @@ private[graft] object AsOfNearest {
         (b, l, f) =>
           l.getByte(0).toLong - b.getByte(0) <=
             f.getByte(0).toLong - l.getByte(0)
+      // SQL total-order comparison (NaN largest, NaN = NaN), NOT Java
+      // `<=` (always false vs NaN): the composed formulation evaluates
+      // `lt - bt <= ft - lt` with Spark's LessThanOrEqual, so a NaN
+      // time must resolve identically here or the fused exec diverges
+      // from the composition on float/double time columns.
       case DoubleType =>
         (b, l, f) =>
-          l.getDouble(0) - b.getDouble(0) <= f.getDouble(0) - l.getDouble(0)
+          org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
+            l.getDouble(0) - b.getDouble(0),
+            f.getDouble(0) - l.getDouble(0)) <= 0
       case FloatType =>
         (b, l, f) =>
-          l.getFloat(0) - b.getFloat(0) <= f.getFloat(0) - l.getFloat(0)
+          org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
+            l.getFloat(0) - b.getFloat(0),
+            f.getFloat(0) - l.getFloat(0)) <= 0
       case other =>
         throw new IllegalArgumentException(
           s"nearest as-of does not support time type $other")

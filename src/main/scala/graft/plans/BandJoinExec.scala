@@ -29,6 +29,20 @@ private[graft] object TimeRepr {
     case other => throw new IllegalArgumentException(
       s"band join does not support time type $other")
   }
+
+  /** Compare the TRUE difference `a - b` with `c`, exact even when the
+    * raw Long subtraction wraps (possible only for LongType time
+    * columns near the extremes — timestamps/dates can't overflow).
+    * On overflow the wrapped result has the WRONG sign, so its sign
+    * tells us which side of every representable `c` the true
+    * difference lies on: wrapped-negative ⇒ true diff > Long.MaxValue
+    * ⇒ greater than any c; wrapped-non-negative ⇒ true diff <
+    * Long.MinValue ⇒ less than any c. */
+  def cmpDiff(a: Long, b: Long, c: Long): Int = {
+    val r = a - b
+    if (((a ^ b) & (a ^ r)) < 0) { if (r < 0) 1 else -1 }
+    else java.lang.Long.compare(r, c)
+  }
 }
 
 /** Physical BAND join, sort-merge strategy: ONE co-partitioned,
@@ -150,15 +164,19 @@ case class BandJoinExec(
                   else if (rTime.isNullAt(0)) advanceRight() // never matches
                   else {
                     val rt = timeOf(rTime)
-                    if (rt - lt <= bandLo) advanceRight() // below every future band
-                    else if (rt - lt <= bandHi) {
+                    // TimeRepr.cmpDiff: exact rt−lt vs bound even when
+                    // the raw Long subtraction would wrap
+                    if (TimeRepr.cmpDiff(rt, lt, bandLo) <= 0)
+                      advanceRight() // below every future band
+                    else if (TimeRepr.cmpDiff(rt, lt, bandHi) <= 0) {
                       if (bufKey == null) bufKey = lk.copy()
                       buf.addLast(new Entry(rt, payloadProj(rRow).copy()))
                       advanceRight()
                     } else done = true // above the band: a later left may reach it
                   }
                 }
-                while (!buf.isEmpty && buf.peekFirst().t - lt <= bandLo)
+                while (!buf.isEmpty &&
+                    TimeRepr.cmpDiff(buf.peekFirst().t, lt, bandLo) <= 0)
                   buf.removeFirst()
                 if (!buf.isEmpty) {
                   curLeft = l
@@ -235,8 +253,10 @@ case class BroadcastBandJoinExec(
     val timeType = leftTime.dataType
     val bandLo = lo
     val bandHi = hi
+    val projHash =
+      AsOfIndex.projectionHash(boundRightKeys, boundRightTime, boundPayload)
     left.execute().mapPartitions({ lIter =>
-      val index = AsOfIndex.getOrBuild(broadcastRows.id, () =>
+      val index = AsOfIndex.getOrBuild(broadcastRows.id, projHash, () =>
         AsOfIndex.build(broadcastRows.value, boundRightKeys, boundRightTime,
           boundPayload))
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -256,12 +276,14 @@ case class BroadcastBandJoinExec(
           // search treats a null entry as below every band
           def tAt(i: Int): Long =
             if (times(i).isNullAt(0)) Long.MinValue else timeOf(times(i))
-          // first index with t - lt > lo (nulls = -inf stay below)
+          // first index with t - lt > lo (nulls = -inf stay below);
+          // TimeRepr.cmpDiff keeps the comparison exact under Long wrap
           var loIdx = {
             var a = 0; var b = times.length
             while (a < b) {
               val m = (a + b) >>> 1
-              if (!times(m).isNullAt(0) && tAt(m) - lt > bandLo) b = m
+              if (!times(m).isNullAt(0) &&
+                  TimeRepr.cmpDiff(tAt(m), lt, bandLo) > 0) b = m
               else a = m + 1
             }
             a
@@ -271,7 +293,8 @@ case class BroadcastBandJoinExec(
             var a = loIdx; var b = times.length
             while (a < b) {
               val m = (a + b) >>> 1
-              if (!times(m).isNullAt(0) && tAt(m) - lt > bandHi) b = m
+              if (!times(m).isNullAt(0) &&
+                  TimeRepr.cmpDiff(tAt(m), lt, bandHi) > 0) b = m
               else a = m + 1
             }
             a

@@ -66,19 +66,42 @@ object AsOfIndex {
   /** One index build PER EXECUTOR JVM, not per task: Spark's
     * `BroadcastExchangeExec` only transports `HashedRelation` or
     * `Array[InternalRow]`, so the rows travel via the stock
-    * `IdentityBroadcastMode` and this cache (keyed by broadcast id)
-    * turns them into the sorted index exactly once wherever tasks run.
-    * Values are soft references so an executor under memory pressure
-    * drops an idle index and rebuilds on next use instead of OOMing. */
-  private val cache = new ConcurrentHashMap[Long, SoftReference[AsOfIndex]]()
+    * `IdentityBroadcastMode` and this cache turns them into the sorted
+    * index exactly once wherever tasks run. Values are soft references
+    * so an executor under memory pressure drops an idle index and
+    * rebuilds on next use instead of OOMing.
+    *
+    * The cache key is (broadcastId, projection hash), NOT the broadcast
+    * id alone: the cache has two consumers with independent projection
+    * semantics ([[BroadcastAsOfJoinExec]] and
+    * [[BroadcastBandJoinExec]]), and when one query contains two such
+    * joins over the IDENTICAL right child, ReuseExchange hands both
+    * execs the SAME broadcast id — keyed by id alone, the second exec
+    * would silently reuse an index built with the first's key/time/
+    * payload projections and return wrong rows. The projection hash
+    * ([[projectionHash]], semantic hashes of the bound expressions)
+    * disambiguates; two execs that DO project identically still share
+    * one build. */
+  private val cache =
+    new ConcurrentHashMap[(Long, Int), SoftReference[AsOfIndex]]()
 
-  def getOrBuild(broadcastId: Long, make: () => AsOfIndex): AsOfIndex = {
-    val ref = cache.get(broadcastId)
+  /** Semantic fingerprint of the bound (key, time, payload) projections
+    * an index is built with. Bound expressions canonicalize by ordinal,
+    * so equal hashes ⇔ the same slots of the broadcast rows feed the
+    * same index roles — exactly the condition for safe reuse. */
+  def projectionHash(keys: Seq[Expression], time: Expression,
+                     payload: Seq[Expression]): Int =
+    ((keys :+ time) ++ payload).map(_.semanticHash()).hashCode()
+
+  def getOrBuild(broadcastId: Long, projHash: Int,
+                 make: () => AsOfIndex): AsOfIndex = {
+    val key = (broadcastId, projHash)
+    val ref = cache.get(key)
     val cached = if (ref != null) ref.get() else null
     if (cached != null) cached
     else {
       val built = make()
-      cache.put(broadcastId, new SoftReference(built))
+      cache.put(key, new SoftReference(built))
       built
     }
   }
@@ -147,8 +170,10 @@ case class BroadcastAsOfJoinExec(
     val boundPayload = BindReferences.bindReferences(
       payload.asInstanceOf[Seq[Expression]], right.output)
     val numPayload = payload.length
+    val projHash =
+      AsOfIndex.projectionHash(boundRightKeys, boundRightTime, boundPayload)
     left.execute().mapPartitions({ lIter =>
-      val index = AsOfIndex.getOrBuild(broadcastRows.id, () =>
+      val index = AsOfIndex.getOrBuild(broadcastRows.id, projHash, () =>
         AsOfIndex.build(broadcastRows.value, boundRightKeys, boundRightTime,
           boundPayload))
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
