@@ -991,23 +991,166 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q44: approximate sketches — HLL++ distinct counts and quantile
-    // sketches, the constant-memory scale path where exact would shuffle
-    // every value. No SQL oracle (engine-specific sketch internals);
-    // the driver records the weaker rows-check, and q08/q09 pin the exact
-    // counterparts.
+    // q44: approximate sketches, FULLY GATED — three sketch families
+    // whose construction uses only deterministic, SQL-expressible
+    // integer/IEEE arithmetic, so the DuckDB oracle rebuilds the exact
+    // same sketches (unlike HLL++/percentile_approx, whose internals
+    // are engine-private; SketchSpec pins those against exact counts
+    // separately):
+    //  - CMS_ROWS: a depth-3 width-64 count-min sketch of per-type row
+    //    counts. Items hash via affine maps mod p=2^31−1 over an
+    //    ascii-derived integer key of the type string; the estimate is
+    //    the min over depths of the bucket counts (overestimates on
+    //    collision — CMS semantics).
+    //  - KMV_USERS: k-minimum-values distinct-user estimate, k=16:
+    //    user ids map injectively through (a·u+b) mod p, the k-th
+    //    smallest hash hk gives est = (k−1)·p/hk (exact count when the
+    //    type has < k distinct hashes).
+    //  - MED/P99_EST: ε-grid quantile sketch — values land in fixed
+    //    0.5-wide buckets (floor(value·2)), the estimate is the
+    //    smallest bucket whose cumulative count reaches ⌈q·n⌉.
+    // Scale shape: one groupBy(event_type) pass for CMS (the CMS table
+    // itself is dim-sized), one distinct+partitioned-window pass for
+    // KMV, one groupBy(type, bucket) + partitioned window for the
+    // grid — no un-partitioned windows, no collects. Float parity: all
+    // hash/bucket math is integer; the only IEEE ops are one division
+    // ((k−1)·p/hk, both operands exactly representable) and one
+    // multiply (bucket·0.5), identical single correctly-rounded steps
+    // in both engines.
     Q(
       "q44_approx_sketches",
       (s, dir) => {
-        Tables.events(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val p = 2147483647L // 2^31 - 1
+        val w = 64L         // CMS width
+        val k = 16          // KMV k
+        val ev = Tables.events(s, dir)
+        val etk = (ascii(substring(col("event_type"), 1, 1)) * 961 +
+          ascii(substring(col("event_type"), 2, 1)) * 31 +
+          length(col("event_type"))).cast(LongType)
+        val base = ev.select(col("event_type"), etk.as("etk"),
+          col("user_id"), col("value"))
+
+        // CMS: per-type counts + the type's bucket per depth; depth
+        // tables are re-aggregations of the dim-sized per-type frame
+        val seeds = Seq((1000003L, 12345L), (999983L, 54321L), (1000033L, 98765L))
+        val perType = base.groupBy("event_type")
+          .agg(min(col("etk")).as("etk"), count(lit(1)).as("n_rows"))
+        val buckets = perType.select(
+          Seq(col("event_type"), col("n_rows")) ++
+            seeds.zipWithIndex.map { case ((a, b), i) =>
+              pmod(pmod(lit(a) * col("etk") + lit(b), lit(p)), lit(w))
+                .as(s"b$i")
+            }: _*)
+        val cmsTables = seeds.indices.map { i =>
+          buckets.groupBy(s"b$i").agg(sum(col("n_rows")).as(s"c$i"))
+        }
+        val cms = cmsTables.zipWithIndex
+          .foldLeft(buckets) { case (df, (t, i)) => df.join(t, s"b$i") }
+          .select(col("event_type"),
+            least(col("c0"), col("c1"), col("c2")).as("cms_rows"))
+
+        // KMV: injective hash of user_id, k-th smallest per type
+        val hashes = base
+          .select(col("event_type"),
+            pmod(lit(950706376L) * col("user_id") + lit(12345L), lit(p)).as("h"))
+          .distinct()
+        val wk = Window.partitionBy("event_type").orderBy("h")
+        val kmv = hashes.withColumn("rn", row_number().over(wk))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+            count(lit(1)).as("nd"))
+          .select(col("event_type"),
+            when(col("nd") < k, col("nd").cast(DoubleType))
+              .otherwise(lit(((k - 1).toLong * p).toDouble) / col("hk"))
+              .as("kmv_users"))
+
+        // ε-grid quantiles: cumulative bucket counts per type
+        val grid = base
+          .groupBy(col("event_type"),
+            floor(col("value") * lit(2.0)).cast(LongType).as("g"))
+          .agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy("event_type").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy("event_type")
+        val quant = grid
+          .withColumn("cum", sum(col("c")).over(wcum))
+          .withColumn("ntot", sum(col("c")).over(wall))
           .groupBy("event_type")
           .agg(
-            approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
-            percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+            min(when(col("cum") >=
+              floor((col("ntot") + lit(1)) / lit(2.0)).cast(LongType),
+              col("g"))).as("gmed"),
+            min(when(col("cum") >=
+              floor((lit(99) * col("ntot") + lit(99)) / lit(100.0))
+                .cast(LongType),
+              col("g"))).as("g99"))
+          .select(col("event_type"),
+            (col("gmed") * lit(0.5)).as("med_est"),
+            (col("g99") * lit(0.5)).as("p99_est"))
+
+        cms.join(kmv, "event_type").join(quant, "event_type")
           .orderBy("event_type")
       },
-      None),
+      Some("""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(ascii(substring(event_type,1,1))*961
+                      + ascii(substring(event_type,2,1))*31
+                      + length(event_type) AS BIGINT) AS etk,
+                 user_id, value
+          FROM events
+        ), per_type AS (
+          SELECT event_type, MIN(etk) AS etk, COUNT(*) AS n_rows
+          FROM base GROUP BY 1
+        ), buckets AS (
+          SELECT event_type, n_rows,
+                 ((1000003*etk + 12345) % 2147483647) % 64 AS b0,
+                 ((999983*etk + 54321) % 2147483647) % 64 AS b1,
+                 ((1000033*etk + 98765) % 2147483647) % 64 AS b2
+          FROM per_type
+        ), cms0 AS (SELECT b0, CAST(SUM(n_rows) AS BIGINT) AS c0 FROM buckets GROUP BY 1),
+           cms1 AS (SELECT b1, CAST(SUM(n_rows) AS BIGINT) AS c1 FROM buckets GROUP BY 1),
+           cms2 AS (SELECT b2, CAST(SUM(n_rows) AS BIGINT) AS c2 FROM buckets GROUP BY 1),
+           cms AS (
+          SELECT event_type, LEAST(c0, c1, c2) AS cms_rows
+          FROM buckets JOIN cms0 USING (b0) JOIN cms1 USING (b1) JOIN cms2 USING (b2)
+        ), hashes AS (
+          SELECT DISTINCT event_type,
+                 (950706376*user_id + 12345) % 2147483647 AS h
+          FROM base
+        ), ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hashes
+        ), kmv AS (
+          SELECT event_type,
+                 CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE CAST(15*CAST(2147483647 AS BIGINT) AS DOUBLE)
+                           / MAX(CASE WHEN rn = 16 THEN h END)
+                 END AS kmv_users
+          FROM ranked GROUP BY 1
+        ), grid AS (
+          SELECT event_type, CAST(FLOOR(value * 2.0) AS BIGINT) AS g,
+                 COUNT(*) AS c
+          FROM base GROUP BY 1, 2
+        ), cumg AS (
+          SELECT event_type, g,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY g) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS ntot
+          FROM grid
+        ), quant AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= CAST(FLOOR((ntot+1)/2.0) AS BIGINT)
+                     THEN g END) * 0.5 AS med_est,
+                 MIN(CASE WHEN cum >= CAST(FLOOR((99*ntot+99)/100.0) AS BIGINT)
+                     THEN g END) * 0.5 AS p99_est
+          FROM cumg GROUP BY 1
+        )
+        SELECT event_type, cms_rows, kmv_users, med_est, p99_est
+        FROM cms JOIN kmv USING (event_type) JOIN quant USING (event_type)
+        ORDER BY event_type
+      """)),
 
     // ----------------------------------------------------------------
     // q45: scalar JSON path extraction + cast over the events props

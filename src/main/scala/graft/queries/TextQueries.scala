@@ -378,8 +378,11 @@ object TextQueries {
     // b=0.75. Per-doc term frequencies come from size(filter(toks,…))
     // projections (no explode, no shuffle for the tf side); the corpus
     // statistics (N, Σdl, per-term df) are ONE map-side aggregate row
-    // broadcast back — so the whole query is two scans and zero data
-    // shuffles, the shape that survives a 100 TB corpus.
+    // broadcast back; the top-k plans as TakeOrderedAndProject
+    // (per-partition heaps, one k-row merge) — so the whole query is
+    // two scans and no data-sized shuffle (only the k=20 survivors
+    // ever leave their partitions), the shape that survives a 100 TB
+    // corpus.
     //
     // Determinism note: natural log is NOT bit-identical across
     // engines in general — Spark's `log` evaluates StrictMath.log
@@ -427,11 +430,17 @@ object TextQueries {
             (col(s"tf_$t") +
               lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
         }.reduceLeft(_ + _)
+        // Global top-k as orderBy+limit → TakeOrderedAndProject
+        // (per-partition heaps + ONE k-row merge), NEVER a full
+        // un-partitioned rank window (that would exchange every scored
+        // document to a single task). The rank window below runs over
+        // the k=20 SURVIVORS only — bounded by k, not by corpus size.
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id").asc)
         scored.withColumn("score", score)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
           .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 20)
           .select(Seq(col("doc_id"), col("dl")) ++
             terms.map(t => col(s"tf_$t")) ++
             Seq(col("score"), col("rank")): _*)
