@@ -157,6 +157,112 @@ object AsOfJoin {
     planNative(left, right, leftKey, rightKey, leftTime, rightTime,
       payload, broadcast = true, forward = true)
 
+  /** Backward as-of with BOUNDED LOOKBACK (pandas
+    * `merge_asof(tolerance=)`), union+window formulation: identical to
+    * [[asofBackward]] except a backward match additionally requires
+    * `leftTime − rightTime <= tolerance`, in the time type's NATIVE
+    * unit (micros for timestamps, days for dates, raw for integrals —
+    * the band-join convention). An expired match yields a NULL payload
+    * exactly like no match; a null-time left row or null-time match
+    * never satisfies the bound (a null time has no distance — the
+    * nearest-join rule). Needs an integral-backed time type.
+    *
+    * The matched right time travels as one extra struct field and the
+    * bound is applied in a final projection — the plan is the SAME one
+    * shuffle + one window as the unbounded join. Exactness note: this
+    * formulation compares via Column long arithmetic, which wraps for
+    * raw-Long times near ±2^63 — use [[asofBackwardToleranceNative]]
+    * (overflow-exact [[graft.plans.TimeRepr.cmpDiff]]) at those
+    * extremes; timestamps/dates cannot overflow.
+    */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            payload: Seq[String],
+                            tolerance: Long): DataFrame = {
+    requireNoReserved(left, right)
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val lType = left.schema(leftTime).dataType
+    require(graft.plans.TimeRepr.supported(lType),
+      s"as-of tolerance needs an integral-backed time type, got $lType")
+    val leftCols = left.columns.toSeq
+    def typedNull(df: DataFrame, c: String) =
+      lit(null).cast(df.schema(c).dataType).as(c)
+    // payload struct carries the matched right TIME as field __bt
+    // (cast to the left's time type, as the native operator does)
+    val payloadType = StructType(
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__bt", lType))
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("__p"): _*)
+    val taggedRight = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isLeft", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(c => typedNull(left, c)) :+
+        struct(payload.map(col) :+
+          col(rightTime).cast(lType).as("__bt"): _*).as("__p"): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lt = epochLong(col(leftTime), lType)
+    val btCol = col("__p").getField("__bt")
+    val valid = col("__p").isNotNull && col(leftTime).isNotNull &&
+      btCol.isNotNull && (lt - epochLong(btCol, lType)) <= lit(tolerance)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__isLeft") === 1)
+      .select(leftCols.map(col) ++ payload.map(c =>
+        when(valid, col("__p").getField(c)).as(c)): _*)
+  }
+
+  /** Long view of a time column for tolerance arithmetic, in the
+    * type's native unit (micros / days / raw) — the Column-level twin
+    * of [[graft.plans.TimeRepr.extractor]]. TIMESTAMP_NTZ routes
+    * through TimestampType; [[graft.Sessions]] pins the session
+    * timezone to UTC so the detour is offset-free. */
+  private def epochLong(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance does not support time type $other")
+    }
+  }
+
+  /** [[asofBackwardTolerance]] semantics through the native sort-merge
+    * operator: the single co-partitioned merge pass carries the
+    * matched right time and applies the bound with overflow-exact
+    * integer arithmetic ([[graft.plans.TimeRepr.cmpDiff]]). */
+  def asofBackwardToleranceNative(left: DataFrame, right: DataFrame,
+                                  leftKey: String, rightKey: String,
+                                  leftTime: String, rightTime: String,
+                                  payload: Seq[String],
+                                  tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(false), tolerance = Some(tolerance))
+
+  /** [[asofBackwardTolerance]] semantics through the broadcast
+    * operator: probe + binary search as usual, then the bound check
+    * against the matched index entry's time. */
+  def asofBackwardToleranceBroadcast(left: DataFrame, right: DataFrame,
+                                     leftKey: String, rightKey: String,
+                                     leftTime: String, rightTime: String,
+                                     payload: Seq[String],
+                                     tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), tolerance = Some(tolerance))
+
   /** [[asofBackwardNative]] with the BROADCAST physical strategy
     * ([[graft.plans.BroadcastAsOfJoinExec]]): the right side collects
     * into a per-key sorted index broadcast to every executor, and the
@@ -309,7 +415,8 @@ object AsOfJoin {
                             payload: Seq[String],
                             broadcast: Option[Boolean],
                             forward: Boolean = false,
-                            nearest: Boolean = false): DataFrame = {
+                            nearest: Boolean = false,
+                            tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -331,6 +438,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        payloadAttrs, payloadOut, broadcast, forward, nearest))
+        payloadAttrs, payloadOut, broadcast, forward, nearest, tolerance))
   }
 }

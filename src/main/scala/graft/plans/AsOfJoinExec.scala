@@ -111,7 +111,8 @@ case class AsOfJoinExec(
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
     forward: Boolean = false,
-    nearest: Boolean = false)
+    nearest: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -124,6 +125,12 @@ case class AsOfJoinExec(
   require(!nearest || AsOfNearest.supported(leftTime.dataType),
     s"nearest as-of needs a distance-computable time type, got " +
       s"${leftTime.dataType} — use the composed formulation")
+  require(tolerance.isEmpty || (!forward && !nearest),
+    "as-of tolerance is backward-only")
+  require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
+  require(tolerance.isEmpty || TimeRepr.supported(leftTime.dataType),
+    s"as-of tolerance needs an integral-backed time type, got " +
+      s"${leftTime.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -151,6 +158,7 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val numPayload = payload.length
+    val tol = tolerance
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -166,6 +174,7 @@ case class AsOfJoinExec(
         val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
         val nearerBack =
           if (nearest) AsOfNearest.backWins(timeType) else null
+        val tolOf = if (tol.isDefined) TimeRepr.extractor(timeType) else null
 
         new Iterator[InternalRow] {
           private val joined = new JoinedRow
@@ -205,9 +214,10 @@ case class AsOfJoinExec(
             if (carriedKey != null && keyOrd.compare(carriedKey, lk) != 0) {
               carriedKey = null
               carriedPayload = null
+              carriedTime = null
             }
+            val lt = lTimeProj(l)
             if (rRow != null) {
-              val lt = lTimeProj(l)
               var done = false
               while (!done && rRow != null) {
                 val c = keyOrd.compare(rKey, lk)
@@ -221,14 +231,23 @@ case class AsOfJoinExec(
                   // same key, right time <= left time: newest-so-far wins
                   if (carriedKey == null) carriedKey = lk.copy()
                   carriedPayload = payloadProj(rRow).copy()
+                  carriedTime = rTime // advanceRight mints a fresh copy
                   advanceRight()
                 } else {
                   done = true
                 }
               }
             }
+            // tolerance: the carry is KEPT (a later left row gets a newer
+            // right row, not a cleared carry) but only EMITS when both
+            // times are non-null and lt − bt <= tol (exact even under
+            // Long wrap, the band-join arithmetic)
+            val valid = carriedPayload != null && (tol.isEmpty ||
+              (!lt.isNullAt(0) && carriedTime != null &&
+                !carriedTime.isNullAt(0) &&
+                TimeRepr.cmpDiff(tolOf(lt), tolOf(carriedTime), tol.get) <= 0))
             resultProj(
-              joined(l, if (carriedPayload != null) carriedPayload else nullPayload))
+              joined(l, if (valid) carriedPayload else nullPayload))
           }
 
           /** Forward needs NO carried state: left times are

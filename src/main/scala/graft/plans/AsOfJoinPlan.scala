@@ -43,6 +43,14 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   [[graft.operators.AsOfJoin.asofNearestNative]]
   *                   falls back to the composition otherwise.
   *                   Mutually exclusive with `forward`.
+  * @param tolerance  bounded lookback (pandas `merge_asof(tolerance=)`):
+  *                   a backward match additionally requires
+  *                   `leftTime − rightTime <= tolerance` in the time
+  *                   type's NATIVE unit (micros for timestamps, days
+  *                   for dates, raw for integrals — the band-join
+  *                   convention); an expired (or null-time) match
+  *                   yields a NULL payload, like no match at all.
+  *                   Backward-only; needs an integral-backed time type.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -55,11 +63,15 @@ case class AsOfJoinPlan(
     payloadOut: Seq[Attribute],
     broadcast: Option[Boolean] = None,
     forward: Boolean = false,
-    nearest: Boolean = false)
+    nearest: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(!(forward && nearest),
     "as-of join direction is backward, forward OR nearest — not both")
+  require(tolerance.isEmpty || (!forward && !nearest),
+    "as-of tolerance is backward-only")
+  require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 

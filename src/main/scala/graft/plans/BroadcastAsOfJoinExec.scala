@@ -134,7 +134,8 @@ case class BroadcastAsOfJoinExec(
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
     forward: Boolean = false,
-    nearest: Boolean = false)
+    nearest: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -147,6 +148,12 @@ case class BroadcastAsOfJoinExec(
   require(!nearest || AsOfNearest.supported(leftTime.dataType),
     s"nearest as-of needs a distance-computable time type, got " +
       s"${leftTime.dataType} — use the composed formulation")
+  require(tolerance.isEmpty || (!forward && !nearest),
+    "as-of tolerance is backward-only")
+  require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
+  require(tolerance.isEmpty || TimeRepr.supported(leftTime.dataType),
+    s"as-of tolerance needs an integral-backed time type, got " +
+      s"${leftTime.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -183,6 +190,8 @@ case class BroadcastAsOfJoinExec(
         RowOrdering.createNaturalAscendingOrdering(Seq(index.timeType))
       val nearerBack =
         if (nearest) AsOfNearest.backWins(index.timeType) else null
+      val tolOf =
+        if (tolerance.isDefined) TimeRepr.extractor(index.timeType) else null
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(numPayload)
 
@@ -228,6 +237,14 @@ case class BroadcastAsOfJoinExec(
           } else {
             val best = search(group, lt, forward)
             if (best >= 0) matched = group.payloads(best)
+            // tolerance (backward-only): the match must have non-null
+            // times on both sides and lt − bt <= tol, exact under wrap
+            if (matched != null && tolerance.isDefined) {
+              val bt = group.times(best)
+              if (lt.isNullAt(0) || bt.isNullAt(0) ||
+                  TimeRepr.cmpDiff(tolOf(lt), tolOf(bt), tolerance.get) > 0)
+                matched = null
+            }
           }
         }
         resultProj(joined(l, if (matched != null) matched else nullPayload))

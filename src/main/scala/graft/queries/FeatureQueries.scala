@@ -496,6 +496,59 @@ object FeatureQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS n_types_so_far
         FROM f ORDER BY event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q151: BOUNDED-LOOKBACK as-of join (pandas merge_asof tolerance=):
+    // q41/q122's event→latest-order attachment, but a match older than
+    // the bound is EXPIRED and nulls out — the "stale quote must not
+    // match" contract. TESTDATA's match ages cluster at 8223–8813 days
+    // (1995–2001 orders under Jan-2024 events), so the 8400-day bound
+    // expires roughly half the matches — both branches of the expiry
+    // rule are exercised at every SF. Runs through the native sort-merge exec
+    // (AsOfJoinExec tolerance=Some) — one co-partitioned merge pass,
+    // the bound applied with overflow-exact integer arithmetic; the
+    // window and broadcast formulations are pinned value-identical in
+    // ToleranceAsOfSpec. Tolerance is in the time type's NATIVE unit
+    // (micros here: ts is TIMESTAMP); the oracle mirrors it with
+    // epoch_us() on both sides of the same DATE→TIMESTAMP cast.
+    Q(
+      "q151_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        graft.operators.AsOfJoin.asofBackwardToleranceNative(
+          ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("asof_orderkey", "asof_totalprice"),
+          tolerance = 8400L * 24 * 3600 * 1000000L) // 8400 days in micros
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts
+            AND epoch_us(e.ts) - epoch_us(CAST(o2.o_orderdate AS TIMESTAMP))
+                <= 725760000000000)
+        ORDER BY e.event_id
       """))
   )
 }
