@@ -49,6 +49,28 @@ object BandJoin {
     plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
       payload, broadcast = Some(true))
 
+  /** LEFT OUTER band join, sort-merge strategy: every left row
+    * survives — one NULL-payload row when nothing is in its band
+    * (null-time lefts included). The attribution shape "every
+    * purchase, with its follow-up events when any" without a second
+    * join back onto the left. */
+  def bandJoinLeftOuterNative(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              leftTime: String, rightTime: String,
+                              lo: Long, hi: Long,
+                              payload: Seq[String]): DataFrame =
+    plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+      payload, broadcast = Some(false), leftOuter = true)
+
+  /** LEFT OUTER band join, broadcast strategy. */
+  def bandJoinLeftOuterBroadcast(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String,
+                                 leftTime: String, rightTime: String,
+                                 lo: Long, hi: Long,
+                                 payload: Seq[String]): DataFrame =
+    plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+      payload, broadcast = Some(true), leftOuter = true)
+
   /** Planner-chosen strategy (right-side size estimate vs
     * `spark.sql.autoBroadcastJoinThreshold`, as the as-of family). */
   def bandJoinAuto(left: DataFrame, right: DataFrame,
@@ -94,7 +116,8 @@ object BandJoin {
                    leftTime: String, rightTime: String,
                    lo: Long, hi: Long,
                    payload: Seq[String],
-                   broadcast: Option[Boolean]): DataFrame = {
+                   broadcast: Option[Boolean],
+                   leftOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -120,6 +143,6 @@ object BandJoin {
       graft.plans.BandJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        lo, hi, payloadAttrs, payloadOut, broadcast))
+        lo, hi, payloadAttrs, payloadOut, broadcast, leftOuter))
   }
 }

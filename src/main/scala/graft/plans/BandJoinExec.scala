@@ -63,11 +63,12 @@ private[graft] object TimeRepr {
   *
   * Matching rule (exact integer algebra on the time type's native
   * units): same key AND `rt − lt ∈ (lo, hi]`. Left rows stream out in
-  * left order; a left row with no match emits nothing (INNER). Null
-  * keys group; null times never match. Right rows enter the deque at
-  * most once (admitted only past `lt + lo`, evicted permanently once
-  * the band passes — left times are non-decreasing per key, so
-  * eviction is final).
+  * left order; a left row with no match emits nothing (INNER) unless
+  * `leftOuter`, which emits it once with a NULL payload (null-time
+  * lefts included). Null keys group; null times never match. Right
+  * rows enter the deque at most once (admitted only past `lt + lo`,
+  * evicted permanently once the band passes — left times are
+  * non-decreasing per key, so eviction is final).
   */
 case class BandJoinExec(
     left: SparkPlan,
@@ -79,7 +80,8 @@ case class BandJoinExec(
     lo: Long,
     hi: Long,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute])
+    payloadOut: Seq[Attribute],
+    leftOuter: Boolean = false)
   extends BinaryExecNode {
 
   require(lo < hi, s"band must be non-empty: lo=$lo, hi=$hi")
@@ -124,6 +126,9 @@ case class BandJoinExec(
         new Iterator[InternalRow] {
           final class Entry(val t: Long, val p: InternalRow)
           private val joined = new JoinedRow
+          private val nullPayload =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              payload.length)
           private val buf = new java.util.ArrayDeque[Entry]()
           private var bufKey: UnsafeRow = _
           private var rRow: InternalRow = _
@@ -134,6 +139,9 @@ case class BandJoinExec(
           // so no defensive copy is needed
           private var curLeft: InternalRow = _
           private var emitIter: java.util.Iterator[Entry] = _
+          // leftOuter: the current left row matched nothing — emit it
+          // once with the null payload
+          private var pendingNull = false
 
           private def advanceRight(): Unit =
             if (rIter.hasNext) {
@@ -143,7 +151,8 @@ case class BandJoinExec(
             } else rRow = null
           advanceRight()
 
-          /** Advance the left cursor to its next row with >=1 match;
+          /** Advance the left cursor to its next row to emit — one with
+            * >=1 match, or (leftOuter) any left row, null-emitting;
             * returns false when the left side is exhausted. */
           private def loadNextLeft(): Boolean = {
             while (lIter.hasNext) {
@@ -184,17 +193,28 @@ case class BandJoinExec(
                   return true
                 }
               }
-              // null left time, or empty band: INNER semantics — skip
+              // null left time, or empty band: INNER skips the row;
+              // LEFT OUTER emits it once with a null payload
+              if (leftOuter) {
+                curLeft = l
+                emitIter = null
+                pendingNull = true
+                return true
+              }
             }
             false
           }
 
           override def hasNext: Boolean =
-            (emitIter != null && emitIter.hasNext) || loadNextLeft()
+            pendingNull || (emitIter != null && emitIter.hasNext) ||
+              loadNextLeft()
 
           override def next(): InternalRow = {
             if (!hasNext) throw new NoSuchElementException("empty band join")
-            resultProj(joined(curLeft, emitIter.next().p))
+            if (pendingNull) {
+              pendingNull = false
+              resultProj(joined(curLeft, nullPayload))
+            } else resultProj(joined(curLeft, emitIter.next().p))
           }
         }
     }
@@ -222,7 +242,8 @@ case class BroadcastBandJoinExec(
     lo: Long,
     hi: Long,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute])
+    payloadOut: Seq[Attribute],
+    leftOuter: Boolean = false)
   extends BinaryExecNode {
 
   require(lo < hi, s"band must be non-empty: lo=$lo, hi=$hi")
@@ -264,11 +285,17 @@ case class BroadcastBandJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val timeOf = TimeRepr.extractor(timeType)
       val joined = new JoinedRow
+      val nullPayload =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          payload.length)
+      def unmatched(l: InternalRow): Iterator[InternalRow] =
+        if (leftOuter) Iterator.single(resultProj(joined(l, nullPayload)))
+        else Iterator.empty
 
       lIter.flatMap { l =>
         val group = index.groups.get(lKeyProj(l))
         val ltRow = lTimeProj(l)
-        if (group == null || ltRow.isNullAt(0)) Iterator.empty
+        if (group == null || ltRow.isNullAt(0)) unmatched(l)
         else {
           val lt = timeOf(ltRow)
           val times = group.times
@@ -300,7 +327,8 @@ case class BroadcastBandJoinExec(
             a
           }
           val start = loIdx
-          Iterator.range(start, endIdx).map { i =>
+          if (start >= endIdx) unmatched(l)
+          else Iterator.range(start, endIdx).map { i =>
             resultProj(joined(l, group.payloads(i)))
           }
         }

@@ -7,10 +7,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * for every left row, emit one output row per right row with the same
   * key and `rightTime − leftTime` in the half-open band `(lo, hi]`
   * (native units of the time type: micros for timestamps, days for
-  * dates, raw for integrals). INNER semantics: a left row with no
-  * right row in its band emits nothing — callers needing the outer
-  * shape compose a left join on the left's key afterwards (what an
-  * attribution query does anyway, aggregating matches first).
+  * dates, raw for integrals). INNER by default: a left row with no
+  * right row in its band emits nothing. `leftOuter = true` keeps every
+  * left row, emitting one NULL-payload row for a left with no in-band
+  * match (including null-time lefts) — the attribution shape "every
+  * purchase, with its follow-up events when any".
   *
   * Why a custom operator: Spark plans a key-equality + time-range
   * predicate as an equi-join on the key with the band as a post-filter
@@ -45,7 +46,8 @@ case class BandJoinPlan(
     hi: Long,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    broadcast: Option[Boolean] = None)
+    broadcast: Option[Boolean] = None,
+    leftOuter: Boolean = false)
   extends BinaryNode {
 
   require(lo < hi, s"band must be non-empty: lo=$lo, hi=$hi")

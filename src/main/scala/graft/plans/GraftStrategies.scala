@@ -29,7 +29,7 @@ object GraftStrategies extends SparkStrategy {
         AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
           payload, payloadOut, forward, nearest, tolerance) :: Nil
     case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi, payload, payloadOut,
-        broadcast) =>
+        broadcast, leftOuter) =>
       val useBroadcast = broadcast.getOrElse {
         val threshold =
           org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
@@ -37,10 +37,10 @@ object GraftStrategies extends SparkStrategy {
       }
       if (useBroadcast)
         BroadcastBandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          lo, hi, payload, payloadOut) :: Nil
+          lo, hi, payload, payloadOut, leftOuter) :: Nil
       else
         BandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          lo, hi, payload, payloadOut) :: Nil
+          lo, hi, payload, payloadOut, leftOuter) :: Nil
     case _ => Nil
   }
 }

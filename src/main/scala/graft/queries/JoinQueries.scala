@@ -375,7 +375,54 @@ object JoinQueries {
     Q(
       "q147_band_join_broadcast",
       (s, dir) => bandAttribution(s, dir, broadcastDim = true),
-      Some(attributionOracle))
+      Some(attributionOracle)),
+
+    // ----------------------------------------------------------------
+    // q153: LEFT OUTER band join — q146's purchase→follow-up-events
+    // attribution at PAIR grain, keeping purchases with an empty band
+    // as one NULL-event row (BandJoinExec leftOuter=true). This is the
+    // shape q93/q146 emulate with a post-aggregation left join back
+    // onto purchases; the outer operator needs no second join. Oracle
+    // is the LEFT JOIN spelling of q93's band SQL, verbatim semantics.
+    Q(
+      "q153_band_join_left_outer",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val W = 86400000000L // 24 h in micros
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("t_us").as("p_us"))
+        BandJoin.bandJoinLeftOuterNative(
+          purch,
+          ev.select(col("user_id"), col("t_us"),
+            col("event_id").as("attr_event_id"),
+            col("event_type").as("attr_event_type")),
+          "user_id", "user_id", "p_us", "t_us",
+          lo = 0, hi = W,
+          payload = Seq("attr_event_id", "attr_event_type"))
+          .select(col("purchase_id"), col("user_id"), col("p_us"),
+            col("attr_event_id"), col("attr_event_type"))
+          .orderBy(col("purchase_id"), col("attr_event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 event_type
+          FROM events),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, t_us AS p_us
+          FROM e WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.p_us,
+               e.event_id AS attr_event_id,
+               e.event_type AS attr_event_type
+        FROM p LEFT JOIN e ON e.user_id = p.user_id
+                          AND e.t_us > p.p_us
+                          AND e.t_us <= p.p_us + 86400000000
+        ORDER BY p.purchase_id, attr_event_id
+      """))
   )
 
   /** q93's attribution computed through the custom band-join operator
