@@ -422,7 +422,79 @@ object JoinQueries {
                           AND e.t_us > p.p_us
                           AND e.t_us <= p.p_us + 86400000000
         ORDER BY p.purchase_id, attr_event_id
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q152: STREAMING band join ACROSS A CHECKPOINT RESUME — q147's
+    // broadcast band attribution (events = the fact stream, never
+    // shuffled or sorted; purchases = the broadcast dim index) deployed
+    // as a micro-batched pipeline, with the resume path under the gate:
+    // the input lands in TWO waves and the stream is STARTED TWICE on
+    // the same checkpoint — the second start must recover the file
+    // offsets and process ONLY wave 2. Band enrichment is row-wise
+    // against a static right side, so the union of per-batch outputs
+    // equals the one-shot batch join — which is why this entry is held
+    // to q93/q146/q147's oracle VERBATIM.
+    Q(
+      "q152_stream_band_join",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val out = graft.Q.scratch(s, "q152_streamband", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val W = 86400000000L // 24 h in micros
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("t_us").as("p_us"))
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              // event e attributes to purchase p iff t_e − t_p ∈ (0, W]
+              // ⇔ t_p − t_e ∈ (−W−1, −1] on integer micros (q147's
+              // exact reversal)
+              BandJoin.bandJoinBroadcast(b, purch,
+                  "user_id", "p_user", "t_us", "p_us",
+                  lo = -W - 1, hi = -1, payload = Seq("purchase_id"))
+                .select("purchase_id", "event_type")
+                .write.mode("append").parquet(s"$out/pairs")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q152 drain did not finish in 300 s")
+          }
+        }
+        // wave 1 → drain → wave 2 appended → SECOND start on the SAME
+        // checkpoint (the resume: only wave 2's files are new)
+        ev.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        ev.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        val attributed = s.read.parquet(s"$out/pairs")
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_attr"),
+            countDistinct(col("event_type")).as("n_types"))
+        purch.select(col("purchase_id"), col("p_user").as("user_id"),
+            col("p_us"))
+          .join(attributed, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"), col("p_us"),
+            coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+            coalesce(col("n_types"), lit(0L)).as("n_types"))
+          .orderBy("purchase_id")
+      },
+      Some(attributionOracle))
   )
 
   /** q93's attribution computed through the custom band-join operator
