@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -549,6 +549,61 @@ object FeatureQueries {
             AND epoch_us(e.ts) - epoch_us(CAST(o2.o_orderdate AS TIMESTAMP))
                 <= 725760000000000)
         ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q154: INTERPOLATED rolling quantiles over an EVEN window (pandas
+    // rolling(8).quantile(q), linear interpolation) — the general case
+    // q148's odd-window median deliberately side-stepped. With the
+    // window pinned at n=8 (min_periods=8), the rank position is
+    // h = (n−1)·q; the estimate interpolates the two bracketing order
+    // statistics with DuckDB quantile_cont's EXACT operation sequence
+    //   lower·(1−frac) + frac·upper,   frac = h − ⌊h⌋
+    // (verified against DuckDB: the one-multiply form
+    // lower + frac·(upper−lower) differs in the last ulp for q=0.25
+    // and is NOT hash-equal). The frac constants are Scala doubles —
+    // the same correctly-rounded values DuckDB derives from its q
+    // literal, so every arithmetic step is a mirrored single IEEE op
+    // (the q143 literal discipline, applied to the interpolation
+    // weights). q=0.5 degenerates to the two-middle average (q149's
+    // even-median rule) — here via the same uniform formula.
+    Q(
+      "q154_rolling_quantile_interp",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(-7, Window.currentRow)
+        // n is pinned at 8 by the nn == 8 gate, so h = 7q and the two
+        // bracketing 1-based sorted positions are static per q
+        def interp(arr: Column, q: Double): Column = {
+          val h = 7.0 * q
+          val lo = math.floor(h).toInt
+          val frac = h - lo
+          element_at(arr, lo + 1) * lit(1.0 - frac) +
+            lit(frac) * element_at(arr, lo + 2)
+        }
+        daily(s, dir)
+          .withColumn("nn", count(col("v")).over(w))
+          .withColumn("arr",
+            when(col("nn") === 8, sort_array(collect_list(col("v")).over(w))))
+          .withColumn("p25", interp(col("arr"), 0.25))
+          .withColumn("med8", interp(col("arr"), 0.5))
+          .withColumn("p90", interp(col("arr"), 0.9))
+          .select("user_id", "d", "v", "p25", "med8", "p90")
+          .orderBy("user_id", "d")
+      },
+      Some(s"""
+        WITH $dailySql
+        SELECT user_id, d, v,
+          CASE WHEN COUNT(v) OVER w = 8
+               THEN quantile_cont(v, 0.25) OVER w END AS p25,
+          CASE WHEN COUNT(v) OVER w = 8
+               THEN quantile_cont(v, 0.5) OVER w END AS med8,
+          CASE WHEN COUNT(v) OVER w = 8
+               THEN quantile_cont(v, 0.9) OVER w END AS p90
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, d
       """))
   )
 }
