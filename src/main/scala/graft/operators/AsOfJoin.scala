@@ -240,6 +240,55 @@ object AsOfJoin {
     }
   }
 
+  /** Backward as-of for a SKEWED fact side — the declarative skew
+    * mitigation for the custom exec tier.
+    *
+    * WHY IT EXISTS: Spark's AQE skew handling
+    * (`OptimizeSkewedJoin`, sql/core adaptive rules) pattern-matches
+    * ONLY `SortMergeJoinExec` and `ShuffledHashJoinExec`, so the
+    * ordinary exchanges feeding [[graft.plans.AsOfJoinExec]] /
+    * [[graft.plans.BandJoinExec]] are coalesced by AQE but NEVER
+    * runtime-SPLIT — at 100 TB one hot key (one coin, one viral user)
+    * is a single straggler task however many executors idle beside it.
+    *
+    * RECIPE: the left salts into `buckets` sub-keys from stable row
+    * content ([[Salt.saltCol]] — deterministic, so task retries salt
+    * identically); the right REPLICATES into every salt bucket, so
+    * each sub-key still sees its key's FULL right timeline and every
+    * left row's match is exactly the unsalted one (SkewAsOfSpec pins
+    * value equality). The native sort-merge then runs on the composite
+    * key (key, salt): the hot key's rows spread over `buckets`
+    * partitions of the SAME exchange. Cost: the right side shuffles
+    * `buckets`×, so use a dim-sized right — or pre-split hot keys
+    * (filter + union) when both sides are big.
+    *
+    * `stable` defaults to the left TIME column — under the hot-key
+    * skew this operator targets, the hot key's many distinct times
+    * spread uniformly; pass an id column instead when times themselves
+    * concentrate on few values. */
+  def asofBackwardSalted(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         payload: Seq[String],
+                         buckets: Int,
+                         stable: Option[Column] = None): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"salt buckets must be in [1, 4096], got $buckets")
+    val saltC = "__asof_salt"
+    require(!(left.columns ++ right.columns).contains(saltC),
+      s"input column $saltC collides with the salting column — rename it")
+    val stableCol = stable.getOrElse(col(leftTime))
+    val saltedLeft = left.withColumn(saltC,
+      Salt.saltCol(stableCol, buckets).cast("int"))
+    val replRight = right
+      .withColumn(saltC, explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn(saltC, col(saltC).cast("int"))
+    planNativeKeys(saltedLeft, replRight,
+      Seq(leftKey, saltC), Seq(rightKey, saltC),
+      leftTime, rightTime, payload, broadcast = Some(false))
+      .drop(saltC)
+  }
+
   /** [[asofBackwardTolerance]] semantics through the native sort-merge
     * operator: the single co-partitioned merge pass carries the
     * matched right time and applies the bound with overflow-exact
@@ -416,7 +465,21 @@ object AsOfJoin {
                             broadcast: Option[Boolean],
                             forward: Boolean = false,
                             nearest: Boolean = false,
-                            tolerance: Option[Long] = None): DataFrame = {
+                            tolerance: Option[Long] = None): DataFrame =
+    planNativeKeys(left, right, Seq(leftKey), Seq(rightKey), leftTime,
+      rightTime, payload, broadcast, forward, nearest, tolerance)
+
+  /** Multi-key lowering — the execs already join on `Seq[Expression]`
+    * keys; the composite form exists for [[asofBackwardSalted]]'s
+    * (key, salt) pairs and any caller with genuinely compound keys. */
+  private def planNativeKeys(left: DataFrame, right: DataFrame,
+                             leftKeys: Seq[String], rightKeys: Seq[String],
+                             leftTime: String, rightTime: String,
+                             payload: Seq[String],
+                             broadcast: Option[Boolean],
+                             forward: Boolean = false,
+                             nearest: Boolean = false,
+                             tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -436,7 +499,7 @@ object AsOfJoin {
       AttributeReference(a.name, a.dataType, nullable = true)())
     org.apache.spark.sql.GraftPlanApi.ofRows(left.sparkSession,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
-        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
         payloadAttrs, payloadOut, broadcast, forward, nearest, tolerance))
   }
