@@ -108,4 +108,49 @@ object PricePrediction {
     }
     rows.toSeq.toDF(keyCol, "model", "rmse", "mae", "r2")
   }
+
+  /** Key count above which [[evaluatePerKeyAuto]] abandons the driver
+    * loop for the executor-side grouped path. ~100 is where one-MLlib-
+    * job-per-key serialization starts to dominate wall time: each fit
+    * is a handful of tiny jobs with fixed scheduler latency, so the
+    * loop costs O(keys · scheduler RTT) regardless of executor count. */
+  val GroupedRouteThreshold = 100
+
+  /** [[evaluatePerKey]] with the execution strategy routed by KEY
+    * COUNT — the scale inversion documented on [[evaluatePerKey]] made
+    * automatic:
+    *
+    *  - at or under `keyThreshold` distinct keys: the reference-
+    *    faithful DRIVER loop, one MLlib pipeline per key, all four
+    *    model families (the right trade for a handful of coins —
+    *    MLlib estimators are themselves distributed jobs);
+    *  - above it: [[GroupedRegression]] INSIDE the executors — one
+    *    codegen'd Gram-matrix aggregation (shuffle carries O(d²)
+    *    doubles per GROUP, not per row) + a per-group closed-form
+    *    ridge solve, no driver serialization. Same output shape with
+    *    model = "GroupedRidge"; the linear family only — at thousands
+    *    of tiny independent series, per-series GBTs are the wrong
+    *    model class anyway, and GroupedRegressionSpec pins the linear
+    *    path's parity with MLlib to 1e-6.
+    */
+  def evaluatePerKeyAuto(spark: SparkSession, df: DataFrame, keyCol: String,
+                         ordCol: String, label: String,
+                         exclude: Seq[String] = Nil,
+                         keyThreshold: Int = GroupedRouteThreshold,
+                         regParam: Double = 0.0): DataFrame = {
+    val nKeys = df.select(keyCol).distinct().count()
+    if (nKeys <= keyThreshold)
+      evaluatePerKey(spark, df, keyCol, ordCol, label, exclude)
+    else {
+      val feats = numericFeatures(df, label, exclude)
+      val (train, test) = timeSplit(df, keyCol, ordCol)
+      val models = GroupedRegression.fitRidgePerGroup(
+        train, keyCol, feats, label, regParam)
+      val pred = GroupedRegression.predict(models, test, keyCol, feats)
+      GroupedRegression.metricsPerKey(pred, keyCol, label)
+        .select(col(keyCol).cast("string").as(keyCol),
+          lit("GroupedRidge").as("model"),
+          col("rmse"), col("mae"), col("r2"))
+    }
+  }
 }

@@ -194,4 +194,43 @@ class GroupedRegressionSpec extends AnyFunSuite {
       Array(Array(2.0, 1.0), Array(1.0, 3.0)), Array(5.0, 10.0))
     assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
   }
+
+  test("evaluatePerKeyAuto grouped route matches MLlib LinearRegression metrics per key") {
+    import graft.ml.PricePrediction
+    // ordered series per key (the auto path time-splits on `i`)
+    val sdf = df.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("x1")))
+    // keyThreshold = 0 forces the GroupedRegression route for 3 keys
+    val grouped = PricePrediction.evaluatePerKeyAuto(
+        spark, sdf, "k", "i", "y", exclude = Seq("i"), keyThreshold = 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(grouped.keySet == Set("a", "b", "c"))
+    assert(grouped.values.forall(_.toString.indexOf("NaN") < 0))
+
+    // MLlib reference: the same split, VectorAssembler -> StandardScaler
+    // -> LinearRegression(OLS) per key, RegressionEvaluator metrics
+    val (train, test) = PricePrediction.timeSplit(sdf, "k", "i")
+    for (k <- Seq("a", "b", "c")) {
+      val tr = train.where(col("k") === k)
+      val te = test.where(col("k") === k)
+      val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(features.toArray).setOutputCol("rawFeatures")
+      val scaler = new org.apache.spark.ml.feature.StandardScaler()
+        .setInputCol("rawFeatures").setOutputCol("feat")
+        .setWithMean(true).setWithStd(true)
+      val lr = new org.apache.spark.ml.regression.LinearRegression()
+        .setFeaturesCol("feat").setLabelCol("y")
+      val fitted = new org.apache.spark.ml.Pipeline()
+        .setStages(Array(assembler, scaler, lr)).fit(tr)
+      val pred = fitted.transform(te)
+      def m(name: String) = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+        .setLabelCol("y").setPredictionCol("prediction")
+        .setMetricName(name).evaluate(pred)
+      val (rmse, mae, r2) = grouped(k)
+      assert(math.abs(rmse - m("rmse")) < 1e-6, s"$k rmse $rmse vs ${m("rmse")}")
+      assert(math.abs(mae - m("mae")) < 1e-6, s"$k mae $mae vs ${m("mae")}")
+      assert(math.abs(r2 - m("r2")) < 1e-6, s"$k r2 $r2 vs ${m("r2")}")
+    }
+  }
 }
