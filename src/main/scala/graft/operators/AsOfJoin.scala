@@ -222,6 +222,143 @@ object AsOfJoin {
         when(valid, col("__p").getField(c)).as(c)): _*)
   }
 
+  /** FORWARD as-of with a bounded lookAHEAD: [[asofForward]] except the
+    * match additionally requires `rightTime − leftTime <= tolerance`
+    * (native units; null times never satisfy the bound). Union+window
+    * formulation — same one-shuffle plan, the matched right time rides
+    * the payload struct; the native/broadcast twins are
+    * [[asofForwardToleranceNative]] / [[asofForwardToleranceBroadcast]]. */
+  def asofForwardTolerance(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           payload: Seq[String],
+                           tolerance: Long): DataFrame = {
+    requireNoReserved(left, right)
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val lType = left.schema(leftTime).dataType
+    require(graft.plans.TimeRepr.supported(lType),
+      s"as-of tolerance needs an integral-backed time type, got $lType")
+    val leftCols = left.columns.toSeq
+    def typedNull(df: DataFrame, c: String) =
+      lit(null).cast(df.schema(c).dataType).as(c)
+    val payloadType = StructType(
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__ft", lType))
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("__p"): _*)
+    val taggedRight = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isLeft", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__isLeft")) ++
+        leftCols.map(c => typedNull(left, c)) :+
+        struct(payload.map(col) :+
+          col(rightTime).cast(lType).as("__ft"): _*).as("__p"): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__isLeft").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val lt = epochLong(col(leftTime), lType)
+    val ftCol = col("__p").getField("__ft")
+    val valid = col("__p").isNotNull && col(leftTime).isNotNull &&
+      ftCol.isNotNull && (epochLong(ftCol, lType) - lt) <= lit(tolerance)
+    unioned
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__isLeft") === 1)
+      .select(leftCols.map(col) ++ payload.map(c =>
+        when(valid, col("__p").getField(c)).as(c)): _*)
+  }
+
+  /** [[asofForwardTolerance]] through the native sort-merge pass. */
+  def asofForwardToleranceNative(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String,
+                                 leftTime: String, rightTime: String,
+                                 payload: Seq[String],
+                                 tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(false), forward = true,
+      tolerance = Some(tolerance))
+
+  /** [[asofForwardTolerance]] through the broadcast index probe. */
+  def asofForwardToleranceBroadcast(left: DataFrame, right: DataFrame,
+                                    leftKey: String, rightKey: String,
+                                    leftTime: String, rightTime: String,
+                                    payload: Seq[String],
+                                    tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), forward = true,
+      tolerance = Some(tolerance))
+
+  /** NEAREST as-of with tolerance: each DIRECTION is bounded
+    * independently (a stale backward match can lose to an in-bound
+    * forward one and vice versa), then the nearer survivor wins, tie →
+    * backward. Fused single-pass exec; needs an integral-backed time
+    * type (tolerance arithmetic — no composed fallback exists for
+    * distance-free types under a distance bound). */
+  def asofNearestToleranceNative(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String,
+                                 leftTime: String, rightTime: String,
+                                 payload: Seq[String],
+                                 tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(false), nearest = true,
+      tolerance = Some(tolerance))
+
+  /** [[asofNearestToleranceNative]] with the broadcast strategy. */
+  def asofNearestToleranceBroadcast(left: DataFrame, right: DataFrame,
+                                    leftKey: String, rightKey: String,
+                                    leftTime: String, rightTime: String,
+                                    payload: Seq[String],
+                                    tolerance: Long): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), nearest = true,
+      tolerance = Some(tolerance))
+
+  /** [[asofNearestToleranceNative]] composed from the two tolerance'd
+    * single-direction native joins — the independent cross-check the
+    * fused execs are pinned against (ToleranceAsOfSpec). An
+    * out-of-bound direction nulls its whole payload struct INSIDE the
+    * single-direction join, so the nearer-survivor projection here is
+    * the unbounded composition's, verbatim. */
+  def asofNearestToleranceComposed(left: DataFrame, right: DataFrame,
+                                   leftKey: String, rightKey: String,
+                                   leftTime: String, rightTime: String,
+                                   payload: Seq[String],
+                                   tolerance: Long): DataFrame = {
+    val bT = "__asof_bt"
+    val fT = "__asof_ft"
+    val bCols = payload.map(c => s"__b_$c")
+    val fCols = payload.map(c => s"__f_$c")
+    val internal = (bCols ++ fCols :+ bT :+ fT).toSet
+    val hit = left.columns.filter(internal.contains)
+    require(hit.isEmpty, s"left columns ${hit.mkString(", ")} collide with " +
+      "asofNearestToleranceComposed internal names — rename them first")
+    def renamed(prefix: String, timeAlias: String): DataFrame =
+      right.select(
+        Seq(col(rightKey), col(rightTime).as(timeAlias)) ++
+          payload.map(c => col(c).as(s"${prefix}_$c")): _*)
+    val backward = planNativeOpt(
+      left, renamed("__b", bT),
+      leftKey, rightKey, leftTime, bT,
+      bCols :+ bT, broadcast = Some(false), tolerance = Some(tolerance))
+    val both = planNativeOpt(
+      backward, renamed("__f", fT),
+      leftKey, rightKey, leftTime, fT,
+      fCols :+ fT, broadcast = Some(false), forward = true,
+      tolerance = Some(tolerance))
+    val lt = col(leftTime)
+    val backWins = col(bT).isNotNull &&
+      (col(fT).isNull || (lt - col(bT)) <= (col(fT) - lt))
+    val out = payload.zip(bCols.zip(fCols)).map { case (c, (b, f)) =>
+      when(backWins, col(b)).otherwise(col(f)).as(c)
+    }
+    both.select(left.columns.map(col).toSeq ++ out: _*)
+  }
+
   /** Long view of a time column for tolerance arithmetic, in the
     * type's native unit (micros / days / raw) — the Column-level twin
     * of [[graft.plans.TimeRepr.extractor]]. TIMESTAMP_NTZ routes

@@ -125,8 +125,6 @@ case class AsOfJoinExec(
   require(!nearest || AsOfNearest.supported(leftTime.dataType),
     s"nearest as-of needs a distance-computable time type, got " +
       s"${leftTime.dataType} — use the composed formulation")
-  require(tolerance.isEmpty || (!forward && !nearest),
-    "as-of tolerance is backward-only")
   require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
   require(tolerance.isEmpty || TimeRepr.supported(leftTime.dataType),
     s"as-of tolerance needs an integral-backed time type, got " +
@@ -257,9 +255,9 @@ case class AsOfJoinExec(
           private def nextForward(): InternalRow = {
             val l = lIter.next()
             val lk = lKeyProj(l)
+            val lt = lTimeProj(l)
             var matched: InternalRow = null
             if (rRow != null) {
-              val lt = lTimeProj(l)
               var done = false
               while (!done && rRow != null) {
                 val c = keyOrd.compare(rKey, lk)
@@ -278,6 +276,12 @@ case class AsOfJoinExec(
                 }
               }
             }
+            // forward tolerance: reject when either time is null or
+            // rt − lt > tol (exact under Long wrap)
+            if (matched != null && tol.isDefined &&
+                (lt.isNullAt(0) || rTime.isNullAt(0) ||
+                  TimeRepr.cmpDiff(tolOf(rTime), tolOf(lt), tol.get) > 0))
+              matched = null
             resultProj(
               joined(l, if (matched != null) matched else nullPayload))
           }
@@ -328,17 +332,34 @@ case class AsOfJoinExec(
             val fwdSameKey = rRow != null && keyOrd.compare(rKey, lk) == 0
             val chosen =
               if (lt.isNullAt(0)) {
-                // bt can only be null here (bt <= null ⇒ null) → forward:
-                // the key's first right row, whatever its time
-                if (firstCarriedPayload != null) firstCarriedPayload
+                // a null left time has no distance: under tolerance it
+                // can never satisfy the bound; unbounded, its forward
+                // match is the key's first right row, whatever its time
+                if (tol.isDefined) nullPayload
+                else if (firstCarriedPayload != null) firstCarriedPayload
                 else if (fwdSameKey) payloadProj(rRow)
                 else nullPayload
-              } else {
+              } else if (tol.isEmpty) {
                 val backWins = carriedPayload != null &&
                   !carriedTime.isNullAt(0) &&
                   (!fwdSameKey || nearerBack(carriedTime, lt, rTime))
                 if (backWins) carriedPayload
                 else if (fwdSameKey) payloadProj(rRow)
+                else nullPayload
+              } else {
+                // nearest with tolerance: each DIRECTION must be within
+                // the bound independently; the nearer of the survivors
+                // wins (tie → backward). A direction with a null time
+                // never survives.
+                val ltL = tolOf(lt)
+                val backOk = carriedPayload != null &&
+                  !carriedTime.isNullAt(0) &&
+                  TimeRepr.cmpDiff(ltL, tolOf(carriedTime), tol.get) <= 0
+                val fwdOk = fwdSameKey && !rTime.isNullAt(0) &&
+                  TimeRepr.cmpDiff(tolOf(rTime), ltL, tol.get) <= 0
+                if (backOk && (!fwdOk || nearerBack(carriedTime, lt, rTime)))
+                  carriedPayload
+                else if (fwdOk) payloadProj(rRow)
                 else nullPayload
               }
             resultProj(joined(l, chosen))

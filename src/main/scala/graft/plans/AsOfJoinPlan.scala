@@ -43,14 +43,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   [[graft.operators.AsOfJoin.asofNearestNative]]
   *                   falls back to the composition otherwise.
   *                   Mutually exclusive with `forward`.
-  * @param tolerance  bounded lookback (pandas `merge_asof(tolerance=)`):
-  *                   a backward match additionally requires
-  *                   `leftTime − rightTime <= tolerance` in the time
-  *                   type's NATIVE unit (micros for timestamps, days
-  *                   for dates, raw for integrals — the band-join
-  *                   convention); an expired (or null-time) match
+  * @param tolerance  bounded match distance (pandas
+  *                   `merge_asof(tolerance=)`), in the time type's
+  *                   NATIVE unit (micros for timestamps, days for
+  *                   dates, raw for integrals — the band-join
+  *                   convention): backward requires `lt − rt <= tol`,
+  *                   forward `rt − lt <= tol`, and nearest bounds each
+  *                   direction independently before picking the nearer
+  *                   survivor. An out-of-bound (or null-time) match
   *                   yields a NULL payload, like no match at all.
-  *                   Backward-only; needs an integral-backed time type.
+  *                   Needs an integral-backed time type.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -69,8 +71,6 @@ case class AsOfJoinPlan(
 
   require(!(forward && nearest),
     "as-of join direction is backward, forward OR nearest — not both")
-  require(tolerance.isEmpty || (!forward && !nearest),
-    "as-of tolerance is backward-only")
   require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut

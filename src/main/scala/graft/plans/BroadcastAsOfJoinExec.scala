@@ -148,8 +148,6 @@ case class BroadcastAsOfJoinExec(
   require(!nearest || AsOfNearest.supported(leftTime.dataType),
     s"nearest as-of needs a distance-computable time type, got " +
       s"${leftTime.dataType} — use the composed formulation")
-  require(tolerance.isEmpty || (!forward && !nearest),
-    "as-of tolerance is backward-only")
   require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
   require(tolerance.isEmpty || TimeRepr.supported(leftTime.dataType),
     s"as-of tolerance needs an integral-backed time type, got " +
@@ -220,7 +218,7 @@ case class BroadcastAsOfJoinExec(
         var matched: InternalRow = null
         if (group != null) {
           val lt = lTimeProj(l)
-          if (nearest) {
+          if (nearest && tolerance.isEmpty) {
             // both candidates from two probes of the same index; the
             // decision rule is the composed projection's, verbatim —
             // a null-time backward match always loses (no distance)
@@ -234,16 +232,41 @@ case class BroadcastAsOfJoinExec(
               if (backWins) group.payloads(b)
               else if (f >= 0) group.payloads(f)
               else null
+          } else if (nearest) {
+            // nearest with tolerance: each direction must be within the
+            // bound independently; nearer survivor wins, tie → backward;
+            // null times (either side) never satisfy the bound
+            if (!lt.isNullAt(0)) {
+              val b = search(group, lt, fwd = false)
+              val f = search(group, lt, fwd = true)
+              val ltL = tolOf(lt)
+              val bOk = b >= 0 && !group.times(b).isNullAt(0) &&
+                TimeRepr.cmpDiff(ltL, tolOf(group.times(b)),
+                  tolerance.get) <= 0
+              val fOk = f >= 0 && !group.times(f).isNullAt(0) &&
+                TimeRepr.cmpDiff(tolOf(group.times(f)), ltL,
+                  tolerance.get) <= 0
+              matched =
+                if (bOk && (!fOk ||
+                    nearerBack(group.times(b), lt, group.times(f))))
+                  group.payloads(b)
+                else if (fOk) group.payloads(f)
+                else null
+            }
           } else {
             val best = search(group, lt, forward)
             if (best >= 0) matched = group.payloads(best)
-            // tolerance (backward-only): the match must have non-null
-            // times on both sides and lt − bt <= tol, exact under wrap
+            // tolerance: the match must have non-null times on both
+            // sides and a within-bound distance in the match direction
+            // (exact under Long wrap)
             if (matched != null && tolerance.isDefined) {
-              val bt = group.times(best)
-              if (lt.isNullAt(0) || bt.isNullAt(0) ||
-                  TimeRepr.cmpDiff(tolOf(lt), tolOf(bt), tolerance.get) > 0)
-                matched = null
+              val mt = group.times(best)
+              val ok = !lt.isNullAt(0) && !mt.isNullAt(0) && (
+                if (forward)
+                  TimeRepr.cmpDiff(tolOf(mt), tolOf(lt), tolerance.get) <= 0
+                else
+                  TimeRepr.cmpDiff(tolOf(lt), tolOf(mt), tolerance.get) <= 0)
+              if (!ok) matched = null
             }
           }
         }

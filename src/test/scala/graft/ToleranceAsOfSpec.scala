@@ -107,6 +107,130 @@ class ToleranceAsOfSpec extends AnyFunSuite {
     }
   }
 
+  // ---- FORWARD tolerance: all three formulations vs brute force ----
+
+  private val fwdImpls: Seq[(String, Impl)] = Seq(
+    "window" -> (AsOfJoin.asofForwardTolerance _),
+    "native" -> (AsOfJoin.asofForwardToleranceNative _),
+    "broadcast" -> (AsOfJoin.asofForwardToleranceBroadcast _))
+
+  private def bruteFwd(l: Seq[(String, Option[Int], Int)],
+                       r: Seq[(String, Option[Int], Int)],
+                       tol: Long): Seq[(String, Option[Int], Int, Option[Int])] =
+    l.map { case (k, t, id) =>
+      val m = t.flatMap { lt =>
+        r.filter(x => x._1 == k && x._2.exists(rt =>
+            rt >= lt && rt.toLong - lt <= tol))
+          .sortBy(_._2.get).headOption.map(_._3)
+      }
+      (k, t, id, m)
+    }.sortBy(x => (x._1, x._3))
+
+  for ((name, impl) <- fwdImpls) {
+    test(s"[fwd-$name] lookahead bound: boundary inclusive, expiry, null times") {
+      val l = leftDf(Seq(
+        ("k1", Some(10), 1),  // right at 13: dist 3 <= 3 → match
+        ("k1", Some(16), 2),  // next right at 20: dist 4 > 3 → null
+        ("k1", None, 3)))     // null left time: never within bound
+      val r = rightDf(Seq(("k1", Some(13), 130), ("k1", Some(20), 200),
+        ("k1", None, -1)))
+      assert(run(impl, 3L)(l, r) == Seq(
+        ("k1", Some(10), 1, Some(130)),
+        ("k1", Some(16), 2, None),
+        ("k1", None, 3, None)))
+    }
+
+    test(s"[fwd-$name] randomized cross-check vs brute force") {
+      for (seed <- 511 to 514) {
+        val rnd = new scala.util.Random(seed)
+        val keys = Seq("a", "b", "c")
+        val l = Seq.tabulate(50) { i =>
+          (keys(rnd.nextInt(3)),
+            if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40)), i)
+        }
+        val r = Seq.tabulate(35) { i =>
+          (keys(rnd.nextInt(3)),
+            if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40)), i)
+        }.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+        val tol = rnd.nextInt(6).toLong
+        assert(run(impl, tol)(leftDf(l), rightDf(r)) == bruteFwd(l, r, tol),
+          s"seed=$seed tol=$tol")
+      }
+    }
+  }
+
+  // ---- NEAREST tolerance: three formulations vs brute force ----
+
+  private val nearImpls: Seq[(String, Impl)] = Seq(
+    "composed" -> (AsOfJoin.asofNearestToleranceComposed _),
+    "native" -> (AsOfJoin.asofNearestToleranceNative _),
+    "broadcast" -> (AsOfJoin.asofNearestToleranceBroadcast _))
+
+  private def bruteNear(l: Seq[(String, Option[Int], Int)],
+                        r: Seq[(String, Option[Int], Int)],
+                        tol: Long): Seq[(String, Option[Int], Int, Option[Int])] =
+    l.map { case (k, t, id) =>
+      val m = t.flatMap { lt =>
+        val back = r.filter(x => x._1 == k && x._2.exists(rt =>
+            rt <= lt && lt.toLong - rt <= tol))
+          .sortBy(_._2.get).lastOption
+        val fwd = r.filter(x => x._1 == k && x._2.exists(rt =>
+            rt >= lt && rt.toLong - lt <= tol))
+          .sortBy(_._2.get).headOption
+        (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            // tie → backward (pandas nearest rule)
+            if (lt.toLong - b._2.get <= f._2.get.toLong - lt) Some(b._3)
+            else Some(f._3)
+          case (Some(b), None) => Some(b._3)
+          case (None, Some(f)) => Some(f._3)
+          case _ => None
+        }
+      }
+      (k, t, id, m)
+    }.sortBy(x => (x._1, x._3))
+
+  for ((name, impl) <- nearImpls) {
+    test(s"[near-$name] per-direction bound: stale backward loses to in-bound forward") {
+      val l = leftDf(Seq(
+        ("k1", Some(10), 1),  // back at 3 (dist 7 > 4, OUT); fwd at 13 (dist 3, in) → 130
+        ("k1", Some(20), 2),  // back at 18 (dist 2, in); fwd at 21 (dist 1, in, nearer) → 210
+        ("k1", Some(40), 3),  // nothing within 4 on either side → null
+        ("k1", None, 4)))     // null left time → null under tolerance
+      val r = rightDf(Seq(("k1", Some(3), 30), ("k1", Some(13), 130),
+        ("k1", Some(18), 180), ("k1", Some(21), 210), ("k1", Some(50), 500)))
+      assert(run(impl, 4L)(l, r) == Seq(
+        ("k1", Some(10), 1, Some(130)),
+        ("k1", Some(20), 2, Some(210)),
+        ("k1", Some(40), 3, None),
+        ("k1", None, 4, None)))
+    }
+
+    test(s"[near-$name] equidistant within bound ties to backward") {
+      val l = leftDf(Seq(("k1", Some(10), 1)))
+      val r = rightDf(Seq(("k1", Some(8), 80), ("k1", Some(12), 120)))
+      assert(run(impl, 5L)(l, r) == Seq(("k1", Some(10), 1, Some(80))))
+    }
+
+    test(s"[near-$name] randomized cross-check vs brute force") {
+      for (seed <- 521 to 524) {
+        val rnd = new scala.util.Random(seed)
+        val keys = Seq("a", "b", "c")
+        val l = Seq.tabulate(50) { i =>
+          (keys(rnd.nextInt(3)),
+            if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40)), i)
+        }
+        val r = Seq.tabulate(35) { i =>
+          (keys(rnd.nextInt(3)),
+            if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40)), i)
+        }.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+        val tol = rnd.nextInt(6).toLong
+        assert(run(impl, tol)(leftDf(l), rightDf(r)) == bruteNear(l, r, tol),
+          s"seed=$seed tol=$tol")
+      }
+    }
+  }
+
   test("timestamp tolerance in MICROS matches the day-scale brute force") {
     val l = Seq(("u1", "2024-01-10 00:00:00", 1), ("u1", "2024-01-20 00:00:00", 2))
       .toDF("k", "ts_s", "left_id")
