@@ -604,6 +604,127 @@ object FeatureQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY d
                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
+    // q155: FORWARD as-of with a bounded lookAHEAD (pandas
+    // merge_asof(direction='forward', tolerance=)) — each click
+    // attaches the user's NEXT purchase, but only if it lands within
+    // 2 days; a later conversion does not count. Median click→purchase
+    // gap in TESTDATA is ~1.5 days with p90 ~5.4 days, so the 2-day
+    // bound leaves both branches of the expiry rule heavily populated
+    // at every SF. Runs through the native sort-merge exec
+    // (AsOfJoinExec forward=true tolerance=Some): one co-partitioned
+    // merge pass, the bound applied as rt − lt <= tol with
+    // overflow-exact integer arithmetic; the window and broadcast
+    // formulations are pinned value-identical in ToleranceAsOfSpec.
+    // The right side is deduped to one row per (user, ts) — max
+    // event_id wins — so the attached payload is deterministic even if
+    // two purchases share a microsecond.
+    Q(
+      "q155_asof_tolerance_fwd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val winner = Window.partitionBy("user_id", "ts")
+          .orderBy(col("event_id").desc)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        graft.operators.AsOfJoin.asofForwardToleranceNative(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          payload = Seq("p_event_id", "p_value"),
+          tolerance = 2L * 24 * 3600 * 1000000L) // 2 days in micros
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), ded AS (
+          SELECT user_id AS p_user, ts AS p_ts, MAX(event_id) AS p_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.p_user, d.p_ts, d.p_event_id, e.value AS p_value
+          FROM ded d JOIN events e ON e.event_id = d.p_event_id
+        )
+        SELECT c.event_id, c.user_id, c.ts, w.p_event_id, w.p_value
+        FROM c
+        LEFT JOIN winner w ON w.p_user = c.user_id AND w.p_ts = (
+          SELECT MIN(p.ts) FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000)
+        ORDER BY c.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q156: NEAREST as-of with tolerance (pandas
+    // merge_asof(direction='nearest', tolerance=)) — each click
+    // attaches the CLOSER of the user's last purchase before it and
+    // first purchase after it, each direction independently bounded at
+    // 1 day: a stale backward candidate loses to an in-bound forward
+    // one and vice versa, ties go backward (the pandas rule). Runs
+    // through the fused single-pass exec (AsOfJoinExec nearest=true
+    // tolerance=Some); the broadcast twin and the composition of the
+    // two bounded single-direction joins are pinned value-identical in
+    // ToleranceAsOfSpec. Same (user, ts) right-side dedup as q155.
+    Q(
+      "q156_asof_tolerance_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val winner = Window.partitionBy("user_id", "ts")
+          .orderBy(col("event_id").desc)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        graft.operators.AsOfJoin.asofNearestToleranceNative(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          payload = Seq("p_event_id", "p_value"),
+          tolerance = 24L * 3600 * 1000000L) // 1 day in micros
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), cand AS (
+          SELECT c.event_id, c.user_id, c.ts,
+            (SELECT MAX(p.ts) FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+               AND p.ts <= c.ts
+               AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000) AS bt,
+            (SELECT MIN(p.ts) FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+               AND p.ts >= c.ts
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000) AS ft
+          FROM c
+        ), pick AS (
+          SELECT event_id, user_id, ts,
+            CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                   epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts))
+                 THEN bt ELSE ft END AS mt
+          FROM cand
+        ), ded AS (
+          SELECT user_id AS p_user, ts AS p_ts, MAX(event_id) AS p_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.p_user, d.p_ts, d.p_event_id, e.value AS p_value
+          FROM ded d JOIN events e ON e.event_id = d.p_event_id
+        )
+        SELECT p.event_id, p.user_id, p.ts, w.p_event_id, w.p_value
+        FROM pick p
+        LEFT JOIN winner w ON w.p_user = p.user_id AND w.p_ts = p.mt
+        ORDER BY p.event_id
       """))
   )
 }
