@@ -39,7 +39,30 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
-                   payload: Seq[String]): DataFrame = {
+                   payload: Seq[String]): DataFrame =
+    backwardWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, strict = false)
+
+  /** [[asofBackward]] with pandas `allow_exact_matches=False`: the
+    * match requires `rightTime < leftTime` STRICTLY — a right row
+    * stamped at exactly the left time never matches (the lookahead-
+    * bias guard). Same one-shuffle union+window plan; the only change
+    * is the equal-time tiebreak of the timeline sort (left rows sort
+    * BEFORE right rows, so the running carry excludes the exact-time
+    * row). Null times order smallest: a null-time left row matches
+    * nothing (nothing is strictly before null). */
+  def asofBackwardStrict(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         payload: Seq[String]): DataFrame =
+    backwardWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, strict = true)
+
+  private def backwardWindow(left: DataFrame, right: DataFrame,
+                             leftKey: String, rightKey: String,
+                             leftTime: String, rightTime: String,
+                             payload: Seq[String],
+                             strict: Boolean): DataFrame = {
     requireNoReserved(left, right)
     val leftCols = left.columns.toSeq
     def typedNull(df: DataFrame, c: String) =
@@ -65,8 +88,12 @@ object AsOfJoin {
         struct(payload.map(col): _*).as("__p"): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
 
+    // equal-time tiebreak IS the <=/< semantics: right-before-left
+    // includes the exact-time right in the left row's backward frame;
+    // strict flips it so the frame stops short of the exact-time row
+    val tieBreak = if (strict) col("__isLeft").desc else col("__isLeft").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .orderBy(col("__t").asc, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
@@ -85,7 +112,28 @@ object AsOfJoin {
   def asofForward(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTime: String, rightTime: String,
-                  payload: Seq[String]): DataFrame = {
+                  payload: Seq[String]): DataFrame =
+    forwardWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, strict = false)
+
+  /** [[asofForward]] with pandas `allow_exact_matches=False`: the
+    * match requires `rightTime > leftTime` STRICTLY. Same plan, the
+    * equal-time tiebreak flipped (right rows sort before left rows, so
+    * the forward frame starts past the exact-time row). A null-time
+    * left row matches the key's first NON-null-time right (null orders
+    * smallest; only non-null times are strictly after it). */
+  def asofForwardStrict(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String]): DataFrame =
+    forwardWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, strict = true)
+
+  private def forwardWindow(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            payload: Seq[String],
+                            strict: Boolean): DataFrame = {
     requireNoReserved(left, right)
     val leftCols = left.columns.toSeq
     def typedNull(df: DataFrame, c: String) =
@@ -107,9 +155,11 @@ object AsOfJoin {
     val unioned = taggedRight.unionByName(taggedLeft)
 
     // left (isLeft=1) sorts before right (isLeft=0) at equal __t, so the
-    // currentRow..following frame of a left row INCLUDES the equal-t right
+    // currentRow..following frame of a left row INCLUDES the equal-t
+    // right; strict flips the tiebreak to exclude it
+    val tieBreak = if (strict) col("__isLeft").asc else col("__isLeft").desc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__isLeft").desc)
+      .orderBy(col("__t").asc, tieBreak)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     unioned
       .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
@@ -602,9 +652,10 @@ object AsOfJoin {
                             broadcast: Option[Boolean],
                             forward: Boolean = false,
                             nearest: Boolean = false,
-                            tolerance: Option[Long] = None): DataFrame =
+                            tolerance: Option[Long] = None,
+                            strict: Boolean = false): DataFrame =
     planNativeKeys(left, right, Seq(leftKey), Seq(rightKey), leftTime,
-      rightTime, payload, broadcast, forward, nearest, tolerance)
+      rightTime, payload, broadcast, forward, nearest, tolerance, strict)
 
   /** Multi-key lowering — the execs already join on `Seq[Expression]`
     * keys; the composite form exists for [[asofBackwardSalted]]'s
@@ -616,7 +667,8 @@ object AsOfJoin {
                              broadcast: Option[Boolean],
                              forward: Boolean = false,
                              nearest: Boolean = false,
-                             tolerance: Option[Long] = None): DataFrame = {
+                             tolerance: Option[Long] = None,
+                             strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -638,6 +690,158 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        payloadAttrs, payloadOut, broadcast, forward, nearest, tolerance))
+        payloadAttrs, payloadOut, broadcast, forward, nearest, tolerance,
+        strict))
+  }
+
+  // ------------------------------------------------------------------
+  // STRICT variants (pandas merge_asof allow_exact_matches=False): the
+  // exact-time right row never matches. Backward requires rt < lt,
+  // forward rt > lt, nearest excludes the exact-time row from both
+  // directions. A comparison flip, not arithmetic — works for any
+  // ordered time type, and composes with tolerance (see [[asof]]).
+  // ------------------------------------------------------------------
+
+  /** [[asofBackwardStrict]] through the native sort-merge pass. */
+  def asofBackwardStrictNative(left: DataFrame, right: DataFrame,
+                               leftKey: String, rightKey: String,
+                               leftTime: String, rightTime: String,
+                               payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(false), strict = true)
+
+  /** [[asofBackwardStrict]] through the broadcast index probe. */
+  def asofBackwardStrictBroadcast(left: DataFrame, right: DataFrame,
+                                  leftKey: String, rightKey: String,
+                                  leftTime: String, rightTime: String,
+                                  payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), strict = true)
+
+  /** [[asofForwardStrict]] through the native sort-merge pass. */
+  def asofForwardStrictNative(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              leftTime: String, rightTime: String,
+                              payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(false), forward = true, strict = true)
+
+  /** [[asofForwardStrict]] through the broadcast index probe. */
+  def asofForwardStrictBroadcast(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String,
+                                 leftTime: String, rightTime: String,
+                                 payload: Seq[String]): DataFrame =
+    planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, broadcast = Some(true), forward = true, strict = true)
+
+  /** NEAREST as-of excluding exact-time matches: the closer of the
+    * strictly-before and strictly-after right rows, tie → backward.
+    * Fused single-pass exec; falls back to
+    * [[asofNearestStrictComposed]] for distance-free time types. */
+  def asofNearestStrictNative(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              leftTime: String, rightTime: String,
+                              payload: Seq[String]): DataFrame =
+    if (graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType))
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast = Some(false), nearest = true, strict = true)
+    else
+      asofNearestStrictComposed(left, right, leftKey, rightKey, leftTime,
+        rightTime, payload)
+
+  /** [[asofNearestStrictNative]] with the broadcast strategy. */
+  def asofNearestStrictBroadcast(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String,
+                                 leftTime: String, rightTime: String,
+                                 payload: Seq[String]): DataFrame =
+    if (graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType))
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast = Some(true), nearest = true, strict = true)
+    else
+      asofNearestStrictComposed(left, right, leftKey, rightKey, leftTime,
+        rightTime, payload)
+
+  /** [[asofNearestStrictNative]] composed from the two strict
+    * single-direction native joins — the independent cross-check the
+    * fused strict execs are pinned against (StrictAsOfSpec), and the
+    * generic-time-type fallback. Projection identical to
+    * [[asofNearestComposed]] (the exact-time exclusion happens INSIDE
+    * each single-direction join). */
+  def asofNearestStrictComposed(left: DataFrame, right: DataFrame,
+                                leftKey: String, rightKey: String,
+                                leftTime: String, rightTime: String,
+                                payload: Seq[String]): DataFrame = {
+    val bT = "__asof_bt"
+    val fT = "__asof_ft"
+    val bCols = payload.map(c => s"__b_$c")
+    val fCols = payload.map(c => s"__f_$c")
+    val internal = (bCols ++ fCols :+ bT :+ fT).toSet
+    val hit = left.columns.filter(internal.contains)
+    require(hit.isEmpty, s"left columns ${hit.mkString(", ")} collide with " +
+      "asofNearestStrictComposed internal names — rename them first")
+    def renamed(prefix: String, timeAlias: String): DataFrame =
+      right.select(
+        Seq(col(rightKey), col(rightTime).as(timeAlias)) ++
+          payload.map(c => col(c).as(s"${prefix}_$c")): _*)
+    val backward = planNativeOpt(
+      left, renamed("__b", bT),
+      leftKey, rightKey, leftTime, bT,
+      bCols :+ bT, broadcast = Some(false), strict = true)
+    val both = planNativeOpt(
+      backward, renamed("__f", fT),
+      leftKey, rightKey, leftTime, fT,
+      fCols :+ fT, broadcast = Some(false), forward = true, strict = true)
+    val lt = col(leftTime)
+    val backWins = col(bT).isNotNull &&
+      (col(fT).isNull || (lt - col(bT)) <= (col(fT) - lt))
+    val out = payload.zip(bCols.zip(fCols)).map { case (c, (b, f)) =>
+      when(backWins, col(b)).otherwise(col(f)).as(c)
+    }
+    both.select(left.columns.map(col).toSeq ++ out: _*)
+  }
+
+  /** Full pandas `merge_asof` parity in ONE entry point:
+    * `direction` ∈ backward | forward | nearest, `strategy` ∈
+    * sortmerge | broadcast | auto (planner size-estimate rule),
+    * optional `tolerance` (native time units), and
+    * `allowExactMatches=false` for the strict comparisons — any
+    * combination plans through the native operator tier. Nearest on a
+    * distance-free time type falls back to the composed two-join form
+    * (only when unbounded and sort-merge — the composition has no
+    * broadcast or tolerance spelling for such types). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String],
+           direction: String = "backward",
+           strategy: String = "sortmerge",
+           tolerance: Option[Long] = None,
+           allowExactMatches: Boolean = true): DataFrame = {
+    val broadcast = strategy match {
+      case "sortmerge" => Some(false)
+      case "broadcast" => Some(true)
+      case "auto" => None
+      case other => throw new IllegalArgumentException(
+        s"asof strategy must be sortmerge | broadcast | auto, got $other")
+    }
+    val (forward, nearest) = direction match {
+      case "backward" => (false, false)
+      case "forward" => (true, false)
+      case "nearest" => (false, true)
+      case other => throw new IllegalArgumentException(
+        s"asof direction must be backward | forward | nearest, got $other")
+    }
+    val strict = !allowExactMatches
+    if (nearest && tolerance.isEmpty && broadcast.contains(false) &&
+        !graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType)) {
+      if (strict)
+        asofNearestStrictComposed(left, right, leftKey, rightKey, leftTime,
+          rightTime, payload)
+      else
+        asofNearestComposed(left, right, leftKey, rightKey, leftTime,
+          rightTime, payload)
+    } else
+      planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, broadcast, forward, nearest, tolerance, strict)
   }
 }

@@ -112,7 +112,8 @@ case class AsOfJoinExec(
     payloadOut: Seq[Attribute],
     forward: Boolean = false,
     nearest: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    strict: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -189,6 +190,15 @@ case class AsOfJoinExec(
           // forward match of a null-time left row)
           private var carriedTime: UnsafeRow = _
           private var firstCarriedPayload: InternalRow = _
+          // strict-nearest-only: the SECOND-newest consumed right row.
+          // The consume loop still swallows rt <= lt (so the lookahead
+          // is the first rt > lt — exactly the strict forward
+          // candidate), which means the newest carry can sit at
+          // exactly lt; the strictly-earlier backward candidate is
+          // then the previous carry (unique: rights are deduplicated
+          // per (key, time) and sorted, so prevTime < carriedTime).
+          private var prevCarriedPayload: InternalRow = _
+          private var prevCarriedTime: UnsafeRow = _
 
           private def advanceRight(): Unit =
             if (rIter.hasNext) {
@@ -225,14 +235,20 @@ case class AsOfJoinExec(
                   advanceRight()
                 } else if (c > 0) {
                   done = true
-                } else if (timeOrd.compare(rTime, lt) <= 0) {
-                  // same key, right time <= left time: newest-so-far wins
-                  if (carriedKey == null) carriedKey = lk.copy()
-                  carriedPayload = payloadProj(rRow).copy()
-                  carriedTime = rTime // advanceRight mints a fresh copy
-                  advanceRight()
                 } else {
-                  done = true
+                  // same key: consume rt <= lt (strict: rt < lt only —
+                  // the exact-time row stays as lookahead; left times
+                  // are non-decreasing, so a later left row with a
+                  // bigger time still consumes it then)
+                  val cmpT = timeOrd.compare(rTime, lt)
+                  if (cmpT < 0 || (!strict && cmpT == 0)) {
+                    if (carriedKey == null) carriedKey = lk.copy()
+                    carriedPayload = payloadProj(rRow).copy()
+                    carriedTime = rTime // advanceRight mints a fresh copy
+                    advanceRight()
+                  } else {
+                    done = true
+                  }
                 }
               }
             }
@@ -265,14 +281,19 @@ case class AsOfJoinExec(
                   advanceRight()
                 } else if (c > 0) {
                   done = true
-                } else if (timeOrd.compare(rTime, lt) < 0) {
-                  // same key, strictly before the left time: dead for
-                  // this and every later left row
-                  advanceRight()
                 } else {
-                  // first right with rTime >= lt: the forward match
-                  matched = payloadProj(rRow)
-                  done = true
+                  val cmpT = timeOrd.compare(rTime, lt)
+                  if (cmpT < 0 || (strict && cmpT == 0)) {
+                    // same key, before the left time (strict: at-or-
+                    // before): dead for this and every later left row —
+                    // under strict an exact-time row can never match a
+                    // later, larger-or-equal left time either
+                    advanceRight()
+                  } else {
+                    // first right with rt >= lt (strict: rt > lt)
+                    matched = payloadProj(rRow)
+                    done = true
+                  }
                 }
               }
             }
@@ -307,6 +328,8 @@ case class AsOfJoinExec(
               carriedPayload = null
               carriedTime = null
               firstCarriedPayload = null
+              prevCarriedPayload = null
+              prevCarriedTime = null
             }
             val lt = lTimeProj(l)
             if (rRow != null) {
@@ -319,6 +342,10 @@ case class AsOfJoinExec(
                   done = true
                 } else if (timeOrd.compare(rTime, lt) <= 0) {
                   if (carriedKey == null) carriedKey = lk.copy()
+                  if (strict) {
+                    prevCarriedPayload = carriedPayload
+                    prevCarriedTime = carriedTime
+                  }
                   carriedPayload = payloadProj(rRow).copy()
                   carriedTime = rTime // advanceRight mints a fresh copy
                   if (firstCarriedPayload == null)
@@ -330,20 +357,36 @@ case class AsOfJoinExec(
               }
             }
             val fwdSameKey = rRow != null && keyOrd.compare(rKey, lk) == 0
+            // the STRICT backward candidate: the carry when it is
+            // strictly earlier than lt, else the previous carry (the
+            // carry at exactly lt is the excluded exact-time row)
+            var bPayload = carriedPayload
+            var bTime = carriedTime
+            if (strict && carriedTime != null &&
+                timeOrd.compare(carriedTime, lt) == 0) {
+              bPayload = prevCarriedPayload
+              bTime = prevCarriedTime
+            }
             val chosen =
               if (lt.isNullAt(0)) {
                 // a null left time has no distance: under tolerance it
                 // can never satisfy the bound; unbounded, its forward
                 // match is the key's first right row, whatever its time
+                // — except under strict, where nothing is strictly
+                // before null, so only the lookahead (the first
+                // NON-null-time right, everything <= null having been
+                // consumed) can match
                 if (tol.isDefined) nullPayload
-                else if (firstCarriedPayload != null) firstCarriedPayload
+                else if (strict) {
+                  if (fwdSameKey) payloadProj(rRow) else nullPayload
+                } else if (firstCarriedPayload != null) firstCarriedPayload
                 else if (fwdSameKey) payloadProj(rRow)
                 else nullPayload
               } else if (tol.isEmpty) {
-                val backWins = carriedPayload != null &&
-                  !carriedTime.isNullAt(0) &&
-                  (!fwdSameKey || nearerBack(carriedTime, lt, rTime))
-                if (backWins) carriedPayload
+                val backWins = bPayload != null &&
+                  !bTime.isNullAt(0) &&
+                  (!fwdSameKey || nearerBack(bTime, lt, rTime))
+                if (backWins) bPayload
                 else if (fwdSameKey) payloadProj(rRow)
                 else nullPayload
               } else {
@@ -352,13 +395,13 @@ case class AsOfJoinExec(
                 // wins (tie → backward). A direction with a null time
                 // never survives.
                 val ltL = tolOf(lt)
-                val backOk = carriedPayload != null &&
-                  !carriedTime.isNullAt(0) &&
-                  TimeRepr.cmpDiff(ltL, tolOf(carriedTime), tol.get) <= 0
+                val backOk = bPayload != null &&
+                  !bTime.isNullAt(0) &&
+                  TimeRepr.cmpDiff(ltL, tolOf(bTime), tol.get) <= 0
                 val fwdOk = fwdSameKey && !rTime.isNullAt(0) &&
                   TimeRepr.cmpDiff(tolOf(rTime), ltL, tol.get) <= 0
-                if (backOk && (!fwdOk || nearerBack(carriedTime, lt, rTime)))
-                  carriedPayload
+                if (backOk && (!fwdOk || nearerBack(bTime, lt, rTime)))
+                  bPayload
                 else if (fwdOk) payloadProj(rRow)
                 else nullPayload
               }

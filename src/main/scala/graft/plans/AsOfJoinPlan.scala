@@ -53,6 +53,20 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   survivor. An out-of-bound (or null-time) match
   *                   yields a NULL payload, like no match at all.
   *                   Needs an integral-backed time type.
+  * @param strict     pandas `merge_asof(allow_exact_matches=False)`:
+  *                   a right row at EXACTLY the left time never
+  *                   matches — backward requires `rt < lt`, forward
+  *                   `rt > lt`, nearest excludes the exact-time row
+  *                   from both directions (the lookahead-bias guard in
+  *                   backtesting: a quote stamped AT the trade time
+  *                   must not inform the trade). Composes with every
+  *                   direction, strategy, and `tolerance`; works for
+  *                   any ordered time type (it is a comparison flip,
+  *                   not arithmetic). Null times order smallest, so
+  *                   under `strict` a null-time LEFT row has no
+  *                   backward match (nothing is strictly before null)
+  *                   and its forward match is the key's first
+  *                   NON-null-time right row.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -66,7 +80,8 @@ case class AsOfJoinPlan(
     broadcast: Option[Boolean] = None,
     forward: Boolean = false,
     nearest: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    strict: Boolean = false)
   extends BinaryNode {
 
   require(!(forward && nearest),

@@ -135,7 +135,8 @@ case class BroadcastAsOfJoinExec(
     payloadOut: Seq[Attribute],
     forward: Boolean = false,
     nearest: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    strict: Boolean = false)
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -194,7 +195,8 @@ case class BroadcastAsOfJoinExec(
       val nullPayload = new GenericInternalRow(numPayload)
 
       // binary search over a time-sorted group (nulls smallest):
-      // fwd=false → LAST right time <= lt; fwd=true → FIRST >= lt
+      // fwd=false → LAST right time <= lt (strict: < lt);
+      // fwd=true → FIRST >= lt (strict: > lt)
       def search(group: AsOfIndex.Group, lt: UnsafeRow, fwd: Boolean): Int = {
         var lo = 0
         var hi = group.times.length - 1
@@ -203,10 +205,10 @@ case class BroadcastAsOfJoinExec(
           val mid = (lo + hi) >>> 1
           val cmp = timeOrd.compare(group.times(mid), lt)
           if (fwd) {
-            if (cmp >= 0) { best = mid; hi = mid - 1 }
+            if (cmp > 0 || (!strict && cmp == 0)) { best = mid; hi = mid - 1 }
             else lo = mid + 1
           } else {
-            if (cmp <= 0) { best = mid; lo = mid + 1 }
+            if (cmp < 0 || (!strict && cmp == 0)) { best = mid; lo = mid + 1 }
             else hi = mid - 1
           }
         }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut,
-        broadcast, forward, nearest, tolerance) =>
+        broadcast, forward, nearest, tolerance, strict) =>
       // Unhinted (None): decide like Spark's JoinSelection — broadcast
       // when the right side's logical size estimate fits under
       // spark.sql.autoBroadcastJoinThreshold (<= 0 disables broadcast).
@@ -24,10 +24,10 @@ object GraftStrategies extends SparkStrategy {
       }
       if (useBroadcast)
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          payload, payloadOut, forward, nearest, tolerance) :: Nil
+          payload, payloadOut, forward, nearest, tolerance, strict) :: Nil
       else
         AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-          payload, payloadOut, forward, nearest, tolerance) :: Nil
+          payload, payloadOut, forward, nearest, tolerance, strict) :: Nil
     case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi, payload, payloadOut,
         broadcast, leftOuter) =>
       val useBroadcast = broadcast.getOrElse {

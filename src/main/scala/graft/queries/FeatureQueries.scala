@@ -725,6 +725,121 @@ object FeatureQueries {
         FROM pick p
         LEFT JOIN winner w ON w.p_user = p.user_id AND w.p_ts = p.mt
         ORDER BY p.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q157: STRICT as-of (pandas merge_asof(allow_exact_matches=False))
+    // — each click attaches the user's latest purchase from a STRICTLY
+    // EARLIER day: a same-day purchase never matches (the leakage
+    // guard — "what had the user already bought before today"). The
+    // DATE grain is the point: clicks and purchases collide on the
+    // same (user, day) constantly in the 30-day TESTDATA window, so
+    // the exact-exclusion branch fires on real data, not just in the
+    // spec's synthetic ties. Runs through the native sort-merge exec
+    // (AsOfJoinExec strict=true — the consume comparison flips from
+    // <= to <); the window and broadcast formulations are pinned
+    // value-identical in StrictAsOfSpec. Right side deduped to one
+    // row per (user, day), max event_id wins.
+    Q(
+      "q157_asof_strict",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+        val winner = Window.partitionBy("user_id", "pd")
+          .orderBy(col("event_id").desc)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .withColumn("pd", to_date(col("ts")))
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("user_id").as("p_user"), col("pd").as("p_d"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        graft.operators.AsOfJoin.asofBackwardStrictNative(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "d", rightTime = "p_d",
+          payload = Seq("p_event_id", "p_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, CAST(ts AS DATE) AS d
+          FROM events WHERE event_type = 'click'
+        ), ded AS (
+          SELECT user_id AS p_user, CAST(ts AS DATE) AS p_d,
+                 MAX(event_id) AS p_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), winner AS (
+          SELECT d2.p_user, d2.p_d, d2.p_event_id, e.value AS p_value
+          FROM ded d2 JOIN events e ON e.event_id = d2.p_event_id
+        )
+        SELECT c.event_id, c.user_id, c.d, w.p_event_id, w.p_value
+        FROM c
+        LEFT JOIN winner w ON w.p_user = c.user_id AND w.p_d = (
+          SELECT MAX(p.p_d) FROM ded p
+          WHERE p.p_user = c.user_id AND p.p_d < c.d)
+        ORDER BY c.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q158: STRICT NEAREST as-of — the closer of the strictly-earlier
+    // and strictly-later purchase DAYS, same-day purchases excluded
+    // from BOTH directions, day-count ties going backward (pandas
+    // merge_asof(direction='nearest', allow_exact_matches=False)).
+    // Date grain again so exclusion and ties are both dense in real
+    // data. Runs through the fused single-pass exec (nearest=true
+    // strict=true, the prev-carry path); broadcast and the composition
+    // of the two strict single-direction joins are pinned
+    // value-identical in StrictAsOfSpec.
+    Q(
+      "q158_asof_strict_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+        val winner = Window.partitionBy("user_id", "pd")
+          .orderBy(col("event_id").desc)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .withColumn("pd", to_date(col("ts")))
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("user_id").as("p_user"), col("pd").as("p_d"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        graft.operators.AsOfJoin.asofNearestStrictNative(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "d", rightTime = "p_d",
+          payload = Seq("p_event_id", "p_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, CAST(ts AS DATE) AS d
+          FROM events WHERE event_type = 'click'
+        ), ded AS (
+          SELECT user_id AS p_user, CAST(ts AS DATE) AS p_d,
+                 MAX(event_id) AS p_event_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), winner AS (
+          SELECT d2.p_user, d2.p_d, d2.p_event_id, e.value AS p_value
+          FROM ded d2 JOIN events e ON e.event_id = d2.p_event_id
+        ), cand AS (
+          SELECT c.event_id, c.user_id, c.d,
+            (SELECT MAX(p.p_d) FROM ded p
+             WHERE p.p_user = c.user_id AND p.p_d < c.d) AS bt,
+            (SELECT MIN(p.p_d) FROM ded p
+             WHERE p.p_user = c.user_id AND p.p_d > c.d) AS ft
+          FROM c
+        ), pick AS (
+          SELECT event_id, user_id, d,
+            CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (d - bt) <= (ft - d))
+                 THEN bt ELSE ft END AS mt
+          FROM cand
+        )
+        SELECT p.event_id, p.user_id, p.d, w.p_event_id, w.p_value
+        FROM pick p
+        LEFT JOIN winner w ON w.p_user = p.user_id AND w.p_d = p.mt
+        ORDER BY p.event_id
       """))
   )
 }
