@@ -844,4 +844,33 @@ object AsOfJoin {
       planNativeOpt(left, right, leftKey, rightKey, leftTime, rightTime,
         payload, broadcast, forward, nearest, tolerance, strict)
   }
+
+  /** KEYLESS (global) as-of — pandas `merge_asof` with no `by`: every
+    * left row matches against ONE global right timeline. Supports the
+    * full [[asof]] matrix (direction, tolerance, allowExactMatches)
+    * but the physical strategy is pinned to BROADCAST, deliberately:
+    * a keyless join clusters on a constant, so the sort-merge form
+    * would exchange the ENTIRE left side into a single partition — a
+    * one-task straggler at any scale. Broadcast is the correct shape
+    * and the only one offered: the right side (a global quote feed, a
+    * market-state table, a config timeline) must be dim-sized; the
+    * left is never shuffled and never sorted — each row pays one
+    * binary search of the single broadcast timeline.
+    */
+  def asofGlobal(left: DataFrame, right: DataFrame,
+                 leftTime: String, rightTime: String,
+                 payload: Seq[String],
+                 direction: String = "backward",
+                 tolerance: Option[Long] = None,
+                 allowExactMatches: Boolean = true): DataFrame = {
+    val gk = "__asof_gk"
+    require(!(left.columns ++ right.columns).contains(gk),
+      s"input column $gk collides with the keyless join's synthetic key" +
+        " — rename it first")
+    asof(left.withColumn(gk, lit(1)), right.withColumn(gk, lit(1)),
+      gk, gk, leftTime, rightTime, payload,
+      direction = direction, strategy = "broadcast",
+      tolerance = tolerance, allowExactMatches = allowExactMatches)
+      .drop(gk)
+  }
 }

@@ -840,6 +840,100 @@ object FeatureQueries {
         FROM pick p
         LEFT JOIN winner w ON w.p_user = p.user_id AND w.p_d = p.mt
         ORDER BY p.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q159: rolling quantiles over PARTIAL windows (pandas
+    // rolling(8, min_periods=1).quantile(q)) — q154's interpolation
+    // generalized from the pinned n=8 to a per-row DYNAMIC count: the
+    // rank position h = (nn−1)·q now varies row to row, so the two
+    // bracketing order statistics are fetched at computed positions.
+    // The arithmetic mirrors DuckDB's windowed quantile_cont step for
+    // step: h from one IEEE multiply of (nn−1) cast to double by the
+    // q literal; frac = h − floor(h); and — the piece q154's fixed
+    // fractions never hit — the INTEGRAL-h branch (frac = 0, e.g. any
+    // odd nn at q=0.5) returns the order statistic ITSELF with no
+    // arithmetic, exactly as DuckDB's interpolator short-circuits
+    // (running lower·1.0 + 0.0·lower instead is 1 ulp-safe for normal
+    // values but flips -0.0 to +0.0 — hash-divergent). Non-integral h
+    // uses quantile_cont's exact lower·(1−frac) + frac·upper sequence.
+    Q(
+      "q159_rolling_quantile_partial",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(-7, Window.currentRow)
+        def interp(arr: Column, nn: Column, q: Double): Column = {
+          val h = (nn - lit(1)).cast(DoubleType) * lit(q)
+          val lo = floor(h)
+          val frac = h - lo
+          val loIdx = lo.cast("int") + lit(1)
+          when(frac === lit(0.0), element_at(arr, loIdx))
+            .otherwise(
+              element_at(arr, loIdx) * (lit(1.0) - frac) +
+                frac * element_at(arr, loIdx + lit(1)))
+        }
+        daily(s, dir)
+          .withColumn("nn", count(col("v")).over(w))
+          .withColumn("arr", sort_array(collect_list(col("v")).over(w)))
+          .withColumn("p25", interp(col("arr"), col("nn"), 0.25))
+          .withColumn("med", interp(col("arr"), col("nn"), 0.5))
+          .withColumn("p90", interp(col("arr"), col("nn"), 0.9))
+          .select("user_id", "d", "v", "nn", "p25", "med", "p90")
+          .orderBy("user_id", "d")
+      },
+      Some(s"""
+        WITH $dailySql
+        SELECT user_id, d, v, COUNT(v) OVER w AS nn,
+          quantile_cont(v, 0.25) OVER w AS p25,
+          quantile_cont(v, 0.5) OVER w AS med,
+          quantile_cont(v, 0.9) OVER w AS p90
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, d
+      """)),
+
+    // ----------------------------------------------------------------
+    // q160: KEYLESS (global) as-of — pandas merge_asof with no `by`:
+    // every click attaches the most recent GLOBAL daily purchase
+    // aggregate (all users — a market-state table). The right side is
+    // genuinely dim-sized at ANY scale factor (one row per calendar
+    // day: the date range is fixed while events grow), which is why
+    // AsOfJoin.asofGlobal pins the BROADCAST strategy — a keyless
+    // sort-merge would exchange the whole fact side into one
+    // partition. The left is never shuffled or sorted (GlobalAsOfSpec
+    // pins the plan shape); each click pays one binary search of the
+    // 30-entry broadcast timeline. Payloads are an integer count and
+    // an order-free MAX — both engine-exact.
+    Q(
+      "q160_asof_global",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+        val dim = ev.where(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("pd"))
+          .agg(count(lit(1)).as("n_purch"), max(col("value")).as("max_value"))
+        graft.operators.AsOfJoin.asofGlobal(
+          clicks, dim,
+          leftTime = "d", rightTime = "pd",
+          payload = Seq("n_purch", "max_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id, CAST(ts AS DATE) AS d
+          FROM events WHERE event_type = 'click'
+        ), dim AS (
+          SELECT CAST(ts AS DATE) AS pd, COUNT(*) AS n_purch,
+                 MAX(value) AS max_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT c.event_id, c.user_id, c.d, w.n_purch, w.max_value
+        FROM c
+        LEFT JOIN dim w ON w.pd = (
+          SELECT MAX(p.pd) FROM dim p WHERE p.pd <= c.d)
+        ORDER BY c.event_id
       """))
   )
 }
