@@ -494,6 +494,77 @@ object JoinQueries {
             coalesce(col("n_types"), lit(0L)).as("n_types"))
           .orderBy("purchase_id")
       },
+      Some(attributionOracle)),
+
+    // ----------------------------------------------------------------
+    // q161: q152's streaming band attribution through the NATIVE
+    // sort-merge exec per batch — the fact×fact deployment. q152
+    // broadcasts the purchases side, which is only safe while that
+    // side is dim-sized: the round-14 100x scale audit OOMed exactly
+    // that shape when purchases grew with the corpus (SCALING.md).
+    // This entry is the documented alternative: each micro-batch runs
+    // the per-batch band join through BandJoinExec (both sides
+    // exchanged+sorted per batch, spill-safe at any right-side size —
+    // the per-batch cost a fact-sized right FORCES). Same two-wave
+    // checkpoint-resume protocol, same oracle VERBATIM: band
+    // enrichment is row-wise, so the per-batch union still equals the
+    // one-shot batch join.
+    Q(
+      "q161_stream_band_join_native",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val out = graft.Q.scratch(s, "q161_streamband", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val W = 86400000000L // 24 h in micros
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("t_us").as("p_us"))
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              // same band reversal as q152 (t_p − t_e ∈ (−W−1, −1]),
+              // but through the co-partitioned sort-merge exec
+              BandJoin.bandJoinNative(b, purch,
+                  "user_id", "p_user", "t_us", "p_us",
+                  lo = -W - 1, hi = -1, payload = Seq("purchase_id"))
+                .select("purchase_id", "event_type")
+                .write.mode("append").parquet(s"$out/pairs")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q161 drain did not finish in 300 s")
+          }
+        }
+        ev.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        ev.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        val attributed = s.read.parquet(s"$out/pairs")
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_attr"),
+            countDistinct(col("event_type")).as("n_types"))
+        purch.select(col("purchase_id"), col("p_user").as("user_id"),
+            col("p_us"))
+          .join(attributed, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"), col("p_us"),
+            coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+            coalesce(col("n_types"), lit(0L)).as("n_types"))
+          .orderBy("purchase_id")
+      },
       Some(attributionOracle))
   )
 
