@@ -458,7 +458,9 @@ object AsOfJoin {
                          leftTime: String, rightTime: String,
                          payload: Seq[String],
                          buckets: Int,
-                         stable: Option[Column] = None): DataFrame = {
+                         stable: Option[Column] = None,
+                         tolerance: Option[Long] = None,
+                         strict: Boolean = false): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       s"salt buckets must be in [1, 4096], got $buckets")
     val saltC = "__asof_salt"
@@ -470,9 +472,14 @@ object AsOfJoin {
     val replRight = right
       .withColumn(saltC, explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn(saltC, col(saltC).cast("int"))
+    // tolerance/strict ride the exec params untouched — the salt only
+    // widens the equi-key, and the right replicates per salt, so every
+    // sub-key evaluates the same bound/comparison the unsalted join
+    // would (SkewAsOfSpec pins the value equality)
     planNativeKeys(saltedLeft, replRight,
       Seq(leftKey, saltC), Seq(rightKey, saltC),
-      leftTime, rightTime, payload, broadcast = Some(false))
+      leftTime, rightTime, payload, broadcast = Some(false),
+      tolerance = tolerance, strict = strict)
       .drop(saltC)
   }
 

@@ -53,6 +53,24 @@ class SkewAsOfSpec extends AnyFunSuite {
     assert(salted == unsalted)
   }
 
+  test("salted strict + tolerance == unsalted strict + tolerance on the skewed corpus") {
+    val (l, r) = skewed()
+    val tol = Some(5000L)
+    val unsalted = AsOfJoin.asof(
+        l, r, "k", "rk", "t", "rt", Seq("p"),
+        tolerance = tol, allowExactMatches = false)
+      .select("k", "t", "left_id", "p")
+      .as[(String, Int, Int, Option[Int])].collect().sortBy(_._3).toSeq
+    val salted = AsOfJoin.asofBackwardSalted(
+        l, r, "k", "rk", "t", "rt", Seq("p"), buckets = 8,
+        tolerance = tol, strict = true)
+      .select("k", "t", "left_id", "p")
+      .as[(String, Int, Int, Option[Int])].collect().sortBy(_._3).toSeq
+    assert(salted == unsalted)
+    // the bound actually bites: some rows expired, some matched
+    assert(salted.exists(_._4.isEmpty) && salted.exists(_._4.isDefined))
+  }
+
   test("salted plan exchanges on (key, salt); AQE never splits the custom exec's exchange") {
     val (l, r) = skewed()
     val df = AsOfJoin.asofBackwardSalted(
