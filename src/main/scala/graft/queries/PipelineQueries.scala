@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.{Q, Tables}
 
@@ -1848,6 +1849,88 @@ object PipelineQueries {
       Some("""
         SELECT event_id, ts, user_id, event_type, value
         FROM events ORDER BY event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q162: deterministic NEGATIVE SAMPLING for contrastive training —
+    // every document draws K=4 negatives uniformly from the rest of
+    // the corpus, reproducibly (no rand(): a task retry must draw the
+    // identical negatives) and WITHOUT self-pairs. The construction:
+    //   1. a dense 1-based global row id via q77's two-phase form
+    //      (per-source local ranks + broadcast source offsets — never
+    //      a single-partition global window);
+    //   2. per (doc, j) an MLCG draw h = (a_j·doc_id + b_j) mod 2^31−1
+    //      (q44's hash family — integer arithmetic both engines
+    //      evaluate identically), folded to [1, n−1];
+    //   3. the classic self-exclusion shift: cand >= own row → +1,
+    //      a bijection onto [1, n] \ {own row};
+    //   4. one equi-join back to the row index to resolve the
+    //      negative's doc_id.
+    // Scale shape: K·n output rows, one broadcast (source offsets +
+    // the 1-row count), one hash join keyed on the sampled row id —
+    // everything linear; per-j seeds keep draws independent. a·doc_id
+    // stays far inside int64 for any realistic corpus (a ~ 1e6).
+    Q(
+      "q162_negative_sampling",
+      (s, dir) => {
+        val p = 2147483647L // 2^31 − 1
+        val seeds = Seq((1, 1000003L, 12345L), (2, 999983L, 54321L),
+          (3, 1000033L, 98765L), (4, 1000037L, 24680L))
+        val docs = Tables.documents(s, dir)
+        val local = Window.partitionBy("source").orderBy("doc_id")
+        val offsetW = Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(offsetW), lit(0L)))
+          .select("source", "offset")
+        val idx = docs
+          .withColumn("local_rank", row_number().over(local))
+          .join(broadcast(counts), Seq("source"))
+          .select(col("doc_id"),
+            (col("offset") + col("local_rank")).cast(LongType).as("gr"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val draws = idx.crossJoin(broadcast(n))
+          .select(col("doc_id"), col("gr"), col("n"),
+            explode(array(seeds.map { case (j, a, b) =>
+              struct(lit(j).as("j"),
+                (pmod(pmod(lit(a) * col("doc_id") + lit(b), lit(p)),
+                  col("n") - 1) + 1).as("cand"))
+            }: _*)).as("d"))
+          .select(col("doc_id"), col("gr"),
+            col("d.j").as("j"),
+            when(col("d.cand") >= col("gr"), col("d.cand") + 1)
+              .otherwise(col("d.cand")).as("neg_gr"))
+        draws
+          .join(idx.select(col("gr").as("neg_gr"),
+            col("doc_id").as("neg_doc_id")), Seq("neg_gr"))
+          .select(col("doc_id"), col("j"), col("neg_doc_id"))
+          .orderBy("doc_id", "j")
+      },
+      Some("""
+        WITH idx AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT)
+                   AS gr
+          FROM documents
+        ), nn AS (
+          SELECT COUNT(*) AS n FROM documents
+        ), draws AS (
+          SELECT i.doc_id, i.gr, s.j,
+            CASE WHEN ((s.a * i.doc_id + s.b) % 2147483647) % (nn.n - 1) + 1
+                      >= i.gr
+                 THEN ((s.a * i.doc_id + s.b) % 2147483647) % (nn.n - 1) + 2
+                 ELSE ((s.a * i.doc_id + s.b) % 2147483647) % (nn.n - 1) + 1
+            END AS neg_gr
+          FROM idx i
+          CROSS JOIN nn
+          CROSS JOIN (VALUES (1, 1000003, 12345), (2, 999983, 54321),
+                             (3, 1000033, 98765), (4, 1000037, 24680))
+            AS s(j, a, b)
+        )
+        SELECT d.doc_id, d.j, i2.doc_id AS neg_doc_id
+        FROM draws d JOIN idx i2 ON i2.gr = d.neg_gr
+        ORDER BY d.doc_id, d.j
       """))
   )
 
