@@ -1931,6 +1931,174 @@ object PipelineQueries {
         SELECT d.doc_id, d.j, i2.doc_id AS neg_doc_id
         FROM draws d JOIN idx i2 ON i2.gr = d.neg_gr
         ORDER BY d.doc_id, d.j
+      """)),
+
+    // ----------------------------------------------------------------
+    // q165: benchmark contamination SCORE — per training document, the
+    // fraction of its DISTINCT trigrams found anywhere in the eval set
+    // (the GPT-3-appendix-style n-gram containment metric; q68 reports
+    // pairwise hits, this is the per-doc keep/drop score a decon pass
+    // actually thresholds on). Scale shape: the eval trigram vocabulary
+    // is benchmark-sized, not corpus-sized — broadcast — so the probe
+    // is a map-side left join + one keyed count per doc; the only big
+    // shuffle is the per-doc trigram DISTINCT, keyed on (doc, tri).
+    // The fraction is one fixed-order IEEE division on exact integers,
+    // quantized at 1e6 (the registry's float-gate discipline).
+    Q(
+      "q165_contamination_score",
+      (s, dir) => {
+        val tris = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+        val evalTris = tris.where(col("doc_id") % 97 === 0)
+          .select("tri").distinct().withColumn("hit", lit(1L))
+        tris.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalTris), Seq("tri"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tris"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("contamination_q",
+            floor(col("n_hits").cast("double") / col("n_tris").cast("double")
+              * lit(1000000.0) + lit(0.5)).cast("bigint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri FROM t),
+        ev AS (
+          SELECT DISTINCT tri FROM e0 WHERE doc_id % 97 = 0),
+        scored AS (
+          SELECT e0.doc_id,
+                 COUNT(*) AS n_tris,
+                 SUM(CASE WHEN ev.tri IS NULL THEN 0 ELSE 1 END) AS n_hits
+          FROM e0 LEFT JOIN ev ON e0.tri = ev.tri
+          WHERE e0.doc_id % 97 <> 0
+          GROUP BY e0.doc_id)
+        SELECT doc_id, n_tris, CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(FLOOR(CAST(n_hits AS DOUBLE) / CAST(n_tris AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT) AS contamination_q
+        FROM scored ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q166: fractional EPOCH UPSAMPLING materialization — q90 picks a
+    // per-source KEEP rate (downsampling); this materializes the dual:
+    // a per-source repeat factor w (epochs, e.g. 2.5) expands every doc
+    // into floor(w) copies plus one more iff its md5 bucket draw falls
+    // under frac(w)·10000 — q90's exact draw, so down- and up-sampling
+    // passes agree on which docs are "lucky". Deterministic (a task
+    // retry emits identical copies — no rand()), output-linear (Σ n·w
+    // rows via explode(sequence), no join at all: the rates table is a
+    // broadcast), and the copy index rides along so a packing stage
+    // downstream can shuffle copies independently.
+    Q(
+      "q166_epoch_upsampling",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_tok", size(expr(toksExpr)).cast("long"))
+        // target: equalize source token mass toward the largest source —
+        // w = t_max / t_src capped at 4 epochs, in 1e4 fixed-point
+        val rates = docs.groupBy("source")
+          .agg(sum(col("n_tok")).as("t_tokens"))
+          .withColumn("t_max", max(col("t_tokens")).over(Window.partitionBy()))
+          .withColumn("w4",
+            least(lit(40000L),
+              floor(lit(10000.0) * col("t_max").cast("double")
+                / col("t_tokens").cast("double") + lit(0.5)).cast("long")))
+          .select("source", "w4")
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000")
+        docs.join(broadcast(rates), Seq("source"))
+          .withColumn("n_copies",
+            expr("w4 div 10000") +
+              when(bucket < col("w4") % 10000L, 1L).otherwise(0L))
+          .where(col("n_copies") > 0)
+          .select(col("doc_id"), col("source"), col("n_copies"),
+            explode(expr("sequence(1, n_copies)")).as("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(LEN($toksSql) AS BIGINT) AS n_tok
+          FROM documents),
+        r AS (
+          SELECT source,
+                 LEAST(40000,
+                   CAST(FLOOR(10000.0 *
+                     CAST(MAX(SUM(n_tok)) OVER () AS DOUBLE)
+                     / CAST(SUM(n_tok) AS DOUBLE) + 0.5) AS BIGINT)) AS w4
+          FROM d GROUP BY source),
+        c AS (
+          SELECT d.doc_id, d.source,
+                 (r.w4 // 10000) + (CASE WHEN
+                   CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 10000 < r.w4 % 10000
+                   THEN 1 ELSE 0 END) AS n_copies
+          FROM d JOIN r ON d.source = r.source)
+        SELECT doc_id, source, n_copies, CAST(UNNEST(GENERATE_SERIES(1, n_copies)) AS BIGINT) AS copy_idx
+        FROM c WHERE n_copies > 0
+        ORDER BY doc_id, copy_idx
+      """)),
+
+    // ----------------------------------------------------------------
+    // q167: CURRICULUM buckets from an EXACT global sort-rank, without
+    // a global window — the scale-killer spelling is ROW_NUMBER() OVER
+    // (ORDER BY score): one task sees the corpus. Here the global rank
+    // is assembled from (1) a range repartition on the (score, doc_id)
+    // total order, (2) sortWithinPartitions + monotonically_increasing_id,
+    // whose upper bits ARE the range-partition id and lower bits the
+    // 0-based in-partition position (zero extra exchange for the local
+    // rank), and (3) per-partition counts (≤ #partitions rows — pure
+    // metadata) cumulated in a tiny window and broadcast back. AQE may
+    // coalesce range partitions; adjacency-preserving merges keep the
+    // partition-id order aligned with the score order, so offset +
+    // local position is the exact global rank regardless of where the
+    // sampled boundaries fell. Buckets are then integer arithmetic:
+    // bucket = (rank-1)·K/n — pandas qcut's equal-count binning, exact.
+    Q(
+      "q167_curriculum_buckets",
+      (s, dir) => {
+        val k = 8
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").as("score"))
+        // explicit partition count → REPARTITION_BY_NUM shuffle origin,
+        // which AQE never re-coalesces: BOTH consumers of the reused
+        // range exchange (the rank branch and the count branch) see the
+        // identical pid layout, so offsets line up by construction
+        val parted = scored
+          .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("score"), col("doc_id"))
+          .sortWithinPartitions("score", "doc_id")
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lpos", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "offset")
+        val n = scored.agg(count(lit(1)).as("n"))
+        parted.join(broadcast(offsets), Seq("pid"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("score"),
+            (col("offset") + col("lpos") + 1L).as("global_rank"),
+            expr(s"cast(((offset + lpos) * $k) div n as int)").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        ranked AS (
+          SELECT doc_id, n_chars AS score,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS global_rank
+          FROM documents)
+        SELECT doc_id, score, global_rank,
+               CAST((global_rank - 1) * 8 // nn.n AS INT) AS bucket
+        FROM ranked, nn
+        ORDER BY doc_id
       """))
   )
 

@@ -1569,6 +1569,154 @@ object SimilarityQueries {
         }
         pqAdcSearch(s, emb, graft.operators.CodeIndex.codes(s, out))
       },
-      Some(pqAdcOracleSql))
+      Some(pqAdcOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q163: HARD-NEGATIVE MINING for contrastive training — for every
+    // anchor vector, the most-similar in-bucket neighbor that is NOT a
+    // near-duplicate (q55's dup threshold): near-dups are false
+    // negatives that poison a contrastive loss, so they are EXCLUDED
+    // and the exclusion count is reported per anchor. Scale shape: one
+    // self-join keyed on the adaptive sign bucket (occupancy ~32 at ANY
+    // corpus size — the q38/q55 knob), so candidate pairs total n·occ,
+    // never all-pairs; the top-1 pick and the exclusion count share ONE
+    // window partitioning (dups sort AFTER non-dups, so row 1 is the
+    // best non-dup whenever one exists) — a single exchange + sort
+    // serves both. Anchors whose bucket holds only near-dups (or
+    // nothing) drop out, identically in the oracle.
+    Q(
+      "q163_hard_negative_mining",
+      (s, dir) => {
+        val r = adaptiveWidthLit(embCount(s, dir), 32)
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
+          .withColumn("bucket", expr(signKeyLowExpr(r.toString)))
+        val a = emb.select(col("vec_id").as("anchor_id"), col("embedding").as("ea"),
+          col("n2").as("na"), col("bucket"))
+        val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+          col("n2").as("nc"), col("bucket"))
+        val dot = DotProductF.dot(col("ea"), col("ec"))
+        val simq = floor(dot / (sqrt(col("na")) * sqrt(col("nc"))) * lit(1000000.0) + lit(0.5))
+          .cast("bigint")
+        val scored = a.join(c, Seq("bucket"))
+          .where(col("anchor_id") =!= col("cand_id"))
+          .select(col("anchor_id"), col("cand_id"), simq.as("sim_q"))
+          .withColumn("is_dup", when(col("sim_q") >= 350000, 1L).otherwise(0L))
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(col("is_dup").asc, col("sim_q").desc, col("cand_id").asc)
+        scored
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_dups_excluded", sum(col("is_dup")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .where(col("rk") === 1 && col("is_dup") === 0)
+          .select(col("anchor_id"), col("cand_id").as("hard_neg_id"),
+            (col("sim_q").cast(DoubleType) / 1000000.0).as("cosine_sim"),
+            col("n_dups_excluded"))
+          .orderBy("anchor_id")
+      },
+      Some(s"""
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        e0 AS (
+          SELECT vec_id, embedding,
+                 ${dotSql("embedding", "embedding")} AS n2,
+                 ${adaptiveWidthSql(32)} AS r
+          FROM embeddings, nn
+        ), e AS (
+          SELECT vec_id, embedding, n2,
+                 ${signKeyLowSql("r")} AS bucket
+          FROM e0
+        ), scored AS (
+          SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+                 CAST(FLOOR(${dotSql("a.embedding", "c.embedding")}
+                   / (SQRT(a.n2) * SQRT(c.n2)) * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+          FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+        ), flagged AS (
+          SELECT *, CASE WHEN sim_q >= 350000 THEN 1 ELSE 0 END AS is_dup
+          FROM scored
+        )
+        SELECT anchor_id, cand_id AS hard_neg_id,
+               CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine_sim,
+               CAST(n_dups_excluded AS BIGINT) AS n_dups_excluded
+        FROM (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY is_dup ASC, sim_q DESC, cand_id ASC) AS rk,
+                 SUM(is_dup) OVER (PARTITION BY anchor_id) AS n_dups_excluded
+          FROM flagged
+        ) WHERE rk = 1 AND is_dup = 0 ORDER BY anchor_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q164: INT8 embedding quantization (symmetric absmax — the
+    // fp32→int8 storage step a 100 TB embedding store runs before
+    // indexing: 4x smaller, and ADC scans read int8): per-vector
+    // scale = absmax/127, codes = clamp(round-half-up(v/scale)),
+    // reported as integer-exact checksums (sum, L1, saturation count)
+    // plus a quantized reconstruction MSE. Everything is per-row
+    // projection work — ZERO data shuffles at any corpus size (the
+    // output orderBy is the only exchange). Bit-determinism: absmax is
+    // an order-free max; the rounding is the floor(x+0.5) spelling;
+    // the residual fold runs in element order with a +0.0 seed
+    // (IEEE 0.0+x ≡ x for the non-negative squares), so DuckDB's
+    // seedless LIST_REDUCE reconstructs every bit. Zero vectors are
+    // excluded (scale undefined) identically on both sides.
+    Q(
+      "q164_int8_quantization",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .withColumn("absmax", expr("aggregate(embedding, cast(0.0 as double), " +
+            "(a, x) -> greatest(a, abs(cast(x as double))))"))
+          .where(col("absmax") > 0.0)
+          .withColumn("scale", col("absmax") / lit(127.0))
+          .withColumn("codes", expr("transform(embedding, x -> " +
+            "least(cast(127 as bigint), greatest(cast(-127 as bigint), " +
+            "cast(floor(cast(x as double) / scale + 0.5d) as bigint))))"))
+          .withColumn("code_sum",
+            expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)"))
+          .withColumn("code_l1",
+            expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + abs(c))"))
+          .withColumn("n_sat", expr("aggregate(codes, cast(0 as bigint), " +
+            "(a, c) -> a + (case when c = 127 or c = -127 then 1 else 0 end))"))
+          .withColumn("mse", expr("aggregate(zip_with(embedding, codes, " +
+            "(x, c) -> (cast(x as double) - cast(c as double) * scale) * " +
+            "(cast(x as double) - cast(c as double) * scale)), " +
+            "cast(0.0 as double), (a, v) -> a + v)") /
+            size(col("embedding")).cast(DoubleType))
+          .select(col("vec_id"),
+            floor(col("scale") * lit(1e9) + lit(0.5)).cast("bigint").as("scale_q"),
+            col("code_sum"), col("code_l1"), col("n_sat"),
+            floor(col("mse") * lit(1e12) + lit(0.5)).cast("bigint").as("mse_q"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH q0 AS (
+          SELECT vec_id, embedding,
+                 LIST_REDUCE(LIST_TRANSFORM(embedding,
+                   x -> ABS(CAST(x AS DOUBLE))), (a, b) -> GREATEST(a, b)) AS absmax
+          FROM embeddings
+        ), q1 AS (
+          SELECT vec_id, embedding, absmax / 127.0 AS scale
+          FROM q0 WHERE absmax > 0.0
+        ), q2 AS (
+          SELECT vec_id, embedding, scale,
+                 LIST_TRANSFORM(embedding, x ->
+                   LEAST(CAST(127 AS BIGINT), GREATEST(CAST(-127 AS BIGINT),
+                     CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) AS codes
+          FROM q1
+        )
+        SELECT vec_id,
+               CAST(FLOOR(scale * 1e9 + 0.5) AS BIGINT) AS scale_q,
+               LIST_REDUCE(codes, (a, c) -> a + c) AS code_sum,
+               LIST_REDUCE(LIST_TRANSFORM(codes, c -> ABS(c)),
+                 (a, c) -> a + c) AS code_l1,
+               LIST_REDUCE(LIST_TRANSFORM(codes, c -> CAST(CASE
+                   WHEN c = 127 OR c = -127 THEN 1 ELSE 0 END AS BIGINT)),
+                 (a, c) -> a + c) AS n_sat,
+               CAST(FLOOR(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, codes),
+                   s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) * scale) *
+                        (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) * scale)),
+                 (a, v) -> a + v) / LEN(embedding) * 1e12 + 0.5) AS BIGINT) AS mse_q
+        FROM q2 ORDER BY vec_id
+      """))
   )
 }

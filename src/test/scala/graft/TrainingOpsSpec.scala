@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force parity + plan-shape pins for the q163-q167 training-data
+  * operator batch (hard negatives, int8 quantization, contamination
+  * score, epoch upsampling, curriculum buckets). The DuckDB gate
+  * certifies value parity at sf0.01; these suites re-derive the math
+  * independently in plain Scala and pin the physical shapes whose 100 TB
+  * viability the values alone cannot prove.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+  }
+
+  test("q164 int8 codes, saturation and MSE match a plain-Scala re-derivation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q164_int8_quantization")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    assert(embs.nonEmpty && got.nonEmpty)
+    embs.foreach { case (id, v) =>
+      val absmax = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x.toDouble)))
+      if (absmax > 0.0) {
+        val scale = absmax / 127.0
+        val codes = v.map(x =>
+          math.min(127L, math.max(-127L, math.floor(x.toDouble / scale + 0.5).toLong)))
+        val mse = v.zip(codes).foldLeft(0.0) { case (a, (x, c)) =>
+          val d = x.toDouble - c.toDouble * scale; a + d * d
+        } / v.size
+        val (scaleQ, codeSum, codeL1, nSat, mseQ) = got(id)
+        assert(scaleQ == math.floor(scale * 1e9 + 0.5).toLong, s"vec $id scale")
+        assert(codeSum == codes.sum, s"vec $id code_sum")
+        assert(codeL1 == codes.map(math.abs).sum, s"vec $id code_l1")
+        assert(nSat == codes.count(c => c == 127L || c == -127L), s"vec $id n_sat")
+        assert(mseQ == math.floor(mse * 1e12 + 0.5).toLong, s"vec $id mse")
+      } else assert(!got.contains(id), s"zero vector $id must be excluded")
+    }
+  }
+
+  test("q165 contamination fraction matches a plain-Scala trigram containment") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q165_contamination_score")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def tris(t: String): Set[String] = {
+      val toks = t.trim.split(" +").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs()
+    val evalSet = all.filter(_._1 % 97 == 0).flatMap(d => tris(d._2)).toSet
+    val train = all.filter(_._1 % 97 != 0)
+    assert(train.nonEmpty && evalSet.nonEmpty)
+    train.foreach { case (id, t) =>
+      val ts = tris(t)
+      if (ts.isEmpty) assert(!got.contains(id), s"trigram-less doc $id must drop")
+      else {
+        val hits = ts.count(evalSet.contains)
+        val (nTris, nHits, fq) = got(id)
+        assert(nTris == ts.size && nHits == hits, s"doc $id counts")
+        assert(fq == math.floor(hits.toDouble / ts.size * 1e6 + 0.5).toLong, s"doc $id frac")
+      }
+    }
+  }
+
+  test("q166 upsampling is deterministic, covers every doc, and extends q90's draw") {
+    import spark.implicits._
+    def run() = SparkEntry.queries("q166_epoch_upsampling")(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b, "a task retry must draw identical copies")
+    val perDoc = a.groupBy(_._1)
+    assert(perDoc.size == docs().size, "w >= 1 for every source: every doc appears")
+    perDoc.foreach { case (id, rows) =>
+      val n = rows.head._3
+      assert(rows.map(_._4).sorted == (1L to n), s"doc $id copy_idx must be 1..n_copies")
+    }
+  }
+
+  test("q167 global rank and buckets match a driver-side full sort") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q167_curriculum_buckets")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((id, sc), i) =>
+        (id, sc, i + 1L, (i.toLong * 8 / got.length).toInt)
+      }.sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("q167 plan: range exchange, no corpus-wide window (windows touch only pid metadata)") {
+    val df = SparkEntry.queries("q167_curriculum_buckets")(spark, dir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"global order must be a range exchange:\n$plan")
+    val winSpecs = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    winSpecs.foreach(w => assert(w.contains("pid") || w.contains("cnt"),
+      s"window over non-metadata input (single-task corpus sort):\n$w"))
+  }
+
+  test("q163 plan: one window pass serves top-1 and the exclusion count; no cartesian") {
+    val df = SparkEntry.queries("q163_hard_negative_mining")(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // AdaptiveSparkPlan.toString prints Final AND Initial plan sections —
+    // count WindowExecs in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // row_number and the dup count must share ONE WindowExec (same
+    // partitioning + ordering -> one exchange, one sort)
+    assert(plan.split("Window \\[").length - 1 == 1,
+      s"expected exactly one WindowExec:\n$plan")
+    // every emitted hard negative sits below the near-dup threshold
+    out.foreach { r =>
+      assert(r.getAs[Double]("cosine_sim") < 0.35, r.toString)
+    }
+  }
+}
