@@ -529,6 +529,128 @@ object TextQueries {
         WHERE term IN ('dup', 'vector')
         GROUP BY 1 HAVING COUNT(*) = 2
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q168: per-SOURCE quality-quantile gate — the CCNet move: the
+    // keep/drop threshold is RELATIVE to each domain's own score
+    // distribution (an absolute cutoff drowns clean-but-different
+    // domains). Recomputes q30's exact score, quantizes it to a 1e9
+    // integer (bit-portable ordering), and keeps the top 30% of each
+    // source: keep iff rank·10 <= n·3, pure integer rank arithmetic —
+    // never an interpolated quantile. Scale shape: ONE keyed window
+    // (partition by source — rank and the source count share the
+    // partitioning, one exchange + sort); no global ordering anywhere.
+    Q(
+      "q168_source_quality_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = expr(s"size($toksExpr)").cast(DoubleType)
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+          length(col("text"))
+        val stopRatio = expr(s"size(filter($toksExpr, t -> t IN ${inList(allStops)}))")
+          .cast(DoubleType) / nToks
+        val awl = length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) / nToks
+        val score = lit(0.4) * alpha +
+          lit(0.3) * (lit(1.0) - abs(awl - lit(5.0)) / lit(10.0)) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+        val scoreQ = floor(score * lit(1e9) + lit(0.5)).cast("bigint")
+        val w = Window.partitionBy("source")
+          .orderBy(col("score_q").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), scoreQ.as("score_q"))
+          .withColumn("src_rank", row_number().over(w))
+          .withColumn("n_src", count(lit(1)).over(
+            Window.partitionBy("source").orderBy(col("score_q").desc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .where(col("src_rank") * 10 <= col("n_src") * 3)
+          .select(col("doc_id"), col("source"), col("score_q"),
+            col("src_rank").cast("bigint").as("src_rank"), col("n_src"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = s"CAST(LEN($toksSql) AS DOUBLE)"
+        val alpha = s"(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text))"
+        val stopR = s"(CAST(LEN(LIST_FILTER($toksSql, t -> t IN ${inList(allStops)})) AS DOUBLE) / $nToks)"
+        val awl = s"(CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) / $nToks)"
+        s"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 CAST(FLOOR((0.4 * $alpha + 0.3 * (1.0 - ABS($awl - 5.0) / 10.0)
+                   + 0.3 * LEAST($stopR * 5.0, 1.0)) * 1e9 + 0.5) AS BIGINT) AS score_q
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source, score_q,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS src_rank,
+                 COUNT(*) OVER (PARTITION BY source) AS n_src
+          FROM scored)
+        SELECT doc_id, source, score_q, src_rank, CAST(n_src AS BIGINT) AS n_src
+        FROM ranked WHERE src_rank * 10 <= n_src * 3
+        ORDER BY doc_id
+      """
+      }),
+
+    // ----------------------------------------------------------------
+    // q169: bigram-LM FLUENCY scoring — the CCNet/KenLM perplexity
+    // filter made engine-portable: no log() (libm-dependent, the q60
+    // lesson). The score is the mean bigram conditional probability
+    // P(w2|w1) = c(w1 w2)/c(w1·), each ratio one IEEE division of
+    // exact integers, quantized at 1e9 and INTEGER-summed per doc, so
+    // shuffle/aggregation order cannot leak into the result. Corpus
+    // model = two keyed counts over the bigram stream; scoring = one
+    // join keyed on the bigram string. That join's hot keys (frequent
+    // bigrams) are an SMJ AQE CAN skew-split at runtime — unlike the
+    // custom exec tier — and the count tables grow with the
+    // VOCABULARY (~cbrt of corpus, per ScaleGen's df invariant),
+    // not the corpus.
+    Q(
+      "q169_bigram_fluency",
+      (s, dir) => {
+        val bisExpr = "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        val docBi = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .where(expr("size(toks) >= 2"))
+          .select(col("doc_id"), explode(expr(bisExpr)).as("bi"))
+          .withColumn("w1", split(col("bi"), " ").getItem(0))
+        val biCounts = docBi.groupBy("bi").agg(count(lit(1)).as("c_bi"))
+        val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+        docBi
+          .join(biCounts, Seq("bi"))
+          .join(uniCounts, Seq("w1"))
+          .withColumn("p_q",
+            floor(col("c_bi").cast(DoubleType) / col("c_uni").cast(DoubleType)
+              * lit(1e9) + lit(0.5)).cast("bigint"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("sum_p_q"))
+          .withColumn("fluency_q", expr("sum_p_q div n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        b AS (
+          SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                   i -> CONCAT(toks[i], ' ', toks[i + 1]))) AS bi
+          FROM t WHERE LEN(toks) >= 2),
+        b2 AS (
+          SELECT doc_id, bi, STRING_SPLIT(bi, ' ')[1] AS w1 FROM b),
+        cb AS (SELECT bi, COUNT(*) AS c_bi FROM b2 GROUP BY 1),
+        cu AS (SELECT w1, COUNT(*) AS c_uni FROM b2 GROUP BY 1),
+        scored AS (
+          SELECT b2.doc_id,
+                 CAST(FLOOR(CAST(cb.c_bi AS DOUBLE) / CAST(cu.c_uni AS DOUBLE)
+                   * 1e9 + 0.5) AS BIGINT) AS p_q
+          FROM b2 JOIN cb USING (bi) JOIN cu USING (w1))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(p_q) AS BIGINT) AS sum_p_q,
+               CAST(SUM(p_q) // COUNT(*) AS BIGINT) AS fluency_q
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id
       """))
   )
 }

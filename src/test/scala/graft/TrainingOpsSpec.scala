@@ -126,4 +126,46 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("cosine_sim") < 0.35, r.toString)
     }
   }
+
+  test("q168 keeps exactly the top-30% integer-rank slice per source, one window pass") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q168_source_quality_gate")(spark, dir)
+    val got = df.as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // per source: ranks are 1..floor-ish contiguous and sized rank*10 <= n*3
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.head._5
+      val kept = rows.map(_._4).sorted
+      assert(kept == (1L to kept.size), s"$src ranks not contiguous from 1")
+      assert(kept.size * 10 <= n * 3 && (kept.size + 1) * 10 > n * 3,
+        s"$src kept ${kept.size} of $n")
+      // kept scores dominate: rank order must follow score_q desc
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank == byRank.sorted(Ordering[Long].reverse), s"$src rank/score order")
+    }
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Window \\[").length - 1 == 1,
+      s"rank and source count must share one WindowExec:\n$plan")
+  }
+
+  test("q169 bigram fluency matches a plain-Scala corpus LM") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q169_bigram_fluency")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val all = docs().map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    val bis = all.flatMap { case (id, toks) =>
+      if (toks.size < 2) Nil else toks.sliding(2).map(p => id -> (p(0), p(1))).toSeq
+    }
+    val cBi = bis.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cUni = bis.groupBy(_._2._1).map { case (k, v) => k -> v.size.toLong }
+    assert(bis.nonEmpty && got.nonEmpty)
+    bis.groupBy(_._1).foreach { case (id, rows) =>
+      val pqs = rows.map { case (_, b) =>
+        math.floor(cBi(b).toDouble / cUni(b._1).toDouble * 1e9 + 0.5).toLong
+      }
+      val (nB, sumP, fq) = got(id)
+      assert(nB == pqs.size && sumP == pqs.sum && fq == pqs.sum / pqs.size, s"doc $id")
+    }
+  }
 }
