@@ -2099,6 +2099,95 @@ object PipelineQueries {
                CAST((global_rank - 1) * 8 // nn.n AS INT) AS bucket
         FROM ranked, nn
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q170: STREAMING decontamination gate ACROSS A CHECKPOINT RESUME —
+    // q165's containment score deployed at the INGESTION edge, where a
+    // production pipeline actually runs it (score once on arrival, not
+    // over the accumulated corpus every time). The benchmark trigram
+    // vocabulary is STATIC and broadcast into every micro-batch; the
+    // per-doc score is row-local given that broadcast (a doc's
+    // trigrams never leave its batch), so the union of per-batch kept
+    // sets equals the one-shot batch gate — which is why this entry is
+    // held to q165's oracle WITH the keep threshold applied, verbatim
+    // semantics. The input lands in TWO waves and the stream STARTS
+    // TWICE on one checkpoint: a re-processed wave would double rows
+    // and fail the gate, so the resume path itself is under the oracle
+    // (the q152 protocol). Docs at or above 5% containment are dropped.
+    Q(
+      "q170_stream_decontamination",
+      (s, dir) => {
+        val out = Q.scratch(s, "q170_streamdecon", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val docs = Tables.documents(s, dir)
+        val evalTris = docs.where(col("doc_id") % 97 === 0)
+          .withColumn("toks", expr(toksExpr))
+          .select(explode(expr(trisExpr)).as("tri"))
+          .distinct().withColumn("hit", lit(1L))
+        val train = docs.where(col("doc_id") % 97 =!= 0)
+          .select("doc_id", "text")
+        def drain(): Unit = {
+          val q = s.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.withColumn("toks", expr(toksExpr))
+                .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+                .join(broadcast(evalTris), Seq("tri"), "left")
+                .groupBy("doc_id")
+                .agg(count(lit(1)).as("n_tris"),
+                  sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+                .withColumn("contamination_q",
+                  floor(col("n_hits").cast("double") / col("n_tris").cast("double")
+                    * lit(1000000.0) + lit(0.5)).cast("bigint"))
+                .where(col("contamination_q") < 50000)
+                .write.mode("append").parquet(s"$out/kept")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q170 drain did not finish in 300 s")
+          }
+        }
+        // wave 1 → drain → wave 2 appended → SECOND start, SAME checkpoint
+        train.where(col("doc_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        train.where(col("doc_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        s.read.parquet(s"$out/kept")
+          .select("doc_id", "n_tris", "n_hits", "contamination_q")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri FROM t),
+        ev AS (
+          SELECT DISTINCT tri FROM e0 WHERE doc_id % 97 = 0),
+        scored AS (
+          SELECT e0.doc_id,
+                 COUNT(*) AS n_tris,
+                 SUM(CASE WHEN ev.tri IS NULL THEN 0 ELSE 1 END) AS n_hits
+          FROM e0 LEFT JOIN ev ON e0.tri = ev.tri
+          WHERE e0.doc_id % 97 <> 0
+          GROUP BY e0.doc_id)
+        SELECT doc_id, n_tris, CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(FLOOR(CAST(n_hits AS DOUBLE) / CAST(n_tris AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT) AS contamination_q
+        FROM scored
+        WHERE CAST(FLOOR(CAST(n_hits AS DOUBLE) / CAST(n_tris AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT) < 50000
+        ORDER BY doc_id
       """))
   )
 
