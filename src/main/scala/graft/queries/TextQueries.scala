@@ -30,6 +30,35 @@ object TextQueries {
   }
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** q169/q171's bigram OCCURRENCE stream: one row per adjacent token
+    * pair, `bi` = "w1 w2" (tokens cannot contain spaces — the split is
+    * on spaces — so the concat key is unambiguous), `w1` = the prefix. */
+  private def docBigrams(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bisExpr = "transform(sequence(1, size(toks) - 1), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .where(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(bisExpr)).as("bi"))
+      .withColumn("w1", split(col("bi"), " ").getItem(0))
+  }
+
+  /** q169/q171's scoring tail: join the bigram stream to the model
+    * counts, quantize each P(w2|w1) at 1e9, integer-sum per doc. */
+  private def scoreFluency(docBi: org.apache.spark.sql.DataFrame,
+                           biCounts: org.apache.spark.sql.DataFrame,
+                           uniCounts: org.apache.spark.sql.DataFrame) =
+    docBi
+      .join(biCounts, Seq("bi"))
+      .join(uniCounts, Seq("w1"))
+      .withColumn("p_q",
+        floor(col("c_bi").cast(DoubleType) / col("c_uni").cast(DoubleType)
+          * lit(1e9) + lit(0.5)).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("sum_p_q"))
+      .withColumn("fluency_q", expr("sum_p_q div n_bigrams"))
+      .orderBy("doc_id")
+
   val defs: Vector[Q] = Vector(
     // ----------------------------------------------------------------
     // q28: token counting — whitespace tokens, distinct tokens, average
@@ -609,27 +638,53 @@ object TextQueries {
     Q(
       "q169_bigram_fluency",
       (s, dir) => {
-        val bisExpr = "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-        val docBi = Tables.documents(s, dir)
-          .withColumn("toks", expr(toksExpr))
-          .where(expr("size(toks) >= 2"))
-          .select(col("doc_id"), explode(expr(bisExpr)).as("bi"))
-          .withColumn("w1", split(col("bi"), " ").getItem(0))
+        val docBi = docBigrams(s, dir)
         val biCounts = docBi.groupBy("bi").agg(count(lit(1)).as("c_bi"))
         val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c_uni"))
-        docBi
-          .join(biCounts, Seq("bi"))
-          .join(uniCounts, Seq("w1"))
-          .withColumn("p_q",
-            floor(col("c_bi").cast(DoubleType) / col("c_uni").cast(DoubleType)
-              * lit(1e9) + lit(0.5)).cast("bigint"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("sum_p_q"))
-          .withColumn("fluency_q", expr("sum_p_q div n_bigrams"))
-          .orderBy("doc_id")
+        scoreFluency(docBi, biCounts, uniCounts)
       },
-      Some(s"""
+      Some(fluencyOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q171: INCREMENTAL bigram-LM maintenance — q169's model counts
+    // maintained the way a corpus actually grows: four doc_id % 4
+    // ingest batches each contribute their bigram/prefix counts ONCE
+    // (a batch-local aggregate, O(batch) — the write path never reads
+    // stored state), committed as ONE grouped atomic delta holding
+    // BOTH tables (numerator and denominator can never be at
+    // different batch horizons); compact after batch 1 proves counts
+    // survive the additive sum-by-key fold. Scoring then serves from
+    // the MAINTAINED model — the corpus is never re-counted. Counts
+    // are additive, so maintained ≡ one-shot recompute EXACTLY and
+    // q169's oracle gates this entry VERBATIM (the q109/q114 move).
+    Q(
+      "q171_incremental_lm_counts",
+      (s, dir) => {
+        import graft.operators.LmIndex
+        val out = graft.Q.scratch(s, "q171_lmidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val docBi = docBigrams(s, dir)
+        (0 to 3).foreach { k =>
+          LmIndex.appendBatch(s, docBi.where(col("doc_id") % 4 === k), out, k)
+          if (k == 1) LmIndex.compact(s, out)
+        }
+        scoreFluency(docBi,
+          LmIndex.counts(s, out, "bi")
+            .select(col("k").as("bi"), col("c").as("c_bi")),
+          LmIndex.counts(s, out, "uni")
+            .select(col("k").as("w1"), col("c").as("c_uni")))
+      },
+      Some(fluencyOracleSql))
+  )
+
+  /** q169/q171's shared oracle: the one-shot corpus LM spelled in
+    * DuckDB — q171's maintained counts must reproduce it exactly.
+    * (lazy: referenced from `defs`, which initializes first) */
+  private lazy val fluencyOracleSql = s"""
         WITH t AS (
           SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (
@@ -651,6 +706,5 @@ object TextQueries {
                CAST(SUM(p_q) // COUNT(*) AS BIGINT) AS fluency_q
         FROM scored GROUP BY doc_id
         ORDER BY doc_id
-      """))
-  )
+      """
 }

@@ -148,6 +148,36 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"rank and source count must share one WindowExec:\n$plan")
   }
 
+  test("q171 LmIndex: a REPLAYED batch replaces its delta; maintained counts == one-shot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lmidx").toString
+    val docBi = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", expr("split(trim(text), ' +')"))
+      .where(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bi"))
+      .withColumn("w1", split(col("bi"), " ").getItem(0))
+    (0 to 3).foreach { k =>
+      graft.operators.LmIndex.appendBatch(
+        spark, docBi.where(col("doc_id") % 4 === k), root, k)
+      if (k == 1) graft.operators.LmIndex.compact(spark, root)
+    }
+    // checkpoint replay of batch 2: the grouped delta must be REPLACED,
+    // never double-counted
+    graft.operators.LmIndex.appendBatch(
+      spark, docBi.where(col("doc_id") % 4 === 2), root, 2)
+    val gotBi = graft.operators.LmIndex.counts(spark, root, "bi")
+      .as[(String, Long)].collect().toMap
+    val gotUni = graft.operators.LmIndex.counts(spark, root, "uni")
+      .as[(String, Long)].collect().toMap
+    val rows = docBi.select("bi", "w1").as[(String, String)].collect()
+    val expBi = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expUni = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    assert(gotBi == expBi, "bi counts diverge from one-shot recompute")
+    assert(gotUni == expUni, "uni counts diverge from one-shot recompute")
+  }
+
   test("q169 bigram fluency matches a plain-Scala corpus LM") {
     import spark.implicits._
     val got = SparkEntry.queries("q169_bigram_fluency")(spark, dir)
