@@ -460,7 +460,35 @@ object AsOfJoin {
                          buckets: Int,
                          stable: Option[Column] = None,
                          tolerance: Option[Long] = None,
-                         strict: Boolean = false): DataFrame = {
+                         strict: Boolean = false): DataFrame =
+    asofSalted(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, buckets, direction = "backward", stable, tolerance, strict)
+
+  /** [[asofBackwardSalted]] generalized over the DIRECTION — salting
+    * composes with forward/nearest exactly as with tolerance/strict:
+    * the salt only widens the equi-key and the right replicates per
+    * salt, so every sub-key evaluates the same comparisons the
+    * unsalted join would, whichever direction the merge scans
+    * (SkewAsOfSpec pins value equality per direction). Nearest
+    * requires a time type with distance arithmetic (the exec
+    * contract); there is no composed fallback in salted form, so
+    * unsupported types are rejected loudly rather than silently
+    * un-salted. */
+  def asofSalted(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTime: String, rightTime: String,
+                 payload: Seq[String],
+                 buckets: Int,
+                 direction: String = "backward",
+                 stable: Option[Column] = None,
+                 tolerance: Option[Long] = None,
+                 strict: Boolean = false): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      require(graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType),
+        s"salted nearest as-of needs distance arithmetic on the time type; " +
+          s"${left.schema(leftTime).dataType} has none (use the composed form)")
     require(buckets >= 1 && buckets <= 4096,
       s"salt buckets must be in [1, 4096], got $buckets")
     val saltC = "__asof_salt"
@@ -479,6 +507,7 @@ object AsOfJoin {
     planNativeKeys(saltedLeft, replRight,
       Seq(leftKey, saltC), Seq(rightKey, saltC),
       leftTime, rightTime, payload, broadcast = Some(false),
+      forward = direction == "forward", nearest = direction == "nearest",
       tolerance = tolerance, strict = strict)
       .drop(saltC)
   }

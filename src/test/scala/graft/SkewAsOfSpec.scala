@@ -53,6 +53,22 @@ class SkewAsOfSpec extends AnyFunSuite {
     assert(salted == unsalted)
   }
 
+  test("salted FORWARD and NEAREST == unsalted per direction on the skewed corpus") {
+    val (l, r) = skewed()
+    for (dir <- Seq("forward", "nearest")) {
+      val unsalted = AsOfJoin.asof(
+          l, r, "k", "rk", "t", "rt", Seq("p"), direction = dir)
+        .select("k", "t", "left_id", "p")
+        .as[(String, Int, Int, Option[Int])].collect().sortBy(_._3).toSeq
+      val salted = AsOfJoin.asofSalted(
+          l, r, "k", "rk", "t", "rt", Seq("p"), buckets = 8, direction = dir)
+        .select("k", "t", "left_id", "p")
+        .as[(String, Int, Int, Option[Int])].collect().sortBy(_._3).toSeq
+      assert(salted.length == l.count(), s"$dir: as-of is left-preserving")
+      assert(salted == unsalted, s"direction $dir diverged under salting")
+    }
+  }
+
   test("salted strict + tolerance == unsalted strict + tolerance on the skewed corpus") {
     val (l, r) = skewed()
     val tol = Some(5000L)
