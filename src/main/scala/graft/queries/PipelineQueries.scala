@@ -2188,6 +2188,145 @@ object PipelineQueries {
         WHERE CAST(FLOOR(CAST(n_hits AS DOUBLE) / CAST(n_tris AS DOUBLE)
                  * 1000000.0 + 0.5) AS BIGINT) < 50000
         ORDER BY doc_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q172: the END-TO-END CURATION PIPELINE — the composition a user
+    // of this engine actually ships: exact dedup (q32's keeper rule) →
+    // per-source quality gate (q168's integer rank arithmetic, kept
+    // top 70% here — a curation pass prunes the tail, not the body) →
+    // benchmark decontamination (q165's containment < 5%), with a
+    // per-source funnel report (docs surviving each stage + the final
+    // token budget). Every stage's predicate is an already-gated
+    // operator; the value of this entry is the COMPOSITION: stage
+    // flags are computed per doc and folded in ONE final aggregate, so
+    // the whole funnel costs the union of its stages' shuffles (md5
+    // dedup groupBy, one keyed window, trigram explode + broadcast
+    // probe) and never materializes an intermediate corpus.
+    Q(
+      "q172_curation_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val stops = Seq("the", "a", "and", "of", "el", "la", "de", "y",
+          "der", "die", "und", "das", "le", "et")
+        val inList = stops.map(x => s"'$x'").mkString("(", ", ", ")")
+        val docs = Tables.documents(s, dir).where(col("doc_id") % 97 =!= 0)
+        // stage 1: exact dedup — keeper = lowest doc_id per content hash
+        val keepers = docs.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(1).as("is_keeper"))
+        // stage 2: q30's quality score over the KEEPER set, top 70% per source
+        val nToks = expr(s"size($toksExpr)").cast(DoubleType)
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+          length(col("text"))
+        val stopRatio = expr(s"size(filter($toksExpr, t -> t IN $inList))")
+          .cast(DoubleType) / nToks
+        val awl = length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) / nToks
+        val scoreQ = floor((lit(0.4) * alpha +
+          lit(0.3) * (lit(1.0) - abs(awl - lit(5.0)) / lit(10.0)) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0))) * lit(1e9) + lit(0.5))
+          .cast("bigint")
+        val w = Window.partitionBy("source")
+          .orderBy(col("score_q").desc, col("doc_id").asc)
+        val quality = docs.join(keepers.select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), scoreQ.as("score_q"))
+          .withColumn("src_rank", row_number().over(w))
+          .withColumn("n_src", count(lit(1)).over(
+            Window.partitionBy("source").orderBy(col("score_q").desc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("doc_id"),
+            (col("src_rank") * 10 <= col("n_src") * 7).cast("int").as("passes_quality"))
+        // stage 3: decontamination vs the eval benchmark (q165's rule)
+        val evalTris = Tables.documents(s, dir).where(col("doc_id") % 97 === 0)
+          .withColumn("toks", expr(toksExpr))
+          .select(explode(expr(trisExpr)).as("tri"))
+          .distinct().withColumn("hit", lit(1L))
+        val decon = docs
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(expr(trisExpr)).as("tri"))
+          .join(broadcast(evalTris), Seq("tri"), "left")
+          .groupBy("doc_id")
+          .agg((floor(sum(coalesce(col("hit"), lit(0L))).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType) * lit(1000000.0) + lit(0.5))
+            .cast("bigint") < 50000).cast("int").as("passes_decon"))
+        // the funnel: flags folded in ONE aggregate per source
+        docs.select(col("doc_id"), col("source"),
+            expr(s"size($toksExpr)").cast("long").as("n_tok"))
+          .join(keepers, Seq("doc_id"), "left")
+          .join(quality, Seq("doc_id"), "left")
+          .join(decon, Seq("doc_id"), "left")
+          .select(col("source"), col("n_tok"),
+            coalesce(col("is_keeper"), lit(0)).as("s1"),
+            coalesce(col("passes_quality"), lit(0)).as("s2"),
+            coalesce(col("passes_decon"), lit(1)).as("s3"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("s1").cast("long")).as("n_dedup"),
+            sum((col("s1") * col("s2")).cast("long")).as("n_quality"),
+            sum((col("s1") * col("s2") * col("s3")).cast("long")).as("n_kept"),
+            sum((col("s1") * col("s2") * col("s3")).cast("long") * col("n_tok"))
+              .as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id, 1 AS is_keeper
+          FROM corpus GROUP BY MD5(text)),
+        scored AS (
+          SELECT c.doc_id, c.source,
+                 CAST(FLOOR((
+                   0.4 * (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text))
+                   + 0.3 * (1.0 - ABS((CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE)
+                       / CAST(LEN($toksSql) AS DOUBLE)) - 5.0) / 10.0)
+                   + 0.3 * LEAST((CAST(LEN(LIST_FILTER($toksSql,
+                       t -> t IN ('the', 'a', 'and', 'of', 'el', 'la', 'de', 'y',
+                                  'der', 'die', 'und', 'das', 'le', 'et'))) AS DOUBLE)
+                       / CAST(LEN($toksSql) AS DOUBLE)) * 5.0, 1.0)
+                 ) * 1e9 + 0.5) AS BIGINT) AS score_q
+          FROM corpus c JOIN keepers k ON c.doc_id = k.doc_id),
+        quality AS (
+          SELECT doc_id,
+                 CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY score_q DESC, doc_id ASC) * 10
+                      <= COUNT(*) OVER (PARTITION BY source) * 7
+                      THEN 1 ELSE 0 END AS passes_quality
+          FROM scored),
+        t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents),
+        e0 AS (
+          SELECT doc_id, UNNEST($trisSql) AS tri FROM t),
+        ev AS (
+          SELECT DISTINCT tri FROM e0 WHERE doc_id % 97 = 0),
+        decon AS (
+          SELECT e0.doc_id,
+                 CASE WHEN CAST(FLOOR(
+                     CAST(SUM(CASE WHEN ev.tri IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) < 50000
+                   THEN 1 ELSE 0 END AS passes_decon
+          FROM e0 LEFT JOIN ev ON e0.tri = ev.tri
+          WHERE e0.doc_id % 97 <> 0
+          GROUP BY e0.doc_id),
+        flags AS (
+          SELECT c.source,
+                 CAST(LEN(STRING_SPLIT_REGEX(TRIM(c.text), ' +')) AS BIGINT) AS n_tok,
+                 COALESCE(k.is_keeper, 0) AS s1,
+                 COALESCE(q.passes_quality, 0) AS s2,
+                 COALESCE(d.passes_decon, 1) AS s3
+          FROM corpus c
+          LEFT JOIN keepers k ON c.doc_id = k.doc_id
+          LEFT JOIN quality q ON c.doc_id = q.doc_id
+          LEFT JOIN decon d ON c.doc_id = d.doc_id)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(s1) AS BIGINT) AS n_dedup,
+               CAST(SUM(s1 * s2) AS BIGINT) AS n_quality,
+               CAST(SUM(s1 * s2 * s3) AS BIGINT) AS n_kept,
+               CAST(SUM(s1 * s2 * s3 * n_tok) AS BIGINT) AS kept_tokens
+        FROM flags
+        GROUP BY source ORDER BY source
       """))
   )
 
