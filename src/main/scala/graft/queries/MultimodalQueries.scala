@@ -478,6 +478,86 @@ object MultimodalQueries {
         GROUP BY c.doc_a, c.doc_b
         HAVING CAST(SUM(bit_count(xor(x.bval, y.bval))) AS INTEGER) <= 10
         ORDER BY doc_a, doc_b
+      """)),
+
+    // ----------------------------------------------------------------
+    // q173: audio SILENCE SEGMENTATION (VAD / silence-trim) — the stage
+    // that turns q118's per-window energies into the SEGMENTS an
+    // audio-curation pipeline actually cuts on: windows are flagged
+    // silent below an RMS threshold, then folded into maximal runs via
+    // the gaps-and-islands construction (boundary flag -> running
+    // sum), one segment row per run with its window span. The flag
+    // compares the 1e6-QUANTIZED integer RMS (q118's exact spelling),
+    // so the threshold branch is integer arithmetic in both engines;
+    // the segment window partitions per clip — decode and
+    // segmentation are both per-media parallel at any corpus size.
+    Q(
+      "q173_audio_silence_segments",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = s.range(0, 8)
+          .map { m =>
+            (m.toLong, "audio", graft.sources.MediaGen.wav(3 * m + 2))
+          }
+          .toDF("media_id", "kind", "payload")
+        val w = Window.partitionBy("media_id").orderBy("window_idx")
+        graft.operators.Multimodal.audioWindowFeatures(s, media, win = 32)
+          .toDF()
+          .select(col("media_id"), col("window_idx"),
+            round(col("features").getItem(1).cast("double") * lit(1000000L))
+              .cast("long").as("rms_micro"))
+          .withColumn("is_silent",
+            (col("rms_micro") < lit(577000L)).cast("int"))
+          .withColumn("boundary",
+            when(lag(col("is_silent"), 1).over(w).isNull ||
+              lag(col("is_silent"), 1).over(w) =!= col("is_silent"), 1)
+              .otherwise(0))
+          .withColumn("seg_id", sum(col("boundary")).over(w))
+          .groupBy(col("media_id"), col("seg_id"), col("is_silent"))
+          .agg(min(col("window_idx")).cast("int").as("start_w"),
+            max(col("window_idx")).cast("int").as("end_w"),
+            count(lit(1)).as("n_windows"))
+          .select(col("media_id"), col("seg_id").cast("bigint").as("seg_id"),
+            col("is_silent"), col("start_w"), col("end_w"), col("n_windows"))
+          .orderBy("media_id", "seg_id")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 3 * i + 2 AS mid
+          FROM generate_series(0, 7) t(i)
+        ),
+        samp AS (
+          SELECT m.media_id, t.i // 32 AS w,
+                 ((m.mid * 7919 + t.i * 12345) % 65536) - 32768 AS s
+          FROM media m, generate_series(0, 127) t(i)
+        ),
+        wstats AS (
+          SELECT media_id, CAST(w AS INTEGER) AS window_idx,
+                 CAST(ROUND(CAST(CAST(SQRT(CAST(SUM(s * s) AS DOUBLE) / 32)
+                   / 32768.0 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS rms_micro
+          FROM samp GROUP BY media_id, w
+        ),
+        flagged AS (
+          SELECT media_id, window_idx,
+                 CASE WHEN rms_micro < 577000 THEN 1 ELSE 0 END AS is_silent
+          FROM wstats
+        ),
+        seg AS (
+          SELECT media_id, window_idx, is_silent,
+                 CAST(SUM(boundary) OVER (PARTITION BY media_id
+                   ORDER BY window_idx) AS BIGINT) AS seg_id
+          FROM (
+            SELECT *, CASE WHEN LAG(is_silent) OVER (PARTITION BY media_id
+                     ORDER BY window_idx) IS DISTINCT FROM is_silent
+                   THEN 1 ELSE 0 END AS boundary
+            FROM flagged)
+        )
+        SELECT media_id, seg_id, is_silent,
+               MIN(window_idx) AS start_w, MAX(window_idx) AS end_w,
+               COUNT(*) AS n_windows
+        FROM seg GROUP BY media_id, seg_id, is_silent
+        ORDER BY media_id, seg_id
       """))
   )
 }
