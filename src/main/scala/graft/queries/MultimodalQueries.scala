@@ -558,6 +558,97 @@ object MultimodalQueries {
                COUNT(*) AS n_windows
         FROM seg GROUP BY media_id, seg_id, is_silent
         ORDER BY media_id, seg_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q174: video SCENE-CUT detection — q173's construction on the
+    // VISUAL axis: every AVI frame's mean intensity (q117's container
+    // walk, stride 1 = every frame) is compared to its predecessor's,
+    // a cut fires where the 1e6-quantized means differ by more than
+    // the threshold (STRICTLY — equal-to-threshold deltas exist in
+    // this corpus and pin the comparison's strictness), and frames
+    // fold into scenes via the same boundary→running-sum islands.
+    // Integer arithmetic end to end after quantization; per-clip
+    // parallel decode and segmentation at any corpus size.
+    Q(
+      "q174_video_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = s.range(0, 12)
+          .map { m =>
+            (m.toLong, "video", graft.sources.MediaGen.aviDib(m),
+              graft.sources.MediaGen.aviFrames(m))
+          }
+          .toDF("media_id", "kind", "payload", "nf")
+          .select(col("media_id"), col("kind"), col("payload"),
+            struct(
+              lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height"),
+              lit(null).cast("int").as("sample_rate"),
+              col("nf").as("n_frames")).as("meta"))
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        graft.operators.Multimodal.sampleFrameFeatures(s, media, stride = 1)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"),
+            round(col("features").getItem(3).cast("double") * lit(1000000L))
+              .cast("long").as("mean_micro"))
+          .withColumn("delta",
+            abs(col("mean_micro") - lag(col("mean_micro"), 1).over(w)))
+          .withColumn("is_cut",
+            when(col("delta") > 5000000L, 1).otherwise(0))
+          .withColumn("scene_id", sum(col("is_cut")).over(w))
+          .groupBy(col("media_id"), col("scene_id"))
+          .agg(min(col("frame_idx")).cast("int").as("start_frame"),
+            max(col("frame_idx")).cast("int").as("end_frame"),
+            count(lit(1)).as("n_frames"))
+          .select(col("media_id"), col("scene_id").cast("bigint").as("scene_id"),
+            col("start_frame"), col("end_frame"), col("n_frames"))
+          .orderBy("media_id", "scene_id")
+      },
+      Some("""
+        WITH media AS (
+          SELECT i AS media_id, 5 + i % 6 AS w, 4 + i % 5 AS h,
+                 3 + i % 3 AS nf
+          FROM generate_series(0, 11) t(i)
+        ),
+        frames AS (
+          SELECT media_id, w, h, f.f
+          FROM media, generate_series(0, 9) f(f)
+          WHERE f.f < nf
+        ),
+        pix AS (
+          SELECT fr.media_id, fr.f, fr.w, fr.h,
+                 (fr.media_id * 11 + fr.f * 59 + x.x * 137 + y.y * 199) % 256 AS v
+          FROM frames fr
+          JOIN generate_series(0, 10) x(x) ON x.x < fr.w
+          JOIN generate_series(0, 8) y(y) ON y.y < fr.h
+        ),
+        fmean AS (
+          SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+                 CAST(ROUND(CAST(CAST(CAST(SUM(v) AS DOUBLE)
+                   / (CAST(w AS DOUBLE) * h) AS REAL) AS DOUBLE) * 1000000)
+                   AS BIGINT) AS mean_micro
+          FROM pix GROUP BY media_id, f, w, h
+        ),
+        flagged AS (
+          SELECT media_id, frame_idx,
+                 CASE WHEN ABS(mean_micro - LAG(mean_micro) OVER (
+                     PARTITION BY media_id ORDER BY frame_idx)) > 5000000
+                   THEN 1 ELSE 0 END AS is_cut
+          FROM fmean
+        ),
+        seg AS (
+          SELECT media_id, frame_idx,
+                 CAST(SUM(is_cut) OVER (PARTITION BY media_id
+                   ORDER BY frame_idx) AS BIGINT) AS scene_id
+          FROM flagged
+        )
+        SELECT media_id, scene_id,
+               MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+               COUNT(*) AS n_frames
+        FROM seg GROUP BY media_id, scene_id
+        ORDER BY media_id, scene_id
       """))
   )
 }
