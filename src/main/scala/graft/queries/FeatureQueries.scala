@@ -934,6 +934,82 @@ object FeatureQueries {
         LEFT JOIN dim w ON w.pd = (
           SELECT MAX(p.pd) FROM dim p WHERE p.pd <= c.d)
         ORDER BY c.event_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q175: AUTOCORRELATION function (ACF) at lags 1..3 per key —
+    // pandas s.autocorr(lag): Pearson correlation between the series
+    // and its own lag over the overlapping pairs, the stationarity /
+    // seasonality probe every forecasting feature set starts with.
+    // Construction: ONE window pass materializes all three lag
+    // columns (shared Exchange+Sort on user_id), stack unpivots to
+    // (lag, pair) rows, and one hash aggregate per (key, lag) builds
+    // the five power sums as exact DECIMAL sums (order-free — a float
+    // SUM here would make the result shuffle-order-dependent), then
+    // q138's fixed-order double formula. Scale: one window partition
+    // per key + one keyed exchange; the pair stream is 3x the daily
+    // series, not the raw events.
+    Q(
+      "q175_autocorrelation",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val pairs = daily(s, dir)
+          .withColumn("v1", lag(col("v"), 1).over(w))
+          .withColumn("v2", lag(col("v"), 2).over(w))
+          .withColumn("v3", lag(col("v"), 3).over(w))
+          .select(col("user_id"), col("v"),
+            expr("stack(3, 1, v1, 2, v2, 3, v3)").as(Seq("lag_k", "vl")))
+          .where(col("vl").isNotNull)
+        val sums = pairs.groupBy("user_id", "lag_k").agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("v"))).cast(DoubleType).as("sx"),
+          sum(dec2(col("v")) * dec2(col("v"))).cast(DoubleType).as("sxx"),
+          sum(dec2(col("vl"))).cast(DoubleType).as("sy"),
+          sum(dec2(col("vl")) * dec2(col("vl"))).cast(DoubleType).as("syy"),
+          sum(dec2(col("v")) * dec2(col("vl"))).cast(DoubleType).as("sxy"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+        sums
+          .withColumn("acf", when(col("n") >= 2 && den > lit(0.0), num / den))
+          .select(col("user_id"), col("lag_k").cast("int").as("lag_k"),
+            col("n"), col("acf"))
+          .orderBy("user_id", "lag_k")
+      },
+      Some(s"""
+        WITH $dailySql, lagged AS (
+          SELECT user_id, v,
+                 LAG(v, 1) OVER w AS v1,
+                 LAG(v, 2) OVER w AS v2,
+                 LAG(v, 3) OVER w AS v3
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        ), pairs AS (
+          SELECT user_id, 1 AS lag_k, v, v1 AS vl FROM lagged WHERE v1 IS NOT NULL
+          UNION ALL
+          SELECT user_id, 2, v, v2 FROM lagged WHERE v2 IS NOT NULL
+          UNION ALL
+          SELECT user_id, 3, v, v3 FROM lagged WHERE v3 IS NOT NULL
+        ), sums AS (
+          SELECT user_id, lag_k,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+                 AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(vl AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(vl AS DECIMAL(18,2)) * CAST(vl AS DECIMAL(18,2)))
+                 AS DOUBLE) AS syy,
+            CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(vl AS DECIMAL(18,2)))
+                 AS DOUBLE) AS sxy
+          FROM pairs GROUP BY user_id, lag_k
+        )
+        SELECT user_id, CAST(lag_k AS INTEGER) AS lag_k, n,
+          CASE WHEN n >= 2 AND
+                    sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0.0
+               THEN (n * sxy - sx * sy) /
+                    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+          END AS acf
+        FROM sums ORDER BY user_id, lag_k
       """))
   )
 }
