@@ -2327,6 +2327,42 @@ object PipelineQueries {
                CAST(SUM(s1 * s2 * s3 * n_tok) AS BIGINT) AS kept_tokens
         FROM flags
         GROUP BY source ORDER BY source
+      """)),
+
+    // ----------------------------------------------------------------
+    // q176: HIVE-PARTITIONED layout + PARTITION-PRUNED scan — the
+    // storage-layout move every language-filtered corpus read depends
+    // on: the corpus is written `partitionBy(lang)` (directory-encoded
+    // partition values) and the per-language read must touch ONLY that
+    // language's files — at 100 TB the difference between scanning
+    // one language and scanning the corpus. The gate certifies the
+    // round-trip values (write → pruned read → aggregate ≡ a plain
+    // filtered aggregate over the original); LayoutSpec pins the PLAN
+    // (PartitionFilters carries the lang predicate; the pruned scan
+    // reads a strict subset of the partition directories).
+    Q(
+      "q176_partition_pruned_scan",
+      (s, dir) => {
+        val out = Q.scratch(s, "q176_part", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        Tables.documents(s, dir)
+          .write.partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .where(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang = 'en'
+        GROUP BY source ORDER BY source
       """))
   )
 

@@ -178,6 +178,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(gotUni == expUni, "uni counts diverge from one-shot recompute")
   }
 
+  test("q176 partitioned layout: the lang predicate lands in PartitionFilters") {
+    val df = SparkEntry.queries("q176_partition_pruned_scan")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang filter must prune partitions, not scan-and-filter:\n$plan")
+    // the layout on disk is directory-encoded per language
+    val out = Q.scratch(spark, "q176_part", dir)
+    val langDirs = Option(new java.io.File(out).listFiles()).get
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langDirs.length == 5, langDirs.mkString(","))
+  }
+
   test("q169 bigram fluency matches a plain-Scala corpus LM") {
     import spark.implicits._
     val got = SparkEntry.queries("q169_bigram_fluency")(spark, dir)
