@@ -1010,6 +1010,48 @@ object FeatureQueries {
                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
           END AS acf
         FROM sums ORDER BY user_id, lag_k
+      """)),
+
+    // ----------------------------------------------------------------
+    // q177: WEEKDAY SEASONALITY profile + seasonally-adjusted series —
+    // the simplest decomposition a forecasting feature set carries:
+    // per (key, weekday) the exact-decimal mean of the daily value
+    // (pandas groupby(weekday).mean, Monday=0 convention — q21's
+    // locale-free spelling), then each day's DEVIATION from its
+    // weekday mean (the deseasonalized residual). Two keyed
+    // aggregates + one keyed join back; the weekday-mean division and
+    // the single subtraction are fixed-order IEEE on exact inputs,
+    // so the oracle hashes bitwise. Profile rows are (keys x 7) —
+    // they ride the same (user_id, wd) exchange as the join.
+    Q(
+      "q177_weekday_seasonality",
+      (s, dir) => {
+        val bars = daily(s, dir)
+          .withColumn("wd", ((dayofweek(col("d")) + lit(5)) % 7).cast("int"))
+        val prof = bars.groupBy("user_id", "wd")
+          .agg(count(lit(1)).as("n_days"),
+            graft.Q.avgExact(col("v")).as("wd_mean"))
+        bars.join(prof, Seq("user_id", "wd"))
+          .select(col("user_id"), col("d"), col("wd"), col("v"),
+            col("n_days"), col("wd_mean"),
+            (col("v").cast(DoubleType) - col("wd_mean")).as("dev"))
+          .orderBy("user_id", "d")
+      },
+      Some(s"""
+        WITH $dailySql, bars AS (
+          SELECT user_id, d, v,
+                 CAST((DAYOFWEEK(d) + 6) % 7 AS INT) AS wd
+          FROM daily
+        ), prof AS (
+          SELECT user_id, wd, COUNT(*) AS n_days,
+                 CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v)
+                   AS wd_mean
+          FROM bars GROUP BY user_id, wd
+        )
+        SELECT b.user_id, b.d, b.wd, b.v, p.n_days, p.wd_mean,
+               CAST(b.v AS DOUBLE) - p.wd_mean AS dev
+        FROM bars b JOIN prof p ON b.user_id = p.user_id AND b.wd = p.wd
+        ORDER BY b.user_id, b.d
       """))
   )
 }

@@ -192,6 +192,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(langDirs.length == 5, langDirs.mkString(","))
   }
 
+  test("q178 bucketed join: no exchange below the SMJ; only the aggregate shuffles") {
+    val df = SparkEntry.queries("q178_bucketed_colocated_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"bucket layout must drive an SMJ:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("c_mktsegment")),
+      s"only the final aggregate may exchange; found: $exchanges\n$plan")
+  }
+
   test("q169 bigram fluency matches a plain-Scala corpus LM") {
     import spark.implicits._
     val got = SparkEntry.queries("q169_bigram_fluency")(spark, dir)
