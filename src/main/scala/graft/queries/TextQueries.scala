@@ -678,7 +678,55 @@ object TextQueries {
           LmIndex.counts(s, out, "uni")
             .select(col("k").as("w1"), col("c").as("c_uni")))
       },
-      Some(fluencyOracleSql))
+      Some(fluencyOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q179: VOCABULARY induction + OOV coverage — the tokenizer-sizing
+    // question: fix the vocabulary at the corpus's top-16 tokens by
+    // occurrence count (deterministic tie-break on the token string)
+    // and report every document's out-of-vocabulary token fraction.
+    // The top-K is orderBy+limit — TakeOrderedAndProject, parallel
+    // per-partition heaps + one K-row merge (the q143 lesson: never a
+    // global rank window); the vocabulary is K rows — broadcast — so
+    // the per-doc probe is map-side. OOV fraction is one quantized
+    // IEEE division of exact integer counts.
+    Q(
+      "q179_vocab_oov",
+      (s, dir) => {
+        val k = 16
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(k)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        toks
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_q",
+            floor(col("n_oov").cast(DoubleType) / col("n_toks").cast(DoubleType)
+              * lit(1000000.0) + lit(0.5)).cast("bigint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+          ORDER BY cnt DESC, tok ASC LIMIT 16)
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               CAST(FLOOR(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT) AS oov_q
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """))
   )
 
   /** q169/q171's shared oracle: the one-shot corpus LM spelled in
