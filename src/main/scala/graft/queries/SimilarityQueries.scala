@@ -1717,6 +1717,67 @@ object SimilarityQueries {
                         (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) * scale)),
                  (a, v) -> a + v) / LEN(embedding) * 1e12 + 0.5) AS BIGINT) AS mse_q
         FROM q2 ORDER BY vec_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q180: MinHash estimator CALIBRATION — the index-quality report a
+    // production dedup pipeline runs before trusting its LSH tier: for
+    // every candidate pair, the signature-level similarity estimate
+    // (matching components / 12, the textbook unbiased Jaccard
+    // estimator) side by side with the TRUE capped-shingle Jaccard and
+    // the absolute error, all in exact ppm integers (matches·1e6 div
+    // 12 is pure integer arithmetic; the true ratio is one IEEE
+    // division on exact set sizes, quantized). Scale shape: the q35
+    // candidate machinery verbatim plus two keyed joins to the 12-wide
+    // signature table — candidates are occupancy-capped, never
+    // all-pairs, and the signature table is one row per doc.
+    Q(
+      "q180_minhash_calibration",
+      (s, dir) => {
+        val mhCols = (0 to 11).map(i => min(expr(affineAtExpr(i))).as(s"mh$i"))
+        val sigs = cappedShingles(s, dir)
+          .withColumn("h", expr(shingleHashExpr))
+          .groupBy("doc_id")
+          .agg(mhCols.head, mhCols.tail: _*)
+        val aSig = sigs.select(col("doc_id").as("doc_a") +:
+          (0 to 11).map(i => col(s"mh$i").as(s"a$i")): _*)
+        val bSig = sigs.select(col("doc_id").as("doc_b") +:
+          (0 to 11).map(i => col(s"mh$i").as(s"b$i")): _*)
+        val matches = (0 to 11)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        lshVerifiedPairs(s, dir)
+          .join(aSig, Seq("doc_a"))
+          .join(bSig, Seq("doc_b"))
+          .withColumn("matches", matches)
+          .withColumn("est_ppm", expr("matches * 1000000 div 12"))
+          .withColumn("true_ppm",
+            floor(col("shingle_jaccard") * lit(1000000.0) + lit(0.5)).cast("bigint"))
+          .select(col("doc_a"), col("doc_b"), col("matches"),
+            col("est_ppm"), col("true_ppm"),
+            abs(col("est_ppm") - col("true_ppm")).as("err_ppm"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $lshPairsSqlCtes, m AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matches
+          FROM cand c
+          JOIN s sa ON sa.doc_id = c.doc_a
+          JOIN s sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, m.matches,
+               CAST(m.matches * 1000000 // 12 AS BIGINT) AS est_ppm,
+               CAST(FLOOR(p.shingle_jaccard * 1000000.0 + 0.5) AS BIGINT)
+                 AS true_ppm,
+               ABS(CAST(m.matches * 1000000 // 12 AS BIGINT)
+                 - CAST(FLOOR(p.shingle_jaccard * 1000000.0 + 0.5) AS BIGINT))
+                 AS err_ppm
+        FROM pairsv p
+        JOIN m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+        ORDER BY 1, 2
       """))
   )
 }
