@@ -922,36 +922,7 @@ object ExtraQueries {
             .as("filled"))
           .orderBy("event_id")
       },
-      Some("""
-        WITH base AS (
-          SELECT event_id, user_id, ts, EPOCH_US(ts) AS t,
-                 CASE WHEN event_id % 7 = 0 THEN NULL
-                      ELSE CAST(value AS DOUBLE) END AS v
-          FROM events
-        ), bounds AS (
-          SELECT *,
-            LAST_VALUE(v IGNORE NULLS) OVER w1 AS pv,
-            LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-              OVER w1 AS pt,
-            FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
-            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-              OVER w2 AS nt
-          FROM base
-          WINDOW w1 AS (PARTITION BY user_id ORDER BY t, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 w2 AS (PARTITION BY user_id ORDER BY t, event_id
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        )
-        SELECT event_id, user_id, ts, v,
-          CASE WHEN v IS NOT NULL THEN v
-               WHEN pv IS NULL THEN NULL
-               WHEN nv IS NULL THEN pv
-               WHEN nt = pt THEN pv
-               ELSE pv + (nv - pv) *
-                    (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-          END AS filled
-        FROM bounds ORDER BY event_id
-      """)),
+      Some(timeInterpOracleSql)),
 
     // ----------------------------------------------------------------
     // q42: CUBE grouping sets — all four aggregation levels in one Expand
@@ -1092,65 +1063,7 @@ object ExtraQueries {
         cms.join(kmv, "event_type").join(quant, "event_type")
           .orderBy("event_type")
       },
-      Some("""
-        WITH base AS (
-          SELECT event_type,
-                 CAST(ascii(substring(event_type,1,1))*961
-                      + ascii(substring(event_type,2,1))*31
-                      + length(event_type) AS BIGINT) AS etk,
-                 user_id, value
-          FROM events
-        ), per_type AS (
-          SELECT event_type, MIN(etk) AS etk, COUNT(*) AS n_rows
-          FROM base GROUP BY 1
-        ), buckets AS (
-          SELECT event_type, n_rows,
-                 ((1000003*etk + 12345) % 2147483647) % 64 AS b0,
-                 ((999983*etk + 54321) % 2147483647) % 64 AS b1,
-                 ((1000033*etk + 98765) % 2147483647) % 64 AS b2
-          FROM per_type
-        ), cms0 AS (SELECT b0, CAST(SUM(n_rows) AS BIGINT) AS c0 FROM buckets GROUP BY 1),
-           cms1 AS (SELECT b1, CAST(SUM(n_rows) AS BIGINT) AS c1 FROM buckets GROUP BY 1),
-           cms2 AS (SELECT b2, CAST(SUM(n_rows) AS BIGINT) AS c2 FROM buckets GROUP BY 1),
-           cms AS (
-          SELECT event_type, LEAST(c0, c1, c2) AS cms_rows
-          FROM buckets JOIN cms0 USING (b0) JOIN cms1 USING (b1) JOIN cms2 USING (b2)
-        ), hashes AS (
-          SELECT DISTINCT event_type,
-                 (950706376*user_id + 12345) % 2147483647 AS h
-          FROM base
-        ), ranked AS (
-          SELECT event_type, h,
-                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
-          FROM hashes
-        ), kmv AS (
-          SELECT event_type,
-                 CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
-                      ELSE CAST(15*CAST(2147483647 AS BIGINT) AS DOUBLE)
-                           / MAX(CASE WHEN rn = 16 THEN h END)
-                 END AS kmv_users
-          FROM ranked GROUP BY 1
-        ), grid AS (
-          SELECT event_type, CAST(FLOOR(value * 2.0) AS BIGINT) AS g,
-                 COUNT(*) AS c
-          FROM base GROUP BY 1, 2
-        ), cumg AS (
-          SELECT event_type, g,
-                 SUM(c) OVER (PARTITION BY event_type ORDER BY g) AS cum,
-                 SUM(c) OVER (PARTITION BY event_type) AS ntot
-          FROM grid
-        ), quant AS (
-          SELECT event_type,
-                 MIN(CASE WHEN cum >= CAST(FLOOR((ntot+1)/2.0) AS BIGINT)
-                     THEN g END) * 0.5 AS med_est,
-                 MIN(CASE WHEN cum >= CAST(FLOOR((99*ntot+99)/100.0) AS BIGINT)
-                     THEN g END) * 0.5 AS p99_est
-          FROM cumg GROUP BY 1
-        )
-        SELECT event_type, cms_rows, kmv_users, med_est, p99_est
-        FROM cms JOIN kmv USING (event_type) JOIN quant USING (event_type)
-        ORDER BY event_type
-      """)),
+      Some(sketchOracleSql)),
 
     // ----------------------------------------------------------------
     // q45: scalar JSON path extraction + cast over the events props
@@ -1441,6 +1354,187 @@ object ExtraQueries {
                      (SELECT COUNT(*) FROM (DESCRIBE $n)) AS n_cols,
                      (SELECT COUNT(*) FROM $n) AS n_rows""")
         per.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q181: INCREMENTALLY-MAINTAINED mergeable sketches — q44's three
+    // sketch families (count-min, k-minimum-values, ε-grid) maintained
+    // across four event_id % 4 ingest batches through operators/
+    // SketchIndex: each batch contributes O(sketch)-sized slices in
+    // ONE grouped atomic commit (cms cells additive; grid cells
+    // additive; kmv keeps each batch's k smallest distinct hashes —
+    // the k smallest of the union of per-batch k-smallest ARE the
+    // corpus k smallest), compact after batch 1 proves all three
+    // survive their folds. Serving rebuilds q44's exact report from
+    // the MAINTAINED state — the corpus is never re-sketched — and
+    // the mergeability being LOSSLESS is what lets q44's one-shot
+    // oracle gate this entry VERBATIM.
+    Q(
+      "q181_incremental_sketches",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.SketchIndex
+        val out = Q.scratch(s, "q181_sketchidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir)
+        (0 to 3).foreach { k =>
+          SketchIndex.appendBatch(s, ev.where(col("event_id") % 4 === k), out, k)
+          if (k == 1) SketchIndex.compact(s, out)
+        }
+        val p = SketchIndex.P
+        val w = SketchIndex.W
+        val kk = SketchIndex.K
+        // the type universe + per-depth buckets, re-derived from the
+        // type STRING (etk is a pure function; no extra state needed)
+        val types = SketchIndex.grid(s, out).select("event_type").distinct()
+          .withColumn("etk", SketchIndex.etkCol)
+        val buckets = types.select(
+          Seq(col("event_type")) ++
+            SketchIndex.seeds.zipWithIndex.map { case ((a, b0), i) =>
+              pmod(pmod(lit(a) * col("etk") + lit(b0), lit(p)), lit(w))
+                .as(s"b$i")
+            }: _*)
+        val cells = SketchIndex.cms(s, out)
+        val cmsDf = SketchIndex.seeds.indices
+          .foldLeft(buckets) { case (df, i) =>
+            df.join(cells.where(col("d") === i)
+              .select(col("b").as(s"b$i"), col("c").as(s"c$i")), s"b$i")
+          }
+          .select(col("event_type"),
+            least(col("c0"), col("c1"), col("c2")).as("cms_rows"))
+        val wk = Window.partitionBy("event_type").orderBy("h")
+        val kmvDf = SketchIndex.kmv(s, out)
+          .withColumn("rn", row_number().over(wk))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === kk, col("h"))).as("hk"),
+            count(lit(1)).as("nd"))
+          .select(col("event_type"),
+            when(col("nd") < kk, col("nd").cast(DoubleType))
+              .otherwise(lit(((kk - 1).toLong * p).toDouble) / col("hk"))
+              .as("kmv_users"))
+        val wcum = Window.partitionBy("event_type").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy("event_type")
+        val quant = SketchIndex.grid(s, out)
+          .withColumn("cum", sum(col("c")).over(wcum))
+          .withColumn("ntot", sum(col("c")).over(wall))
+          .groupBy("event_type")
+          .agg(
+            min(when(col("cum") >=
+              floor((col("ntot") + lit(1)) / lit(2.0)).cast(LongType),
+              col("g"))).as("gmed"),
+            min(when(col("cum") >=
+              floor((lit(99) * col("ntot") + lit(99)) / lit(100.0))
+                .cast(LongType),
+              col("g"))).as("g99"))
+          .select(col("event_type"),
+            (col("gmed") * lit(0.5)).as("med_est"),
+            (col("g99") * lit(0.5)).as("p99_est"))
+        cmsDf.join(kmvDf, "event_type").join(quant, "event_type")
+          .orderBy("event_type")
+      },
+      Some(sketchOracleSql))
   )
+  /** q44/q181's shared oracle: the ONE-SHOT sketch build spelled in
+    * DuckDB — q181's incrementally-maintained sketches must reproduce
+    * it exactly (mergeability is lossless).
+    * (lazy: referenced from `defs`, which initializes first) */
+  private lazy val timeInterpOracleSql = """
+        WITH base AS (
+          SELECT event_id, user_id, ts, EPOCH_US(ts) AS t,
+                 CASE WHEN event_id % 7 = 0 THEN NULL
+                      ELSE CAST(value AS DOUBLE) END AS v
+          FROM events
+        ), bounds AS (
+          SELECT *,
+            LAST_VALUE(v IGNORE NULLS) OVER w1 AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER w1 AS pt,
+            FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER w2 AS nt
+          FROM base
+          WINDOW w1 AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w2 AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts, v,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN NULL
+               WHEN nv IS NULL THEN pv
+               WHEN nt = pt THEN pv
+               ELSE pv + (nv - pv) *
+                    (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+          END AS filled
+        FROM bounds ORDER BY event_id
+      """
+
+  /** q44/q181's shared oracle: the ONE-SHOT sketch build spelled in
+    * DuckDB — q181's incrementally-maintained sketches must reproduce
+    * it exactly (mergeability is lossless). */
+  private lazy val sketchOracleSql = """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(ascii(substring(event_type,1,1))*961
+                      + ascii(substring(event_type,2,1))*31
+                      + length(event_type) AS BIGINT) AS etk,
+                 user_id, value
+          FROM events
+        ), per_type AS (
+          SELECT event_type, MIN(etk) AS etk, COUNT(*) AS n_rows
+          FROM base GROUP BY 1
+        ), buckets AS (
+          SELECT event_type, n_rows,
+                 ((1000003*etk + 12345) % 2147483647) % 64 AS b0,
+                 ((999983*etk + 54321) % 2147483647) % 64 AS b1,
+                 ((1000033*etk + 98765) % 2147483647) % 64 AS b2
+          FROM per_type
+        ), cms0 AS (SELECT b0, CAST(SUM(n_rows) AS BIGINT) AS c0 FROM buckets GROUP BY 1),
+           cms1 AS (SELECT b1, CAST(SUM(n_rows) AS BIGINT) AS c1 FROM buckets GROUP BY 1),
+           cms2 AS (SELECT b2, CAST(SUM(n_rows) AS BIGINT) AS c2 FROM buckets GROUP BY 1),
+           cms AS (
+          SELECT event_type, LEAST(c0, c1, c2) AS cms_rows
+          FROM buckets JOIN cms0 USING (b0) JOIN cms1 USING (b1) JOIN cms2 USING (b2)
+        ), hashes AS (
+          SELECT DISTINCT event_type,
+                 (950706376*user_id + 12345) % 2147483647 AS h
+          FROM base
+        ), ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hashes
+        ), kmv AS (
+          SELECT event_type,
+                 CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE CAST(15*CAST(2147483647 AS BIGINT) AS DOUBLE)
+                           / MAX(CASE WHEN rn = 16 THEN h END)
+                 END AS kmv_users
+          FROM ranked GROUP BY 1
+        ), grid AS (
+          SELECT event_type, CAST(FLOOR(value * 2.0) AS BIGINT) AS g,
+                 COUNT(*) AS c
+          FROM base GROUP BY 1, 2
+        ), cumg AS (
+          SELECT event_type, g,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY g) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS ntot
+          FROM grid
+        ), quant AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= CAST(FLOOR((ntot+1)/2.0) AS BIGINT)
+                     THEN g END) * 0.5 AS med_est,
+                 MIN(CASE WHEN cum >= CAST(FLOOR((99*ntot+99)/100.0) AS BIGINT)
+                     THEN g END) * 0.5 AS p99_est
+          FROM cumg GROUP BY 1
+        )
+        SELECT event_type, cms_rows, kmv_users, med_est, p99_est
+        FROM cms JOIN kmv USING (event_type) JOIN quant USING (event_type)
+        ORDER BY event_type
+      """
+
 }

@@ -203,6 +203,53 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"only the final aggregate may exchange; found: $exchanges\n$plan")
   }
 
+  test("q181 SketchIndex: replayed batch replaces its delta; merged sketches == one-shot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sketchidx").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    (0 to 3).foreach { k =>
+      graft.operators.SketchIndex.appendBatch(
+        spark, ev.where(col("event_id") % 4 === k), root, k)
+      if (k == 1) graft.operators.SketchIndex.compact(spark, root)
+    }
+    // checkpoint replay of batch 3: grouped delta replaced, never doubled
+    graft.operators.SketchIndex.appendBatch(
+      spark, ev.where(col("event_id") % 4 === 3), root, 3)
+    // CMS cells == one-shot (counts additive; the one-shot cell value is
+    // the sum over types colliding into the cell)
+    val gotCms = graft.operators.SketchIndex.cms(spark, root)
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val perType = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("etk", graft.operators.SketchIndex.etkCol)
+      .select("etk", "event_type", "n")
+      .as[(Long, String, Long)].collect()
+    val p = graft.operators.SketchIndex.P
+    val w = graft.operators.SketchIndex.W
+    val expCms = graft.operators.SketchIndex.seeds.zipWithIndex.flatMap {
+      case ((a, b0), i) =>
+        perType.map { case (etk, _, n) =>
+          (i, java.lang.Math.floorMod(java.lang.Math.floorMod(a * etk + b0, p), w)) -> n
+        }
+    }.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).sum }
+    assert(gotCms == expCms, "cms cells diverge from one-shot")
+    // KMV: the k-th smallest distinct hash per type == one-shot
+    val gotKmv = graft.operators.SketchIndex.kmv(spark, root)
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (t, hs) => t -> hs.map(_._2).sorted.toSeq }
+    val expHashes = ev.select(col("event_type"),
+        pmod(lit(950706376L) * col("user_id") + lit(12345L), lit(p)).as("h"))
+      .distinct().as[(String, Long)].collect().groupBy(_._1)
+      .map { case (t, hs) =>
+        t -> hs.map(_._2).sorted.take(graft.operators.SketchIndex.K).toSeq
+      }
+    gotKmv.foreach { case (t, hs) =>
+      assert(hs.take(graft.operators.SketchIndex.K) == expHashes(t),
+        s"$t: maintained k-min pool diverges from one-shot k smallest")
+    }
+  }
+
   test("q169 bigram fluency matches a plain-Scala corpus LM") {
     import spark.implicits._
     val got = SparkEntry.queries("q169_bigram_fluency")(spark, dir)
