@@ -726,7 +726,107 @@ object TextQueries {
         FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         GROUP BY t.doc_id
         ORDER BY t.doc_id
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q182: STREAMING quality gate against a FROZEN per-source
+    // threshold — q168's relative quantile gate in its DEPLOYABLE
+    // form: the rank-based slice needs the whole corpus, so at the
+    // ingestion edge the thresholds are FROZEN from a profile pass
+    // (here: the cut score of q168's top-30% rank per source) and
+    // every arriving doc is an O(1) point decision against the
+    // broadcast table — no window at serve time, which also means
+    // score-TIED docs at the cut are all kept (the documented
+    // train/serve skew of threshold freezing; the oracle applies the
+    // identical >= rule). Two input waves, stream started TWICE on
+    // one checkpoint (the q152/q170 resume protocol under the gate).
+    Q(
+      "q182_stream_quality_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val out = Q.scratch(s, "q182_streamgate", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = expr(s"size($toksExpr)").cast(DoubleType)
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+          length(col("text"))
+        val stopRatio = expr(s"size(filter($toksExpr, t -> t IN ${inList(allStops)}))")
+          .cast(DoubleType) / nToks
+        val awl = length(expr("replace(trim(text), ' ', '')")).cast(DoubleType) / nToks
+        val scoreQ = floor((lit(0.4) * alpha +
+          lit(0.3) * (lit(1.0) - abs(awl - lit(5.0)) / lit(10.0)) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0))) * lit(1e9) + lit(0.5))
+          .cast("bigint")
+        val docs = Tables.documents(s, dir)
+        // the frozen profile: cut = the top-30% rank's score per source
+        val w = Window.partitionBy("source")
+          .orderBy(col("score_q").desc, col("doc_id").asc)
+        val cuts = docs.select(col("doc_id"), col("source"), scoreQ.as("score_q"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("source").orderBy(col("score_q").desc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .where(col("rk") === greatest(expr("(n * 3) div 10"), lit(1L)))
+          .select(col("source"), col("score_q").as("cut_q"))
+        val in = docs.select("doc_id", "source", "text")
+        def drain(): Unit = {
+          val q = s.readStream.schema(in.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.select(col("doc_id"), col("source"), scoreQ.as("score_q"))
+                .join(broadcast(cuts), Seq("source"))
+                .where(col("score_q") >= col("cut_q"))
+                .write.mode("append").parquet(s"$out/kept")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q182 drain did not finish in 300 s")
+          }
+        }
+        in.where(col("doc_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        in.where(col("doc_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        s.read.parquet(s"$out/kept")
+          .select("doc_id", "source", "score_q", "cut_q")
+          .orderBy("doc_id")
+      },
+      Some {
+        val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
+        val nToks = s"CAST(LEN($toksSql) AS DOUBLE)"
+        val alpha = s"(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text))"
+        val stopR = s"(CAST(LEN(LIST_FILTER($toksSql, t -> t IN ${inList(allStops)})) AS DOUBLE) / $nToks)"
+        val awl = s"(CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) / $nToks)"
+        s"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 CAST(FLOOR((0.4 * $alpha + 0.3 * (1.0 - ABS($awl - 5.0) / 10.0)
+                   + 0.3 * LEAST($stopR * 5.0, 1.0)) * 1e9 + 0.5) AS BIGINT) AS score_q
+          FROM documents),
+        cuts AS (
+          SELECT source, score_q AS cut_q FROM (
+            SELECT source, score_q,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY score_q DESC, doc_id ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM scored)
+          WHERE rk = GREATEST((n * 3) // 10, 1))
+        SELECT s.doc_id, s.source, s.score_q, c.cut_q
+        FROM scored s JOIN cuts c USING (source)
+        WHERE s.score_q >= c.cut_q
+        ORDER BY s.doc_id
+      """
+      })
   )
 
   /** q169/q171's shared oracle: the one-shot corpus LM spelled in
