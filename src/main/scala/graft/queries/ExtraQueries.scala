@@ -1385,57 +1385,58 @@ object ExtraQueries {
           SketchIndex.appendBatch(s, ev.where(col("event_id") % 4 === k), out, k)
           if (k == 1) SketchIndex.compact(s, out)
         }
-        val p = SketchIndex.P
-        val w = SketchIndex.W
-        val kk = SketchIndex.K
-        // the type universe + per-depth buckets, re-derived from the
-        // type STRING (etk is a pure function; no extra state needed)
-        val types = SketchIndex.grid(s, out).select("event_type").distinct()
-          .withColumn("etk", SketchIndex.etkCol)
-        val buckets = types.select(
-          Seq(col("event_type")) ++
-            SketchIndex.seeds.zipWithIndex.map { case ((a, b0), i) =>
-              pmod(pmod(lit(a) * col("etk") + lit(b0), lit(p)), lit(w))
-                .as(s"b$i")
-            }: _*)
-        val cells = SketchIndex.cms(s, out)
-        val cmsDf = SketchIndex.seeds.indices
-          .foldLeft(buckets) { case (df, i) =>
-            df.join(cells.where(col("d") === i)
-              .select(col("b").as(s"b$i"), col("c").as(s"c$i")), s"b$i")
+        serveSketchReport(s, out)
+      },
+      Some(sketchOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q183: q181's sketch maintenance as an actual STREAM CONSUMER —
+    // events land in two waves, a checkpointed AvailableNow query
+    // appends each micro-batch's sketch slices through SketchIndex
+    // (delta id = the STREAMING batch id, so a replayed micro-batch
+    // replaces its own delta — exactly-once composition of the
+    // checkpoint contract with the store's idempotent commit), and the
+    // stream is STARTED TWICE on one checkpoint: a re-processed wave
+    // would double the additive cells and flip the hash. Serving reads
+    // the maintained state with q181's exact report — and because the
+    // merge is lossless whatever the batch boundaries, q44's one-shot
+    // oracle STILL gates it verbatim: the same answer from the batch
+    // build, the 4-batch replay, and the streaming consumer.
+    Q(
+      "q183_stream_sketch_maintenance",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.SketchIndex
+        val out = Q.scratch(s, "q183_streamsketch", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir)
+        val in = ev.select("event_id", "event_type", "user_id", "value")
+        def drain(): Unit = {
+          val q = s.readStream.schema(in.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              SketchIndex.appendBatch(s, b, s"$out/state", bid.toInt)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q183 drain did not finish in 300 s")
           }
-          .select(col("event_type"),
-            least(col("c0"), col("c1"), col("c2")).as("cms_rows"))
-        val wk = Window.partitionBy("event_type").orderBy("h")
-        val kmvDf = SketchIndex.kmv(s, out)
-          .withColumn("rn", row_number().over(wk))
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === kk, col("h"))).as("hk"),
-            count(lit(1)).as("nd"))
-          .select(col("event_type"),
-            when(col("nd") < kk, col("nd").cast(DoubleType))
-              .otherwise(lit(((kk - 1).toLong * p).toDouble) / col("hk"))
-              .as("kmv_users"))
-        val wcum = Window.partitionBy("event_type").orderBy("g")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wall = Window.partitionBy("event_type")
-        val quant = SketchIndex.grid(s, out)
-          .withColumn("cum", sum(col("c")).over(wcum))
-          .withColumn("ntot", sum(col("c")).over(wall))
-          .groupBy("event_type")
-          .agg(
-            min(when(col("cum") >=
-              floor((col("ntot") + lit(1)) / lit(2.0)).cast(LongType),
-              col("g"))).as("gmed"),
-            min(when(col("cum") >=
-              floor((lit(99) * col("ntot") + lit(99)) / lit(100.0))
-                .cast(LongType),
-              col("g"))).as("g99"))
-          .select(col("event_type"),
-            (col("gmed") * lit(0.5)).as("med_est"),
-            (col("g99") * lit(0.5)).as("p99_est"))
-        cmsDf.join(kmvDf, "event_type").join(quant, "event_type")
-          .orderBy("event_type")
+        }
+        in.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        in.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        serveSketchReport(s, s"$out/state")
       },
       Some(sketchOracleSql))
   )
@@ -1536,5 +1537,67 @@ object ExtraQueries {
         FROM cms JOIN kmv USING (event_type) JOIN quant USING (event_type)
         ORDER BY event_type
       """
+
+  /** q181/q183's serve path: rebuild q44's exact report from a
+    * maintained [[graft.operators.SketchIndex]] store — the type
+    * universe and per-depth buckets re-derive from the type STRING
+    * (etk is a pure function; no extra state needed), KMV takes the
+    * k-th order statistic of the maintained distinct pool, and the
+    * ε-grid quantiles run q44's cumulative windows over the summed
+    * cells. */
+  private def serveSketchReport(s: org.apache.spark.sql.SparkSession,
+                                root: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SketchIndex
+    val p = SketchIndex.P
+    val w = SketchIndex.W
+    val kk = SketchIndex.K
+    val types = SketchIndex.grid(s, root).select("event_type").distinct()
+      .withColumn("etk", SketchIndex.etkCol)
+    val buckets = types.select(
+      Seq(col("event_type")) ++
+        SketchIndex.seeds.zipWithIndex.map { case ((a, b0), i) =>
+          pmod(pmod(lit(a) * col("etk") + lit(b0), lit(p)), lit(w))
+            .as(s"b$i")
+        }: _*)
+    val cells = SketchIndex.cms(s, root)
+    val cmsDf = SketchIndex.seeds.indices
+      .foldLeft(buckets) { case (df, i) =>
+        df.join(cells.where(col("d") === i)
+          .select(col("b").as(s"b$i"), col("c").as(s"c$i")), s"b$i")
+      }
+      .select(col("event_type"),
+        least(col("c0"), col("c1"), col("c2")).as("cms_rows"))
+    val wk = Window.partitionBy("event_type").orderBy("h")
+    val kmvDf = SketchIndex.kmv(s, root)
+      .withColumn("rn", row_number().over(wk))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === kk, col("h"))).as("hk"),
+        count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        when(col("nd") < kk, col("nd").cast(DoubleType))
+          .otherwise(lit(((kk - 1).toLong * p).toDouble) / col("hk"))
+          .as("kmv_users"))
+    val wcum = Window.partitionBy("event_type").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("event_type")
+    val quant = SketchIndex.grid(s, root)
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("ntot", sum(col("c")).over(wall))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >=
+          floor((col("ntot") + lit(1)) / lit(2.0)).cast(LongType),
+          col("g"))).as("gmed"),
+        min(when(col("cum") >=
+          floor((lit(99) * col("ntot") + lit(99)) / lit(100.0))
+            .cast(LongType),
+          col("g"))).as("g99"))
+      .select(col("event_type"),
+        (col("gmed") * lit(0.5)).as("med_est"),
+        (col("g99") * lit(0.5)).as("p99_est"))
+    cmsDf.join(kmvDf, "event_type").join(quant, "event_type")
+      .orderBy("event_type")
+  }
 
 }
