@@ -836,15 +836,76 @@ object AsOfJoin {
     both.select(left.columns.map(col).toSeq ++ out: _*)
   }
 
+  /** [[asof]] with SKEW-AWARE automatic strategy selection — the
+    * routing tier that makes the salt recipe automatic, so a caller
+    * needs to know neither that the right side is dim-sized nor that
+    * AQE will never runtime-split the custom exec's exchanges.
+    *
+    * Decision tree (see [[SkewRoute]] for the rationale and conf
+    * knobs; every route is value-identical, only the physical shape
+    * changes):
+    *   1. right fits `spark.sql.autoBroadcastJoinThreshold` →
+    *      broadcast exec (left never shuffles; key skew is moot);
+    *   2. else, left key's measured max-share >= the hot threshold →
+    *      [[asofSalted]] (hash-partitions on (key, __asof_salt));
+    *   3. else the plain co-partitioned sort-merge.
+    * Step 2 runs one eager, bounded sampling job at call time — the
+    * price of measured (rather than guessed) routing.
+    *
+    * Nearest on a distance-free time type delegates straight to
+    * [[asof]]'s composed fallback (no salted spelling exists — the
+    * composition's internal joins re-shuffle the left anyway). */
+  def asofAutoSkew(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String],
+                   direction: String = "backward",
+                   tolerance: Option[Long] = None,
+                   allowExactMatches: Boolean = true,
+                   hotShare: Option[Double] = None,
+                   buckets: Option[Int] = None,
+                   stable: Option[Column] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val c = SkewRoute.conf(left)
+    val distanceFree = direction == "nearest" &&
+      !graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType)
+    if (distanceFree)
+      asof(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+        direction = direction, strategy = "sortmerge",
+        tolerance = tolerance, allowExactMatches = allowExactMatches)
+    else if (SkewRoute.rightFitsBroadcast(right))
+      asof(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+        direction = direction, strategy = "broadcast",
+        tolerance = tolerance, allowExactMatches = allowExactMatches)
+    else {
+      val hot = SkewRoute
+        .hotKeyShare(left, leftKey, c.sampleBytes, c.minRows)
+        .exists(_ >= hotShare.getOrElse(c.hotShare))
+      if (hot)
+        asofSalted(left, right, leftKey, rightKey, leftTime, rightTime,
+          payload, buckets.getOrElse(c.buckets), direction, stable,
+          tolerance, strict = !allowExactMatches)
+      else
+        asof(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+          direction = direction, strategy = "sortmerge",
+          tolerance = tolerance, allowExactMatches = allowExactMatches)
+    }
+  }
+
   /** Full pandas `merge_asof` parity in ONE entry point:
     * `direction` ∈ backward | forward | nearest, `strategy` ∈
     * sortmerge | broadcast | auto (planner size-estimate rule),
     * optional `tolerance` (native time units), and
     * `allowExactMatches=false` for the strict comparisons — any
-    * combination plans through the native operator tier. Nearest on a
-    * distance-free time type falls back to the composed two-join form
-    * (only when unbounded and sort-merge — the composition has no
-    * broadcast or tolerance spelling for such types). */
+    * combination plans through the native operator tier. UNBOUNDED
+    * nearest on a distance-free time type falls back to the composed
+    * two-join form WHATEVER the requested strategy (the composition
+    * itself plans sort-merge; broadcast/auto degrade the same way the
+    * named siblings asofNearestBroadcast/asofNearestAuto do, rather
+    * than throwing at planning). A TOLERANCE on such a type still
+    * throws — a distance bound needs distance arithmetic, and no
+    * composed spelling exists for it. */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
@@ -868,7 +929,7 @@ object AsOfJoin {
         s"asof direction must be backward | forward | nearest, got $other")
     }
     val strict = !allowExactMatches
-    if (nearest && tolerance.isEmpty && broadcast.contains(false) &&
+    if (nearest && tolerance.isEmpty &&
         !graft.plans.AsOfNearest.supported(left.schema(leftTime).dataType)) {
       if (strict)
         asofNearestStrictComposed(left, right, leftKey, rightKey, leftTime,

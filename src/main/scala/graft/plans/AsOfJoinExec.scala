@@ -84,9 +84,14 @@ private[graft] object AsOfNearest {
   * that materializes NOTHING: no unioned superset of both inputs, no
   * window buffer, no null-padded left columns travelling through the
   * right side's rows. At 100 TB the exchange carries each input once at
-  * its own width, and AQE still coalesces/skew-splits the exchanges as
-  * usual because they are ordinary ShuffleExchanges created by
-  * EnsureRequirements, not hand-rolled.
+  * its own width, and AQE still COALESCES the exchanges as usual (they
+  * are ordinary ShuffleExchanges created by EnsureRequirements, not
+  * hand-rolled) — but it never skew-SPLITS them: OptimizeSkewedJoin
+  * pattern-matches only SortMergeJoinExec/ShuffledHashJoinExec, so a
+  * hot key stays one straggler task. The mitigation is
+  * [[graft.operators.AsOfJoin.asofSalted]] (or the stats-routed
+  * [[graft.operators.AsOfJoin.asofAutoSkew]]) — see the
+  * SCALING.md skew audit.
   *
   * Semantics pinned to the union+window formulation (AsOfJoinSpec runs
   * both against a brute-force oracle):
@@ -366,6 +371,16 @@ case class AsOfJoinExec(
                 timeOrd.compare(carriedTime, lt) == 0) {
               bPayload = prevCarriedPayload
               bTime = prevCarriedTime
+              // dedup-contract guard: with duplicate right (key, time)
+              // rows the PREVIOUS carry can also sit at exactly lt — a
+              // contract violation must degrade to a null backward
+              // candidate, never silently emit an exact-time payload
+              // (that would be a lookahead-bias leak, not mere
+              // nondeterminism)
+              if (bTime != null && timeOrd.compare(bTime, lt) == 0) {
+                bPayload = null
+                bTime = null
+              }
             }
             val chosen =
               if (lt.isNullAt(0)) {

@@ -143,6 +143,36 @@ class BroadcastIndexCacheSpec extends AnyFunSuite {
     assert(got == composed)
   }
 
+  test("asof() entry point: unbounded nearest on decimal times falls back for EVERY strategy") {
+    // Consistency across entry points: asofNearestBroadcast/-Auto fall
+    // back to the composed form for distance-free time types, so the
+    // generic asof() must too — broadcast and auto included, not just
+    // sortmerge (it used to throw at planning for those two).
+    val l = Seq(("k1", BigDecimal("3.00"), 1), ("k1", BigDecimal("8.00"), 2))
+      .toDF("k", "t", "left_id")
+    val r = Seq(("k1", BigDecimal("1.00"), 10), ("k1", BigDecimal("6.00"), 60))
+      .toDF("rk", "rt", "p")
+    val composed = AsOfJoin.asofNearestComposed(
+        l, r, "k", "rk", "t", "rt", Seq("p"))
+      .select("left_id", "p").as[(Int, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    for (strategy <- Seq("sortmerge", "broadcast", "auto")) {
+      val got = AsOfJoin.asof(
+          l, r, "k", "rk", "t", "rt", Seq("p"),
+          direction = "nearest", strategy = strategy)
+        .select("left_id", "p").as[(Int, Option[Int])]
+        .collect().sortBy(_._1).toSeq
+      assert(got == composed, s"strategy $strategy diverged or threw")
+    }
+    // a tolerance on a distance-free type still rejects loudly (the
+    // require fires at physical planning — force it)
+    intercept[Exception] {
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("p"),
+        direction = "nearest", tolerance = Some(1L))
+        .queryExecution.executedPlan
+    }
+  }
+
   // --- 4. extreme-Long band bounds --------------------------------------
 
   test("cmpDiff: exact classification when the raw subtraction wraps") {

@@ -281,6 +281,27 @@ class StrictAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("strict nearest: duplicate rights at exactly lt degrade to a NULL backward candidate, never an exact-time payload") {
+    // The caller contract demands rights deduplicated per (key, time).
+    // When it is VIOLATED with duplicates at exactly the left time, the
+    // strict-nearest carry swap could land on the second duplicate —
+    // still at lt — and an exact-time payload would leak (lookahead
+    // bias). The guard must degrade the backward candidate to null
+    // instead: the forward candidate wins if present, else no match.
+    val l = leftDf(Seq(("k1", Some(10), 1), ("k2", Some(10), 2)))
+    // k1: dups at 10 + a forward row at 15 → forward must win
+    // k2: dups at 10 only → no match at all
+    val r = Seq(
+      ("k1", Some(10), 100), ("k1", Some(10), 101), ("k1", Some(15), 150),
+      ("k2", Some(10), 200), ("k2", Some(10), 201)).toDF("rk", "rt", "p")
+    val got = AsOfJoin.asofNearestStrictNative(
+        l, r, "k", "rk", "t", "rt", Seq("p"))
+      .select(col("left_id"), col("p")).as[(Int, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, Some(150)), (2, None)),
+      s"exact-time payload leaked through the dup-right swap: $got")
+  }
+
   test("strict equals non-strict when no exact ties exist") {
     // disjoint time grids: left even, right odd — strict and plain
     // backward must agree row-for-row
