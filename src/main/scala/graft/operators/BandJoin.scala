@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BAND (interval) join: for every left row, ALL right rows with the
@@ -81,6 +81,39 @@ object BandJoin {
     plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
       payload, broadcast = None)
 
+  /** [[bandJoinAuto]] with SKEW-AWARE routing — the band twin of
+    * [[AsOfJoin.asofAutoSkew]], same [[SkewRoute]] decision tree:
+    * dim-sized right → broadcast (fact side never shuffles, skew is
+    * moot); else measured hot left key → [[bandJoinSalted]]; else the
+    * plain co-partitioned sort-merge. One eager bounded sampling job
+    * at call time buys the measured choice; every route is
+    * value-identical (SkewBandSpec). */
+  def bandJoinAutoSkew(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       lo: Long, hi: Long,
+                       payload: Seq[String],
+                       leftOuter: Boolean = false,
+                       hotShare: Option[Double] = None,
+                       buckets: Option[Int] = None,
+                       stable: Option[Column] = None): DataFrame = {
+    val c = SkewRoute.conf(left)
+    if (SkewRoute.rightFitsBroadcast(right))
+      plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+        payload, broadcast = Some(true), leftOuter = leftOuter)
+    else {
+      val hot = SkewRoute
+        .hotKeyShare(left, leftKey, c.sampleBytes, c.minRows)
+        .exists(_ >= hotShare.getOrElse(c.hotShare))
+      if (hot)
+        bandJoinSalted(left, right, leftKey, rightKey, leftTime, rightTime,
+          lo, hi, payload, buckets.getOrElse(c.buckets), stable, leftOuter)
+      else
+        plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
+          payload, broadcast = Some(false), leftOuter = leftOuter)
+    }
+  }
+
   /** Bucket-explode composition: left rows duplicate into the (at most
     * two) band-width buckets their band overlaps, the join is a plain
     * equi-join on (key, bucket), and the exact band is a post-filter.
@@ -111,13 +144,71 @@ object BandJoin {
       .select(leftCols.map(col) ++ payload.map(col): _*)
   }
 
+  /** BAND join for a SKEWED left side — the band-exec twin of
+    * [[AsOfJoin.asofSalted]], closing the second half of the exposure
+    * SCALING.md names: AQE's `OptimizeSkewedJoin` pattern-matches only
+    * SMJ/SHJ, so the exchanges feeding [[graft.plans.BandJoinExec]]
+    * are coalesced but never runtime-SPLIT — one hot key (one viral
+    * user in the q93/q146 attribution shape) is a single straggler
+    * task at 100 TB.
+    *
+    * RECIPE (identical to the as-of salt, and it preserves band
+    * semantics the same way): the left salts into `buckets` sub-keys
+    * from stable row content ([[Salt.saltCol]] — deterministic under
+    * task retry); the right REPLICATES into every salt bucket, so each
+    * sub-key still sees its key's FULL right timeline and every left
+    * row's band — a per-LEFT-row predicate the salt never touches —
+    * matches exactly the unsalted pair set (SkewBandSpec pins value
+    * equality, inner and left-outer). The native sort-merge then runs
+    * on (key, salt): the hot key spreads over `buckets` partitions of
+    * the same exchange. Cost: the right shuffles `buckets`× — size the
+    * bucket count to the straggler, not to the cluster. */
+  def bandJoinSalted(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     lo: Long, hi: Long,
+                     payload: Seq[String],
+                     buckets: Int,
+                     stable: Option[Column] = None,
+                     leftOuter: Boolean = false): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"salt buckets must be in [1, 4096], got $buckets")
+    val saltC = "__band_salt"
+    require(!(left.columns ++ right.columns).contains(saltC),
+      s"input column $saltC collides with the salting column — rename it")
+    val stableCol = stable.getOrElse(col(leftTime))
+    val saltedLeft = left.withColumn(saltC,
+      Salt.saltCol(stableCol, buckets).cast("int"))
+    val replRight = right
+      .withColumn(saltC, explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn(saltC, col(saltC).cast("int"))
+    planKeys(saltedLeft, replRight,
+      Seq(leftKey, saltC), Seq(rightKey, saltC),
+      leftTime, rightTime, lo, hi, payload,
+      broadcast = Some(false), leftOuter = leftOuter)
+      .drop(saltC)
+  }
+
   private def plan(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    lo: Long, hi: Long,
                    payload: Seq[String],
                    broadcast: Option[Boolean],
-                   leftOuter: Boolean = false): DataFrame = {
+                   leftOuter: Boolean = false): DataFrame =
+    planKeys(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      lo, hi, payload, broadcast, leftOuter)
+
+  /** Multi-key lowering — the exec already joins on `Seq[Expression]`
+    * keys; the composite form exists for [[bandJoinSalted]]'s
+    * (key, salt) pairs. */
+  private def planKeys(left: DataFrame, right: DataFrame,
+                       leftKeys: Seq[String], rightKeys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       lo: Long, hi: Long,
+                       payload: Seq[String],
+                       broadcast: Option[Boolean],
+                       leftOuter: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val lType = left.schema(leftTime).dataType
     val r0 =
@@ -141,7 +232,7 @@ object BandJoin {
       AttributeReference(a.name, a.dataType, nullable = true)())
     org.apache.spark.sql.GraftPlanApi.ofRows(left.sparkSession,
       graft.plans.BandJoinPlan(lPlan, rPlan,
-        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
         lo, hi, payloadAttrs, payloadOut, broadcast, leftOuter))
   }
