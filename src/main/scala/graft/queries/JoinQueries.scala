@@ -425,6 +425,22 @@ object JoinQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q184: the q146 attribution through the SALTED band join — the
+    // skew mitigation for the one straggler shape AQE cannot fix on
+    // the custom exec tier (OptimizeSkewedJoin matches only SMJ/SHJ,
+    // so a viral user's partition would never be runtime-split). The
+    // left (purchases) salts into 8 sub-keys from its own timestamps,
+    // events replicate per salt, and the merge runs on
+    // (user_id, __band_salt) — the hot user spreads over 8 partitions
+    // while the band, a per-LEFT-row predicate, matches exactly the
+    // unsalted pair set. Gated by q93/q146/q147's oracle VERBATIM —
+    // the fourth formulation held to the same hash-exact bar.
+    Q(
+      "q184_band_join_salted",
+      (s, dir) => bandAttributionSalted(s, dir),
+      Some(attributionOracle)),
+
+    // ----------------------------------------------------------------
     // q152: STREAMING band join ACROSS A CHECKPOINT RESUME — q147's
     // broadcast band attribution (events = the fact stream, never
     // shuffled or sorted; purchases = the broadcast dim index) deployed
@@ -618,6 +634,36 @@ object JoinQueries {
         GROUP BY 1 ORDER BY 1
       """))
   )
+
+  /** q146's attribution through [[BandJoin.bandJoinSalted]] (q184):
+    * the identical pair set, the hot key spread over 8 salt buckets. */
+  private def bandAttributionSalted(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.BandJoin
+    val W = 86400000000L
+    val ev = Tables.df(s, dir, "events")
+      .selectExpr("event_id", "user_id",
+        s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("t_us").as("p_us"))
+    val pairs = BandJoin.bandJoinSalted(
+      purch, ev.select(col("user_id"), col("t_us"), col("event_type")),
+      "user_id", "user_id", "p_us", "t_us",
+      lo = 0, hi = W,
+      payload = Seq("event_type"),
+      buckets = 8)
+      .select(col("purchase_id"), col("event_type"))
+    val attributed = pairs.groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_attr"),
+        countDistinct(col("event_type")).as("n_types"))
+    purch.join(attributed, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_us"),
+        coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .orderBy("purchase_id")
+  }
 
   /** q93's attribution computed through the custom band-join operator
     * family — both strategies produce the identical (purchase, event)
