@@ -650,6 +650,51 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q186: MONTHLY OHLC resample (pandas resample('ME').ohlc(), the
+    // month-keyed analyses of EDA.ipynb cell 15) — the generalized
+    // calendar resampler (operators/Resample.scala): whatever the
+    // frequency, the bars are ONE hash aggregate straight from ticks
+    // (struct extremes for open/close), so a month costs exactly what
+    // a day costs — map-side combine collapses ticks to bars before
+    // the single keyed exchange. Buckets label by period START
+    // (date_trunc convention; pandas 'ME' = same bars, end label).
+    // ResampleSpec additionally pins ticks-direct == daily-bars-
+    // rebucketed. Oracle: q127's independent row_number formulation on
+    // the month bucket.
+    Q(
+      "q186_ohlc_monthly",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.operators.Resample
+          .ohlc(ev, Seq("user_id"), "ts", "event_id", "value",
+            freq = "month", bucketName = "m")
+          .orderBy("user_id", "m")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id,
+            CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS m,
+            value,
+            row_number() OVER (
+              PARTITION BY user_id, date_trunc('month', CAST(ts AS TIMESTAMP))
+              ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (
+              PARTITION BY user_id, date_trunc('month', CAST(ts AS TIMESTAMP))
+              ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT user_id, m,
+          MAX(CASE WHEN rn_a = 1 THEN value END) AS px_open,
+          MAX(value) AS px_high,
+          MIN(value) AS px_low,
+          MAX(CASE WHEN rn_d = 1 THEN value END) AS px_close,
+          COUNT(*) AS n_events
+        FROM ranked GROUP BY 1, 2
+        ORDER BY user_id, m
+      """)),
+
+    // ----------------------------------------------------------------
     // q132: MACD(12,26,9) — three composed EWMA folds (fast, slow,
     // then the signal line over their difference) plus the histogram.
     // The α constants are written as the same division expression on
