@@ -355,6 +355,86 @@ object ExtraQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q187: STREAMING SALTED as-of — the one as-of deployment the
+    // registry had not exercised: the fact side arrives as a
+    // micro-batched stream and each batch runs the SALTED sort-merge
+    // (asofSalted, 8 buckets) against the static deduped orders —
+    // the deployment for a hot-keyed fact stream whose right side is
+    // too big to broadcast, where AQE cannot split the custom exec's
+    // exchange (q185's regime, streamed). q152's two-wave resume
+    // protocol: input lands in TWO waves, the stream STARTS TWICE on
+    // one checkpoint, the second start must process only wave 2.
+    // Backward as-of against a static right is row-local per left
+    // row, so the union of per-batch outputs equals the one-shot
+    // batch join — held to q41's oracle VERBATIM (the sixth
+    // formulation under that one gate).
+    Q(
+      "q187_stream_asof_salted",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q187_streamasof", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val winner = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val orders = Tables.orders(s, dir)
+          .withColumn("__rn", row_number().over(winner))
+          .where(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              AsOfJoin.asofSalted(b, orders,
+                  "user_id", "o_custkey", "ts", "o_orderdate",
+                  payload = Seq("asof_orderkey", "asof_totalprice"),
+                  buckets = 8)
+                .write.mode("append").parquet(s"$out/joined")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q187 drain did not finish in 300 s")
+          }
+        }
+        ev.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        ev.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        s.read.parquet(s"$out/joined")
+          .select("event_id", "user_id", "ts", "asof_orderkey",
+            "asof_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ded AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+          FROM orders GROUP BY 1, 2
+        ), winner AS (
+          SELECT d.o_custkey, d.o_orderdate, d.asof_orderkey,
+                 o.o_totalprice AS asof_totalprice
+          FROM ded d JOIN orders o ON o.o_orderkey = d.asof_orderkey
+        )
+        SELECT e.event_id, e.user_id, e.ts, w.asof_orderkey, w.asof_totalprice
+        FROM events e
+        LEFT JOIN winner w ON w.o_custkey = e.user_id AND w.o_orderdate = (
+          SELECT MAX(o2.o_orderdate) FROM orders o2
+          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        ORDER BY e.event_id
+      """)),
+
+    // ----------------------------------------------------------------
     // q126: per-key daily gap fill + linear interpolation (the pandas
     // reindex().ffill() / interpolate() pair over the events series) —
     // per-key spine from its own bounds (never a global calendar cross
