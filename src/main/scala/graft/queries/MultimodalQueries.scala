@@ -649,6 +649,263 @@ object MultimodalQueries {
                COUNT(*) AS n_frames
         FROM seg GROUP BY media_id, scene_id
         ORDER BY media_id, scene_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q188: MEDIA CURATION PIPELINE — the multimodal tier composed the
+    // way q172 composed text curation: every pillar stage feeds ONE
+    // funnel manifest. Images decode to dHashes and drop LSH-banded
+    // near-dups (q120's candidate join, keeper = lowest id of a pair);
+    // audio decodes to windowed RMS and folds into silence segments
+    // (q173's islands), keeping clips at least half voiced; video
+    // decodes every frame and folds into scenes (q174's cut rule),
+    // keeping clips with >= 2 scenes. The manifest is one aggregate
+    // per kind: corpus size, decode count, survivors, and the kept
+    // content units (voiced windows / frames / images). Every stage is
+    // per-media parallel except the image candidate join, which is
+    // band-bucketed (never all-pairs); at 100 TB the funnel aggregate
+    // carries one flag row per media item — manifest-sized, not
+    // content-sized. The oracle recomputes all three modalities from
+    // the generators' closed-form integer formulas and never sees a
+    // byte of payload.
+    Q(
+      "q188_media_curation_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // --- images: decode -> dHash -> banded near-dup (q120) ------
+        val imgs = s.range(0, 24)
+          .map { m => (m.toLong, "image", graft.sources.MediaGen.phashBmp(m)) }
+          .toDF("media_id", "kind", "payload")
+        val hashes = graft.operators.Multimodal.imageDHash(s, imgs).toDF()
+        val bands = hashes
+          .select(col("media_id"), posexplode(col("bands")))
+          .select(col("media_id"), col("pos").as("band"), col("col").as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+          .distinct()
+        val dups = cand
+          .join(hashes.select(col("media_id").as("doc_a"), col("bands").as("ba")),
+            Seq("doc_a"))
+          .join(hashes.select(col("media_id").as("doc_b"), col("bands").as("bb")),
+            Seq("doc_b"))
+          .withColumn("hamming", expr(
+            "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+              "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])").cast("int"))
+          .where(col("hamming") <= 10)
+          .select(col("doc_b").as("media_id")).distinct()
+          .withColumn("is_dup", lit(1))
+        val imgFlags = imgs.select("media_id")
+          .join(hashes.select(col("media_id"), lit(1).as("decoded")),
+            Seq("media_id"), "left")
+          .join(dups, Seq("media_id"), "left")
+          .select(lit("image").as("kind"), col("media_id"),
+            coalesce(col("decoded"), lit(0)).as("decoded"),
+            (coalesce(col("decoded"), lit(0)) === 1 &&
+              coalesce(col("is_dup"), lit(0)) === 0).cast("int").as("passes"),
+            lit(1L).as("units"))
+        // --- audio: windowed RMS -> silence islands (q173) ----------
+        val auds = s.range(0, 8)
+          .map { m => (m.toLong, "audio", graft.sources.MediaGen.wav(3 * m + 2)) }
+          .toDF("media_id", "kind", "payload")
+        val wA = Window.partitionBy("media_id").orderBy("window_idx")
+        val segs = graft.operators.Multimodal
+          .audioWindowFeatures(s, auds, win = 32).toDF()
+          .select(col("media_id"), col("window_idx"),
+            round(col("features").getItem(1).cast("double") * lit(1000000L))
+              .cast("long").as("rms_micro"))
+          .withColumn("is_silent",
+            (col("rms_micro") < lit(577000L)).cast("int"))
+          .withColumn("boundary",
+            when(lag(col("is_silent"), 1).over(wA).isNull ||
+              lag(col("is_silent"), 1).over(wA) =!= col("is_silent"), 1)
+              .otherwise(0))
+          .withColumn("seg_id", sum(col("boundary")).over(wA))
+          .groupBy(col("media_id"), col("seg_id"), col("is_silent"))
+          .agg(count(lit(1)).as("n_windows"))
+        val audFlags = auds.select("media_id")
+          .join(segs.groupBy("media_id").agg(
+              sum(col("n_windows")).as("n_w"),
+              sum(when(col("is_silent") === 0, col("n_windows"))
+                .otherwise(lit(0L))).as("n_voiced")),
+            Seq("media_id"), "left")
+          .select(lit("audio").as("kind"), col("media_id"),
+            col("n_w").isNotNull.cast("int").as("decoded"),
+            (col("n_voiced") * 2 >= col("n_w")).cast("int").as("passes"),
+            coalesce(col("n_voiced"), lit(0L)).cast("long").as("units"))
+        // --- video: per-frame means -> scene islands (q174) ---------
+        val vids = s.range(0, 12)
+          .map { m =>
+            (m.toLong, "video", graft.sources.MediaGen.aviDib(m),
+              graft.sources.MediaGen.aviFrames(m))
+          }
+          .toDF("media_id", "kind", "payload", "nf")
+          .select(col("media_id"), col("kind"), col("payload"),
+            struct(
+              lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height"),
+              lit(null).cast("int").as("sample_rate"),
+              col("nf").as("n_frames")).as("meta"))
+        val wV = Window.partitionBy("media_id").orderBy("frame_idx")
+        val scenes = graft.operators.Multimodal
+          .sampleFrameFeatures(s, vids, stride = 1).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            round(col("features").getItem(3).cast("double") * lit(1000000L))
+              .cast("long").as("mean_micro"))
+          .withColumn("delta",
+            abs(col("mean_micro") - lag(col("mean_micro"), 1).over(wV)))
+          .withColumn("is_cut",
+            when(col("delta") > 5000000L, 1).otherwise(0))
+          .withColumn("scene_id", sum(col("is_cut")).over(wV))
+          .groupBy(col("media_id"), col("scene_id"))
+          .agg(count(lit(1)).as("n_frames"))
+        val vidFlags = vids.select("media_id")
+          .join(scenes.groupBy("media_id").agg(
+              count(lit(1)).as("n_scenes"),
+              sum(col("n_frames")).as("n_frames")),
+            Seq("media_id"), "left")
+          .select(lit("video").as("kind"), col("media_id"),
+            col("n_scenes").isNotNull.cast("int").as("decoded"),
+            (col("n_scenes") >= 2).cast("int").as("passes"),
+            coalesce(col("n_frames"), lit(0L)).cast("long").as("units"))
+        // --- the funnel manifest: ONE aggregate per kind ------------
+        imgFlags.unionByName(audFlags).unionByName(vidFlags)
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(col("decoded").cast("long")).as("n_decoded"),
+            sum(col("passes").cast("long")).as("n_kept"),
+            sum(col("passes").cast("long") * col("units")).as("kept_units"))
+          .orderBy("kind")
+      },
+      Some("""
+        WITH im AS (
+          SELECT i AS media_id, i // 2 AS base, i % 2 AS odd
+          FROM generate_series(0, 23) t(i)
+        ),
+        ig AS (
+          SELECT m.media_id, gx.gx, gy.gy,
+                 (m.base * 37 + ((gx.gx * 16) // 9) * 131
+                              + ((gy.gy * 12) // 8) * 197
+                  + CASE WHEN m.odd = 1 AND ((gy.gy * 12) // 8) >= 9
+                              AND (((gx.gx * 16) // 9) + ((gy.gy * 12) // 8)) % 7 = 0
+                         THEN 7 ELSE 0 END) % 256 AS v
+          FROM im m, generate_series(0, 8) gx(gx), generate_series(0, 7) gy(gy)
+        ),
+        ibits AS (
+          SELECT a.media_id, a.gy // 2 AS band,
+                 SUM(CASE WHEN b.v > a.v
+                          THEN CAST(POWER(2, (a.gy % 2) * 8 + a.gx) AS BIGINT)
+                          ELSE 0 END) AS bval
+          FROM ig a
+          JOIN ig b ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8
+          GROUP BY a.media_id, a.gy // 2
+        ),
+        ib2 AS (
+          SELECT media_id, CAST(band AS INTEGER) AS band,
+                 CAST(bval AS INTEGER) AS bval
+          FROM ibits
+        ),
+        icand AS (
+          SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+          FROM ib2 a
+          JOIN ib2 b ON a.band = b.band AND a.bval = b.bval
+                    AND a.media_id < b.media_id
+        ),
+        ipairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM icand c
+          JOIN ib2 x ON x.media_id = c.doc_a
+          JOIN ib2 y ON y.media_id = c.doc_b AND y.band = x.band
+          GROUP BY c.doc_a, c.doc_b
+          HAVING CAST(SUM(bit_count(xor(x.bval, y.bval))) AS INTEGER) <= 10
+        ),
+        idup AS (SELECT DISTINCT doc_b AS media_id FROM ipairs),
+        iflags AS (
+          SELECT 'image' AS kind, m.media_id, 1 AS decoded,
+                 CASE WHEN d.media_id IS NULL THEN 1 ELSE 0 END AS passes,
+                 CAST(1 AS BIGINT) AS units
+          FROM im m LEFT JOIN idup d ON d.media_id = m.media_id
+        ),
+        am AS (
+          SELECT i AS media_id, 3 * i + 2 AS mid
+          FROM generate_series(0, 7) t(i)
+        ),
+        asamp AS (
+          SELECT m.media_id, t.i // 32 AS w,
+                 ((m.mid * 7919 + t.i * 12345) % 65536) - 32768 AS s
+          FROM am m, generate_series(0, 127) t(i)
+        ),
+        awstats AS (
+          SELECT media_id, CAST(w AS INTEGER) AS window_idx,
+                 CAST(ROUND(CAST(CAST(SQRT(CAST(SUM(s * s) AS DOUBLE) / 32)
+                   / 32768.0 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS rms_micro
+          FROM asamp GROUP BY media_id, w
+        ),
+        aflagged AS (
+          SELECT media_id,
+                 CASE WHEN rms_micro < 577000 THEN 1 ELSE 0 END AS is_silent
+          FROM awstats
+        ),
+        aflags AS (
+          SELECT 'audio' AS kind, media_id, 1 AS decoded,
+                 CASE WHEN 2 * SUM(1 - is_silent) >= COUNT(*)
+                      THEN 1 ELSE 0 END AS passes,
+                 CAST(SUM(1 - is_silent) AS BIGINT) AS units
+          FROM aflagged GROUP BY media_id
+        ),
+        vm AS (
+          SELECT i AS media_id, 5 + i % 6 AS w, 4 + i % 5 AS h,
+                 3 + i % 3 AS nf
+          FROM generate_series(0, 11) t(i)
+        ),
+        vframes AS (
+          SELECT media_id, w, h, f.f
+          FROM vm, generate_series(0, 9) f(f)
+          WHERE f.f < nf
+        ),
+        vpix AS (
+          SELECT fr.media_id, fr.f, fr.w, fr.h,
+                 (fr.media_id * 11 + fr.f * 59 + x.x * 137 + y.y * 199) % 256 AS v
+          FROM vframes fr
+          JOIN generate_series(0, 10) x(x) ON x.x < fr.w
+          JOIN generate_series(0, 8) y(y) ON y.y < fr.h
+        ),
+        vfmean AS (
+          SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+                 CAST(ROUND(CAST(CAST(CAST(SUM(v) AS DOUBLE)
+                   / (CAST(w AS DOUBLE) * h) AS REAL) AS DOUBLE) * 1000000)
+                   AS BIGINT) AS mean_micro
+          FROM vpix GROUP BY media_id, f, w, h
+        ),
+        vflagged AS (
+          SELECT media_id,
+                 CASE WHEN ABS(mean_micro - LAG(mean_micro) OVER (
+                     PARTITION BY media_id ORDER BY frame_idx)) > 5000000
+                   THEN 1 ELSE 0 END AS is_cut
+          FROM vfmean
+        ),
+        vflags AS (
+          SELECT 'video' AS kind, media_id, 1 AS decoded,
+                 CASE WHEN SUM(is_cut) + 1 >= 2 THEN 1 ELSE 0 END AS passes,
+                 CAST(COUNT(*) AS BIGINT) AS units
+          FROM vflagged GROUP BY media_id
+        ),
+        allflags AS (
+          SELECT * FROM iflags
+          UNION ALL SELECT * FROM aflags
+          UNION ALL SELECT * FROM vflags
+        )
+        SELECT kind, COUNT(*) AS n_media,
+               CAST(SUM(decoded) AS BIGINT) AS n_decoded,
+               CAST(SUM(passes) AS BIGINT) AS n_kept,
+               CAST(SUM(passes * units) AS BIGINT) AS kept_units
+        FROM allflags
+        GROUP BY kind
+        ORDER BY kind
       """))
   )
 }
