@@ -65,6 +65,25 @@ object SkewAudit {
       tS = math.min(tS, time(salted _))
     }
     println(f"""{"metric":"skew_asof","left_rows":$leftRows,"hot_pct":$hotPct,"buckets":$buckets,"unsalted_sec":$tU%.3f,"salted_sec":$tS%.3f,"speedup":${tU / tS}%.2f}""")
+
+    // Same instrument for the BAND exec (the second AQE-unsplittable
+    // operator): band (0, 20M] over the same corpus ≈ 2 right rows per
+    // left row, so the join is occupancy-bounded and the measured
+    // difference is the straggler, not output volume.
+    def bandUnsalted() = graft.operators.BandJoin.bandJoinNative(
+      left, right, "k", "rk", "t", "rt", 0L, 20000000L, Seq("p"))
+    def bandSalted() = graft.operators.BandJoin.bandJoinSalted(
+      left, right, "k", "rk", "t", "rt", 0L, 20000000L, Seq("p"), buckets)
+    val nPairs = bandUnsalted().count()
+    require(bandSalted().count() == nPairs,
+      "salted band join must preserve the pair set")
+    var bU = Double.MaxValue
+    var bS = Double.MaxValue
+    for (_ <- 1 to passes) {
+      bU = math.min(bU, time(bandUnsalted _))
+      bS = math.min(bS, time(bandSalted _))
+    }
+    println(f"""{"metric":"skew_band","left_rows":$leftRows,"hot_pct":$hotPct,"buckets":$buckets,"pairs":$nPairs,"unsalted_sec":$bU%.3f,"salted_sec":$bS%.3f,"speedup":${bU / bS}%.2f}""")
     spark.stop()
   }
 }
