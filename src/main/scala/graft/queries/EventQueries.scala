@@ -1,0 +1,518 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Event-stream analytics: distribution drift, retention cohorts,
+  * ordered conversion funnels, and SCD2 validity intervals — the
+  * product/behavioral layer a warehouse runs daily over its event
+  * firehose, and (for q189) the dataset-shift monitor a training-data
+  * pipeline runs between crawl snapshots before mixing them.
+  *
+  * Engine-added: the reference's notebooks stop at per-coin monthly
+  * aggregates (EDA.ipynb cell 15); these are the event-grain operations
+  * its Postgres schema (events-shaped `prices` rows keyed by
+  * coin_id/date) would need the moment the data outgrows one node.
+  *
+  * Determinism discipline (same as Q.scala): every measure is exact
+  * integer/decimal arithmetic until at most ONE final double op written
+  * as the identical expression in both engines. Timestamps cross the
+  * gate as epoch-micros BIGINTs ([[Tables.events]] pins TIMESTAMP_NTZ,
+  * session tz UTC, so `unix_micros(cast(ts as timestamp))` ==
+  * DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))`).
+  */
+object EventQueries {
+
+  /** Epoch micros of the normalized events `ts` (TIMESTAMP_NTZ, UTC). */
+  private def usCol = unix_micros(col("ts").cast("timestamp"))
+
+  def defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q189: DISTRIBUTION DRIFT between the earlier and later half of
+    // the stream, per event_type — the dataset-shift gate a training
+    // pipeline runs before mixing a new crawl snapshot into an old one.
+    //
+    // Measure: total variation distance over equi-width value buckets.
+    // TVD = ½ Σ_b |c_e[b]/n_e − c_l[b]/n_l| is rewritten as
+    //        Σ_b |c_e[b]·n_l − c_l[b]·n_e| / (2·n_e·n_l)
+    // so the numerator is a pure BIGINT aggregate — no per-bucket float
+    // division whose summation order could differ between engines. The
+    // single final division is one IEEE op on exactly-representable
+    // operands (counts ≤ 6e5 → products ≤ 3.6e11, summed over ≤ ~500
+    // buckets ≤ 1.8e14, all < 2^53), so the hash matches bit-exactly.
+    // (PSI/KL would need ln(), which libm-diverges between JVM and
+    // DuckDB — same reason q169's perplexity proxy is log-free.)
+    //
+    // Plan shape: one hash aggregate to (type, bucket, half) grain —
+    // map-side combine collapses the event stream before the only
+    // data-sized exchange — then window totals PARTITION BY type at
+    // bucket grain (bounded by the value domain, NOT the corpus: at
+    // 100 TB the bucket table is still ~500 rows/type) and a final
+    // ~5-row aggregate. The half-split midpoint is a 2-value scalar
+    // aggregate broadcast into the scan predicate.
+    Q(
+      "q189_drift_tvd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("value"), usCol.as("us"))
+        val mid = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long").as("mid"))
+        val buckets = ev.crossJoin(broadcast(mid))
+          .withColumn("bucket", floor(col("value")).cast("long"))
+          .groupBy("event_type", "bucket")
+          .agg(
+            sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c_e"),
+            sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c_l"))
+        val byType = Window.partitionBy("event_type")
+        buckets
+          .withColumn("n_early", sum("c_e").over(byType))
+          .withColumn("n_late", sum("c_l").over(byType))
+          .groupBy("event_type")
+          .agg(
+            max("n_early").as("n_early"),
+            max("n_late").as("n_late"),
+            count(lit(1)).as("n_buckets"),
+            sum(abs(col("c_e") * col("n_late") - col("c_l") * col("n_early")))
+              .as("tvd_num"))
+          .select(
+            col("event_type"), col("n_early"), col("n_late"), col("n_buckets"),
+            (col("tvd_num").cast("double") /
+              (lit(2.0) * col("n_early") * col("n_late"))).as("tvd"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), mid AS (
+          SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM ev
+        ), buckets AS (
+          SELECT event_type,
+                 CAST(FLOOR(value) AS BIGINT) AS bucket,
+                 CAST(SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_e,
+                 CAST(SUM(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS c_l
+          FROM ev, mid
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT event_type, bucket, c_e, c_l,
+                 SUM(c_e) OVER (PARTITION BY event_type) AS n_early,
+                 SUM(c_l) OVER (PARTITION BY event_type) AS n_late
+          FROM buckets
+        )
+        SELECT event_type,
+               CAST(MAX(n_early) AS BIGINT) AS n_early,
+               CAST(MAX(n_late) AS BIGINT) AS n_late,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(ABS(c_e * n_late - c_l * n_early)) AS DOUBLE) /
+                 (2.0 * MAX(n_early) * MAX(n_late)) AS tvd
+        FROM tot
+        GROUP BY event_type
+        ORDER BY event_type
+      """)),
+
+    // ----------------------------------------------------------------
+    // q190: RETENTION COHORTS — cohort = ISO week of a user's first
+    // event; for each (cohort, week-offset) the number of users still
+    // active. The classic triangular retention matrix, flattened.
+    //
+    // Plan shape: the stream collapses to (user, week) grain in one
+    // hash aggregate (map-side combine does the heavy lifting), the
+    // cohort week is a window MIN per user AT THAT GRAIN (per-user row
+    // count is calendar-bounded — ≤ weeks in the corpus — so the window
+    // state is O(weeks), never O(events)), and the matrix is a second
+    // small aggregate. No user-grain join, no distinct over raw events.
+    // Both engines truncate weeks to Monday, so the day arithmetic
+    // (datediff // 7) is exact integers.
+    Q(
+      "q190_retention_cohorts",
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("w"))
+          .groupBy("user_id", "w").agg(count(lit(1)).as("n_events"))
+        val byUser = Window.partitionBy("user_id")
+        uw.withColumn("cohort", min("w").over(byUser))
+          .groupBy(col("cohort"),
+            (datediff(col("w"), col("cohort")) / lit(7)).cast("int")
+              .as("offset_weeks"))
+          .agg(count(lit(1)).as("n_users"),
+            sum("n_events").as("n_events"))
+          .orderBy("cohort", "offset_weeks")
+      },
+      Some("""
+        WITH uw AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), coh AS (
+          SELECT user_id, w, n_events,
+                 MIN(w) OVER (PARTITION BY user_id) AS cohort
+          FROM uw
+        )
+        SELECT cohort,
+               CAST((w - cohort) // 7 AS INT) AS offset_weeks,
+               COUNT(*) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM coh
+        GROUP BY 1, 2
+        ORDER BY cohort, offset_weeks
+      """)),
+
+    // ----------------------------------------------------------------
+    // q191: ORDERED CONVERSION FUNNEL view → click → purchase, each
+    // stage within 7 days of the previous one. Order matters: a click
+    // BEFORE the user's first view does not count, so this is not
+    // expressible as conditional aggregation alone — each stage needs
+    // the previous stage's anchor time.
+    //
+    // Implementation: [[graft.operators.Funnel]] — stage 1 is a
+    // filtered hash aggregate to user grain (the event_type predicate
+    // is pushed into the parquet scan); each later stage is a keyed
+    // equi-join AT USER GRAIN on the previous anchor — the join carries
+    // one row per surviving user, not the event stream, and AQE is free
+    // to broadcast the shrinking anchor side. All time arithmetic in
+    // epoch micros (exact BIGINTs); the one double op is the final
+    // conversion ratio. FunnelSpec injects the click-before-view and
+    // past-the-window cases the synthetic corpus doesn't exercise.
+    Q(
+      "q191_event_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), usCol.as("us"))
+        graft.operators.Funnel.report(ev, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"),
+          maxGapUs = 7L * 24 * 3600 * 1000000L)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(us) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.us) AS t2
+          FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.us >= s1.t1 AND e.us <= s1.t1 + 604800000000
+          GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.us) AS t3
+          FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.us >= s2.t2 AND e.us <= s2.t2 + 604800000000
+          GROUP BY 1
+        ), staged AS (
+          SELECT '1_view' AS stage FROM s1
+          UNION ALL SELECT '2_click' FROM s2
+          UNION ALL SELECT '3_purchase' FROM s3
+        ), counts AS (
+          SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY 1
+        )
+        SELECT stage, n_users,
+               CAST(n_users AS DOUBLE) /
+                 MAX(CASE WHEN stage = '1_view' THEN n_users END) OVER ()
+                 AS conv_pct
+        FROM counts
+        ORDER BY stage
+      """)),
+
+    // ----------------------------------------------------------------
+    // q192: SCD2 VALIDITY INTERVALS — compress each user's event-grain
+    // attribute stream (tier = floor(value/100), a spend band) into
+    // slowly-changing-dimension rows: one row per run of equal tier,
+    // [valid_from, valid_to) half-open, valid_to NULL on the current
+    // row. The lakehouse dimension-history build (MERGE's read side).
+    //
+    // Implementation: [[graft.operators.Scd2]] — gaps-and-islands per
+    // user: lag() to flag changes, running count of flags for the
+    // island id, one hash aggregate to island grain, then lead() for
+    // the interval close. Every window is PARTITION BY user_id:
+    // per-key sorted state, no global ordering anywhere, so 1000
+    // executors each fold their users independently. Ordering ties
+    // broken by event_id (unique), so the island assignment is total
+    // and both engines agree row-for-row. Timestamps cross the gate as
+    // epoch micros (BIGINT).
+    Q(
+      "q192_scd2_intervals",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("tier"))
+        graft.operators.Scd2.intervals(ev, "user_id", "us", "event_id",
+            "tier", fromName = "valid_from_us", toName = "valid_to_us")
+          .select("user_id", "island", "tier", "valid_from_us",
+            "valid_to_us", "is_current", "n_events")
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, CAST(island AS BIGINT) AS island,
+                 MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us,
+                 COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id, island, tier, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 IS NULL AS is_current,
+               n_events
+        FROM runs
+        ORDER BY user_id, island
+      """)),
+
+    // ----------------------------------------------------------------
+    // q193: POINT-IN-TIME FEATURE JOIN — the feature-store lookup that
+    // prevents training-data leakage: for every purchase, the user's
+    // spend tier AS OF that moment, i.e. the q192 SCD2 dimension probed
+    // with a backward as-of join (exact-time matches allowed: an
+    // interval is valid FROM its open). Composes [[Scd2]] with the
+    // custom as-of exec tier the same way a training-set build would.
+    //
+    // Plan shape: the dimension's change points are user-keyed and
+    // ~runs-per-user sized (orders of magnitude smaller than events);
+    // the as-of join is the audited one-exchange merge (AsOfJoin.scala)
+    // on (user, time); the report is a final ~tiers-sized aggregate.
+    // The oracle re-derives the same result RELATIONALLY — interval
+    // containment join — so the gate cross-checks the as-of exec
+    // against an independent formulation, not just DuckDB vs Spark.
+    // (user_id, us) is unique in the corpus at every scale (checked),
+    // so containment and as-of agree exactly.
+    Q(
+      "q193_pit_feature_join",
+      (s, dir) => {
+        import graft.operators.{AsOfJoin, Scd2}
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            usCol.as("us"), col("value"))
+        val dim = Scd2.intervals(
+          ev.select(col("user_id"), col("event_id"), col("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("tier")),
+          "user_id", "us", "event_id", "tier",
+          fromName = "valid_from_us", toName = "valid_to_us")
+        val changes = dim.select(col("user_id").as("u2"),
+          col("valid_from_us"), col("tier"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us"), col("value"))
+        AsOfJoin.asofBackward(purchases, changes,
+            "user_id", "u2", "us", "valid_from_us", payload = Seq("tier"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"),
+            graft.Q.sumExact(col("value")).as("spend"))
+          .orderBy("tier")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), ivl AS MATERIALIZED (
+          -- MATERIALIZED: DuckDB would otherwise inline this CTE into
+          -- the containment join below and reject the window function
+          -- inside a (lateral-ized) join condition
+          SELECT user_id, MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us,
+                 lead(MIN(us)) OVER (PARTITION BY user_id ORDER BY island)
+                   AS valid_to_us
+          FROM islands GROUP BY user_id, island
+        ), p AS (
+          SELECT user_id, us, value FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT i.tier,
+               COUNT(*) AS n_purchases,
+               COUNT(DISTINCT p.user_id) AS n_users,
+               CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM p JOIN ivl i
+          ON p.user_id = i.user_id
+         AND p.us >= i.valid_from_us
+         AND (i.valid_to_us IS NULL OR p.us < i.valid_to_us)
+        GROUP BY i.tier
+        ORDER BY i.tier
+      """)),
+
+    // ----------------------------------------------------------------
+    // q194: MARKOV TRANSITION MATRIX over event types — bigram counts
+    // of consecutive events per user and the row-normalized transition
+    // probabilities. The sequence statistic behind behavioral
+    // modeling, next-event prediction features, and bot detection.
+    //
+    // Plan shape: one lag() window PARTITION BY user (per-key state),
+    // one hash aggregate to (prev, next) grain — at most |types|² rows
+    // regardless of corpus size — then a window total at that bounded
+    // grain. Probability is the single final double division on exact
+    // BIGINT counts.
+    Q(
+      "q194_markov_transitions",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val bi = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), usCol.as("us"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(byUser))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        bi.withColumn("row_total",
+            sum("n").over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("row_total")).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          FROM events
+        ), bi AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM ev
+        ), counts AS (
+          SELECT prev_type, next_type, COUNT(*) AS n
+          FROM bi WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY prev_type) AS p
+        FROM counts
+        ORDER BY prev_type, next_type
+      """)),
+
+    // ----------------------------------------------------------------
+    // q195: TIME-TO-CONVERT SURVIVAL SUMMARY — per signup-week cohort,
+    // how long users take from first signup to first subsequent
+    // purchase: conversion rate, min / lower-median / max / mean lag.
+    // The product-analytics twin of q190's retention matrix.
+    //
+    // Determinism: the median is the exact lower-median ELEMENT
+    // (row_number == (n+1) div 2 over the per-cohort delta order) —
+    // no percentile interpolation, whose float blend would be
+    // engine-sensitive; the mean is CAST(SUM)/n, one double division
+    // on exact BIGINTs. Plan shape: user-grain anchors (filtered
+    // aggregates + one user-keyed join, as q191), then cohort-grain
+    // windows at converted-user grain (≤ users, never events).
+    Q(
+      "q195_time_to_convert",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), usCol.as("us"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("t1"))
+          .withColumn("cohort",
+            date_trunc("week", timestamp_micros(col("t1"))).cast("date"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .where(col("us") >= col("t1"))
+          .groupBy("user_id")
+          .agg(min("cohort").as("cohort"),
+            (min("us") - min("t1")).as("delta_us"))
+        val byCohort = Window.partitionBy("cohort")
+        val stats = conv
+          .withColumn("rn", row_number().over(byCohort.orderBy("delta_us")))
+          .withColumn("n_conv", count(lit(1)).over(byCohort))
+          .groupBy("cohort")
+          .agg(max("n_conv").as("n_converted"),
+            min("delta_us").as("min_delta_us"),
+            max(when(col("rn") === expr("(n_conv + 1) div 2"),
+              col("delta_us"))).as("median_lo_delta_us"),
+            max("delta_us").as("max_delta_us"),
+            sum("delta_us").as("sum_delta_us"))
+        su.groupBy("cohort").agg(count(lit(1)).as("n_signups"))
+          .join(stats, Seq("cohort"), "left")
+          .select(col("cohort"), col("n_signups"),
+            coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+            (coalesce(col("n_converted"), lit(0L)).cast("double") /
+              col("n_signups")).as("conv_pct"),
+            col("min_delta_us"), col("median_lo_delta_us"),
+            col("max_delta_us"),
+            (col("sum_delta_us").cast("double") / col("n_converted"))
+              .as("mean_delta_us"))
+          .orderBy("cohort")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), su AS (
+          SELECT user_id, MIN(us) AS t1,
+                 CAST(date_trunc('week', make_timestamp(MIN(us))) AS DATE)
+                   AS cohort
+          FROM ev WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT e.user_id, MIN(su.cohort) AS cohort,
+                 MIN(e.us) - MIN(su.t1) AS delta_us
+          FROM ev e JOIN su USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us >= su.t1
+          GROUP BY 1
+        ), ranked AS (
+          SELECT cohort, delta_us,
+                 row_number() OVER (PARTITION BY cohort ORDER BY delta_us)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY cohort) AS n_conv
+          FROM conv
+        ), stats AS (
+          SELECT cohort,
+                 MAX(n_conv) AS n_converted,
+                 MIN(delta_us) AS min_delta_us,
+                 MAX(CASE WHEN rn = (n_conv + 1) // 2 THEN delta_us END)
+                   AS median_lo_delta_us,
+                 MAX(delta_us) AS max_delta_us,
+                 SUM(delta_us) AS sum_delta_us
+          FROM ranked GROUP BY 1
+        ), sig AS (
+          SELECT cohort, COUNT(*) AS n_signups FROM su GROUP BY 1
+        )
+        SELECT sig.cohort, sig.n_signups,
+               COALESCE(stats.n_converted, 0) AS n_converted,
+               CAST(COALESCE(stats.n_converted, 0) AS DOUBLE) /
+                 sig.n_signups AS conv_pct,
+               stats.min_delta_us, stats.median_lo_delta_us,
+               stats.max_delta_us,
+               CAST(stats.sum_delta_us AS DOUBLE) / stats.n_converted
+                 AS mean_delta_us
+        FROM sig LEFT JOIN stats USING (cohort)
+        ORDER BY sig.cohort
+      """))
+  )
+}
