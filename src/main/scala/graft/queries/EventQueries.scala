@@ -288,38 +288,41 @@ object EventQueries {
     // ----------------------------------------------------------------
     // q193: POINT-IN-TIME FEATURE JOIN — the feature-store lookup that
     // prevents training-data leakage: for every purchase, the user's
-    // spend tier AS OF that moment, i.e. the q192 SCD2 dimension probed
-    // with a backward as-of join (exact-time matches allowed: an
-    // interval is valid FROM its open). Composes [[Scd2]] with the
-    // custom as-of exec tier the same way a training-set build would.
+    // engagement tier AS OF that moment, where the tier state is set by
+    // the user's NON-purchase activity (view/click/signup/error). The
+    // dimension deliberately excludes the probe rows — otherwise every
+    // purchase would trivially look up itself and the query degenerates
+    // to a projection.
     //
-    // Plan shape: the dimension's change points are user-keyed and
-    // ~runs-per-user sized (orders of magnitude smaller than events);
-    // the as-of join is the audited one-exchange merge (AsOfJoin.scala)
-    // on (user, time); the report is a final ~tiers-sized aggregate.
-    // The oracle re-derives the same result RELATIONALLY — interval
-    // containment join — so the gate cross-checks the as-of exec
-    // against an independent formulation, not just DuckDB vs Spark.
+    // Plan shape: one backward as-of join (the audited one-exchange
+    // merge, AsOfJoin.scala) of purchases against the user-keyed
+    // attribute stream, then a ~tiers-sized aggregate. Probing the RAW
+    // attribute stream is exactly equivalent to probing the q192 SCD2
+    // dimension (a run's payload is its first event's attribute) but
+    // skips the three window passes of the interval build — the shape
+    // you'd use when the dimension isn't already materialized. The
+    // ORACLE takes the other road on purpose: it compresses the stream
+    // into SCD2 intervals and answers by interval-containment join, so
+    // the gate cross-checks run-compression + containment against the
+    // as-of exec — two independent formulations, one hash. A purchase
+    // before any non-purchase activity has no interval: NULL tier on
+    // both sides (as-of carries null; the oracle LEFT-joins).
     // (user_id, us) is unique in the corpus at every scale (checked),
     // so containment and as-of agree exactly.
     Q(
       "q193_pit_feature_join",
       (s, dir) => {
-        import graft.operators.{AsOfJoin, Scd2}
+        import graft.operators.AsOfJoin
         val ev = Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
+          .select(col("user_id"), col("event_type"),
             usCol.as("us"), col("value"))
-        val dim = Scd2.intervals(
-          ev.select(col("user_id"), col("event_id"), col("us"),
-            floor(col("value") / lit(100.0)).cast("int").as("tier")),
-          "user_id", "us", "event_id", "tier",
-          fromName = "valid_from_us", toName = "valid_to_us")
-        val changes = dim.select(col("user_id").as("u2"),
-          col("valid_from_us"), col("tier"))
+        val attr = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id").as("u2"), col("us").as("t_attr"),
+            floor(col("value") / lit(100.0)).cast("int").as("tier"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("us"), col("value"))
-        AsOfJoin.asofBackward(purchases, changes,
-            "user_id", "u2", "us", "valid_from_us", payload = Seq("tier"))
+        AsOfJoin.asofBackward(purchases, attr,
+            "user_id", "u2", "us", "t_attr", payload = Seq("tier"))
           .groupBy("tier")
           .agg(count(lit(1)).as("n_purchases"),
             countDistinct(col("user_id")).as("n_users"),
@@ -332,12 +335,15 @@ object EventQueries {
                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
                  CAST(FLOOR(value / 100.0) AS INT) AS tier
           FROM events
+        ), np AS (
+          SELECT user_id, event_id, us, tier FROM ev
+          WHERE event_type <> 'purchase'
         ), flagged AS (
           SELECT user_id, event_id, us, tier,
                  CASE WHEN lag(tier) OVER w IS NULL
                         OR lag(tier) OVER w <> tier
                       THEN 1 ELSE 0 END AS chg
-          FROM ev
+          FROM np
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ), islands AS (
           SELECT user_id, us, tier,
@@ -360,7 +366,7 @@ object EventQueries {
                COUNT(*) AS n_purchases,
                COUNT(DISTINCT p.user_id) AS n_users,
                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS spend
-        FROM p JOIN ivl i
+        FROM p LEFT JOIN ivl i
           ON p.user_id = i.user_id
          AND p.us >= i.valid_from_us
          AND (i.valid_to_us IS NULL OR p.us < i.valid_to_us)

@@ -138,18 +138,26 @@ class EventQueriesSpec extends AnyFunSuite {
   test("q193 PIT join equals a brute-force as-of-time tier lookup") {
     import spark.implicits._
     val got = SparkEntry.queries("q193_pit_feature_join")(spark, dir)
-      .as[(Int, Long, Long, Double)].collect()
+      .as[(Option[Int], Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     // brute force: the tier in force at time t is the tier of the last
-    // event at or before t (events ordered by (us, event_id))
+    // NON-purchase event at or before t (ordered by (us, event_id));
+    // a purchase with no prior non-purchase activity gets NULL
     val byUser = raw.groupBy(_._1).map { case (u, rows) =>
-      u -> rows.sortBy(r => (r._3, r._2))
+      u -> rows.filter(_._4 != "purchase").sortBy(r => (r._3, r._2))
         .map(r => (r._3, math.floor(r._5 / 100.0).toInt))
     }
     val assigns = raw.filter(_._4 == "purchase").map { p =>
-      val tier = byUser(p._1).takeWhile(_._1 <= p._3).last._2
-      (tier, p._1, p._5)
+      val prior = byUser(p._1).takeWhile(_._1 <= p._3)
+      (prior.lastOption.map(_._2), p._1, p._5)
     }
+    // the exclusion must bind: at least one tier differs from the
+    // purchase's own floor(value/100) (else the dim is degenerate)
+    assert(raw.filter(_._4 == "purchase").exists { p =>
+      val prior = byUser(p._1).takeWhile(_._1 <= p._3)
+      prior.lastOption.map(_._2)
+        .exists(_ != math.floor(p._5 / 100.0).toInt)
+    })
     val want = assigns.groupBy(_._1).map { case (tier, g) =>
       val spend = g.map(r => BigDecimal(r._3).setScale(2)).sum.toDouble
       tier -> ((g.size.toLong, g.map(_._2).distinct.size.toLong, spend))
