@@ -294,8 +294,9 @@ object EventQueries {
     // purchase would trivially look up itself and the query degenerates
     // to a projection.
     //
-    // Plan shape: one backward as-of join (the audited one-exchange
-    // merge, AsOfJoin.scala) of purchases against the user-keyed
+    // Plan shape: one backward as-of join (AsOfJoin.asofBackward's
+    // union + keyed running-carry window — a single exchange on the
+    // user key, PlanShapeSpec pins it) of purchases against the
     // attribute stream, then a ~tiers-sized aggregate. Probing the RAW
     // attribute stream is exactly equivalent to probing the q192 SCD2
     // dimension (a run's payload is its first event's attribute) but
