@@ -182,6 +182,106 @@ object ProfileQueries {
         FROM f
         GROUP BY file_id
         ORDER BY file_id
+      """)),
+
+    // ----------------------------------------------------------------
+    // q196: REFERENTIAL-INTEGRITY audit — the nightly constraint check
+    // a lakehouse runs because parquet enforces no foreign keys: per
+    // relationship, orphaned children (FK violations — the corpus IS
+    // clean, and the oracle asserts that exactly, not approximately)
+    // and childless parents (coverage gaps — non-zero, so the gate
+    // hashes real numbers, not a table of zeros).
+    //
+    // Implementation: [[graft.operators.Integrity.fkAudit]] — distinct
+    // keysets before every anti join (see the operator's Scaladoc for
+    // the 100 TB shape); IntegritySpec injects a corpus WITH orphans,
+    // which the clean testdata can't exercise.
+    Q(
+      "q196_referential_integrity",
+      (s, dir) => {
+        import graft.operators.Integrity.{fkAudit => rel}
+        val rels = Seq(
+          rel("events.user_id->customer", Tables.events(s, dir), "user_id",
+            Tables.customer(s, dir), "c_custkey"),
+          rel("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+            "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+          rel("lineitem.l_partkey->part", Tables.lineitem(s, dir),
+            "l_partkey", Tables.part(s, dir), "p_partkey"),
+          rel("lineitem.l_suppkey->supplier", Tables.lineitem(s, dir),
+            "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+          rel("nation.n_regionkey->region", Tables.nation(s, dir),
+            "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+          rel("orders.o_custkey->customer", Tables.orders(s, dir),
+            "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        rels.reduce(_ unionByName _).orderBy("relation")
+      },
+      Some("""
+        SELECT relation, n_child_keys, n_orphan_keys, n_orphan_rows,
+               n_parent_keys, n_childless_parents,
+               (n_orphan_keys = 0) AS ok
+        FROM (
+          SELECT 'events.user_id->customer' AS relation,
+            (SELECT COUNT(DISTINCT user_id) FROM events) AS n_child_keys,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events) e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphan_keys,
+            (SELECT COUNT(*) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphan_rows,
+            (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parent_keys,
+            (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) AS n_childless_parents
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders',
+            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+            (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) e
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = e.k)),
+            (SELECT COUNT(*) FROM lineitem e
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = e.l_orderkey)),
+            (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+            (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem e WHERE e.l_orderkey = o.o_orderkey))
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+            (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+            (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) e
+              WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = e.k)),
+            (SELECT COUNT(*) FROM lineitem e
+              WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = e.l_partkey)),
+            (SELECT COUNT(DISTINCT p_partkey) FROM part),
+            (SELECT COUNT(*) FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem e WHERE e.l_partkey = p.p_partkey))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+            (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+            (SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) e
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.k)),
+            (SELECT COUNT(*) FROM lineitem e
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.l_suppkey)),
+            (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+            (SELECT COUNT(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem e WHERE e.l_suppkey = s.s_suppkey))
+          UNION ALL
+          SELECT 'nation.n_regionkey->region',
+            (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+            (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey AS k FROM nation) e
+              WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = e.k)),
+            (SELECT COUNT(*) FROM nation e
+              WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = e.n_regionkey)),
+            (SELECT COUNT(DISTINCT r_regionkey) FROM region),
+            (SELECT COUNT(*) FROM region r
+              WHERE NOT EXISTS (SELECT 1 FROM nation e WHERE e.n_regionkey = r.r_regionkey))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+            (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+            (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.k)),
+            (SELECT COUNT(*) FROM orders e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.o_custkey)),
+            (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+            (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders e WHERE e.o_custkey = c.c_custkey))
+        ) t(relation, n_child_keys, n_orphan_keys, n_orphan_rows,
+            n_parent_keys, n_childless_parents)
+        ORDER BY relation
       """))
   )
 
