@@ -39,11 +39,14 @@ object EventQueries {
     //        Σ_b |c_e[b]·n_l − c_l[b]·n_e| / (2·n_e·n_l)
     // so the numerator is a pure BIGINT aggregate — no per-bucket float
     // division whose summation order could differ between engines. The
-    // single final division is one IEEE op on exactly-representable
-    // operands (counts ≤ 6e5 → products ≤ 3.6e11, summed over ≤ ~500
-    // buckets ≤ 1.8e14, all < 2^53), so the hash matches bit-exactly.
-    // (PSI/KL would need ln(), which libm-diverges between JVM and
-    // DuckDB — same reason q169's perplexity proxy is log-free.)
+    // single final division is one IEEE op. (PSI/KL would need ln(),
+    // which libm-diverges between JVM and DuckDB — same reason q169's
+    // perplexity proxy is log-free.) The numerator accumulates in
+    // DECIMAL(38,0): at a true 100 TB corpus (1e12 rows) the per-bucket
+    // products reach ~4e22 — past BIGINT, where Spark's sum wraps
+    // SILENTLY while DuckDB promotes to HUGEINT; decimal accumulation
+    // keeps the two engines exact and identical at any scale, and the
+    // final decimal→double cast is correctly rounded in both.
     //
     // Plan shape: one hash aggregate to (type, bucket, half) grain —
     // map-side combine collapses the event stream before the only
@@ -74,8 +77,16 @@ object EventQueries {
             max("n_early").as("n_early"),
             max("n_late").as("n_late"),
             count(lit(1)).as("n_buckets"),
-            sum(abs(col("c_e") * col("n_late") - col("c_l") * col("n_early")))
-              .as("tvd_num"))
+            {
+              // multiply in DECIMAL too: a LongType product wraps
+              // silently past 2^63 (c·n ~ 2.5e23 at 1e12 rows); the
+              // oracle's BIGINT arithmetic is exact at gate scales and
+              // DuckDB errors (never wraps) beyond them
+              val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+              sum(abs(col("c_e").cast(d20) * col("n_late").cast(d20) -
+                  col("c_l").cast(d20) * col("n_early").cast(d20)))
+                .as("tvd_num")
+            })
           .select(
             col("event_type"), col("n_early"), col("n_late"), col("n_buckets"),
             (col("tvd_num").cast("double") /
