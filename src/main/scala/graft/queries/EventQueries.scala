@@ -531,6 +531,88 @@ object EventQueries {
                  AS mean_delta_us
         FROM sig LEFT JOIN stats USING (cohort)
         ORDER BY sig.cohort
+      """)),
+
+    // ----------------------------------------------------------------
+    // q197: TIME-IN-STATE — the duration-weighted report the q192 SCD2
+    // dimension exists to answer: how long do users spend in each tier?
+    // Open (current) intervals close at the corpus observation end
+    // (global max event time), the standard time-in-state convention.
+    //
+    // Determinism: durations are epoch-micros BIGINT differences;
+    // totals accumulate in DECIMAL(38,0) (a month of micros times 10M+
+    // intervals passes 2^63 at deep scale — Spark's long SUM would wrap
+    // silently where DuckDB promotes to HUGEINT, the q189 lesson);
+    // mean/share are single IEEE divisions on correctly-rounded
+    // decimal→double casts. Plan shape: the q192 per-key island build,
+    // one broadcast scalar (observation end), a ~tiers-sized aggregate,
+    // and a 1-row grand-total broadcast for the share — nothing beyond
+    // island grain ever crosses an exchange twice.
+    Q(
+      "q197_time_in_state",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("tier"))
+        val dim = graft.operators.Scd2.intervals(ev, "user_id", "us",
+          "event_id", "tier", fromName = "from_us", toName = "to_us")
+        val end = ev.agg(max("us").as("end_us"))
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val byTier = dim.crossJoin(broadcast(end))
+          .withColumn("dur_us",
+            (coalesce(col("to_us"), col("end_us")) - col("from_us"))
+              .cast(d38))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"),
+            sum("dur_us").cast("double").as("total_dur_us"))
+        val grand = byTier.agg(sum(col("total_dur_us")
+            .cast(d38)).cast("double").as("grand_us"))
+        byTier.crossJoin(broadcast(grand))
+          .select(col("tier"), col("n_intervals"), col("n_open"),
+            col("total_dur_us"),
+            (col("total_dur_us") / col("n_intervals")).as("mean_dur_us"),
+            (col("total_dur_us") / col("grand_us")).as("share"))
+          .orderBy("tier")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), ivl AS MATERIALIZED (
+          SELECT user_id, MIN(tier) AS tier, MIN(us) AS from_us,
+                 lead(MIN(us)) OVER (PARTITION BY user_id ORDER BY island)
+                   AS to_us
+          FROM islands GROUP BY user_id, island
+        ), fin AS (
+          SELECT tier,
+                 COUNT(*) AS n_intervals,
+                 CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_open,
+                 CAST(SUM(COALESCE(to_us, (SELECT MAX(us) FROM ev))
+                          - from_us) AS DOUBLE) AS total_dur_us
+          FROM ivl GROUP BY tier
+        )
+        SELECT tier, n_intervals, n_open, total_dur_us,
+               total_dur_us / n_intervals AS mean_dur_us,
+               total_dur_us / (SELECT CAST(SUM(CAST(total_dur_us AS
+                 DECIMAL(38,0))) AS DOUBLE) FROM fin) AS share
+        FROM fin
+        ORDER BY tier
       """))
   )
 }

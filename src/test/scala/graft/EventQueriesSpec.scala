@@ -218,6 +218,39 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == signups.size.toLong)
   }
 
+  test("q197 time-in-state: durations tile each user's observed span") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q197_time_in_state")(spark, dir)
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    // brute force from raw events
+    val endUs = raw.map(_._3).max
+    val runs = raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val o = rows.sortBy(r => (r._3, r._2))
+        .map(r => (r._3, math.floor(r._5 / 100.0).toInt))
+      val starts = o.zipWithIndex.filter { case ((_, t), i) =>
+        i == 0 || o(i - 1)._2 != t }.map(_._1)
+      starts.zipWithIndex.map { case ((from, tier), i) =>
+        val to = if (i + 1 < starts.size) Some(starts(i + 1)._1) else None
+        (tier, to.getOrElse(endUs) - from, to.isEmpty)
+      }
+    }
+    val want = runs.groupBy(_._1).map { case (tier, g) =>
+      val tot = g.map(r => BigInt(r._2)).sum.toDouble
+      (tier, g.size.toLong, g.count(_._3).toLong, tot)
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == want)
+    // intervals close at the GLOBAL observation end, so per user the
+    // durations tile (global_end - user_first_event); the report's
+    // grand total equals the sum of those spans
+    val spans = raw.groupBy(_._1).values
+      .map(rows => BigInt(endUs - rows.map(_._3).min)).sum
+    assert(got.map(r => BigDecimal(r._4)).sum == BigDecimal(spans))
+    got.foreach { r =>
+      assert(r._5 == r._4 / r._2)
+      assert(r._6 >= 0.0 && r._6 <= 1.0)
+    }
+  }
+
   test("Scd2 operator: tie-broken islands on duplicate times (injected)") {
     import spark.implicits._
     // two events share time 100; tie broken by id: attr goes 1→2→2→1
