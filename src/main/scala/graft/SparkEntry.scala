@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, ExtraQueries, FeatureQueries, JoinQueries, MlQueries, MultimodalQueries, PipelineQueries, ProfileQueries, RelationalQueries, SimilarityQueries, SkewQueries, TextQueries, TimeSeriesQueries, TpchQueries, WindowQueries}
+import graft.queries.{AssocQueries, EventQueries, ExtraQueries, FeatureQueries, JoinQueries, MlQueries, MultimodalQueries, PipelineQueries, ProfileQueries, RelationalQueries, SimilarityQueries, SkewQueries, TextQueries, TimeSeriesQueries, TpchQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
       TimeSeriesQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
       SkewQueries.defs ++ ExtraQueries.defs ++ TpchQueries.defs ++
       MlQueries.defs ++ PipelineQueries.defs ++ ProfileQueries.defs ++
-      MultimodalQueries.defs ++ FeatureQueries.defs ++ EventQueries.defs
+      MultimodalQueries.defs ++ FeatureQueries.defs ++ EventQueries.defs ++
+      AssocQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

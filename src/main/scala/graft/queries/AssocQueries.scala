@@ -1,0 +1,527 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Association / decision analytics: market-basket rules, sweep-line
+  * peak concurrency, Pareto skyline, leakage-safe target encoding,
+  * multi-touch attribution, thresholded triangle counting, and
+  * largest-remainder quota allocation.
+  *
+  * Engine-added (same rationale as EventQueries): the reference's
+  * notebooks end at per-coin aggregates; these are the co-occurrence /
+  * dominance / credit-assignment reports its schema would need at
+  * warehouse scale, plus two training-data ops (target encoding feeds
+  * the q26-class feature frames; quota allocation is q70's corpus
+  * mixing with an EXACT integer budget).
+  *
+  * Determinism discipline (Q.scala): exact integer/decimal arithmetic
+  * until at most a final double op spelled identically in both engines;
+  * timestamps cross the gate as epoch-micros BIGINTs.
+  */
+object AssocQueries {
+
+  def defs: Vector[Q] = Vector(
+    // ----------------------------------------------------------------
+    // q198: MARKET-BASKET ASSOCIATION RULES at brand grain — for every
+    // unordered brand pair sold together in at least one order:
+    // support, confidence (a→b), and lift. The classic co-occurrence
+    // report (Agrawal-style A-priori at the pair level).
+    //
+    // Plan shape: lineitem joins the 2-column brand dim broadcast (no
+    // fact shuffle for the enrich), collapses to DISTINCT
+    // (order, brand) — ONE hash exchange on the composite key, with
+    // partial aggregation collapsing duplicate lines map-side — then
+    // self-joins AT ORDER GRAIN on that one exchange (reused for both
+    // sides), so candidate pairs are bounded by per-order basket
+    // breadth squared (≤ |brands|² = 625), never corpus². Brand
+    // marginals (≤ 25 rows) and the order-count scalar broadcast back
+    // onto the ≤ 300-row pair table. Counts are exact BIGINTs; each
+    // measure is at most two IEEE ops written identically in the
+    // oracle (support/confidence: one division; lift: one multiply
+    // then one divide on exactly-representable integers).
+    Q(
+      "q198_market_basket",
+      (s, dir) => {
+        val ob = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+          .join(
+            broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val brandN = ob.groupBy("brand").agg(count(lit(1)).as("n"))
+        val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
+        val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+          .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+          .where(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(brandN.select(col("brand").as("brand_a"),
+            col("n").as("n_a"))), Seq("brand_a"))
+          .join(broadcast(brandN.select(col("brand").as("brand_b"),
+            col("n").as("n_b"))), Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("brand_a"), col("brand_b"), col("n_ab"),
+            col("n_a"), col("n_b"), col("n_orders"),
+            (col("n_ab").cast("double") / col("n_orders")).as("support"),
+            (col("n_ab").cast("double") / col("n_a")).as("confidence"),
+            (col("n_ab").cast("double") * col("n_orders") /
+              (col("n_a") * col("n_b"))).as("lift"))
+          .orderBy("brand_a", "brand_b")
+      },
+      Some("""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), bn AS (
+          SELECT brand, COUNT(*) AS n FROM ob GROUP BY 1
+        ), no AS (
+          SELECT COUNT(DISTINCT ok) AS n_orders FROM ob
+        ), pr AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+          GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_ab, x.n AS n_a, y.n AS n_b, n_orders,
+               CAST(n_ab AS DOUBLE) / n_orders AS support,
+               CAST(n_ab AS DOUBLE) / x.n AS confidence,
+               CAST(n_ab AS DOUBLE) * n_orders / (x.n * y.n) AS lift
+        FROM pr
+        CROSS JOIN no
+        JOIN bn x ON pr.brand_a = x.brand
+        JOIN bn y ON pr.brand_b = y.brand
+        ORDER BY brand_a, brand_b
+      """)),
+
+    // ----------------------------------------------------------------
+    // q199: PEAK CONCURRENCY, sweep line over sessions — per day, the
+    // maximum number of simultaneously-active 30-min-gap sessions and
+    // the first minute that reaches it. The capacity-planning twin of
+    // q54's sessionization.
+    //
+    // Plan shape: sessionize per user (two keyed window passes at
+    // event grain — the q54 gaps-and-islands shape), emit ±1 deltas at
+    // session start / end+1 MINUTES, and collapse them to minute grain
+    // in one hash aggregate (map-side combine first). The running-sum
+    // window that turns deltas into concurrency then runs at MINUTE
+    // grain — calendar-bounded like q190's cohort window (~525k rows
+    // per data-YEAR at ANY corpus size), never event grain, so the
+    // unpartitioned window is metadata-sized by construction. Days
+    // with no session boundary are plateaus — they carry no delta row
+    // and are (documented) absent from the report; both engines apply
+    // the same rule. All arithmetic is exact integer micros/minutes.
+    Q(
+      "q199_peak_concurrency",
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("user_id", s"${Tables.eventsTsMicrosSql(s, dir)} as us")
+        val byUser = Window.partitionBy("user_id").orderBy("us")
+        val sess = ev
+          .withColumn("prev", lag("us", 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("us").as("s_us"), max("us").as("e_us"))
+        val deltas = sess.select(expr("s_us div 60000000").as("m"),
+            lit(1L).as("d"))
+          .unionAll(sess.select((expr("e_us div 60000000") + 1).as("m"),
+            lit(-1L).as("d")))
+          .groupBy("m").agg(sum("d").as("d"))
+        val run = deltas.withColumn("conc", sum("d").over(
+            Window.orderBy("m")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("day", expr("m div 1440"))
+        val peaks = run.groupBy("day").agg(max("conc").as("peak"))
+        run.join(peaks, "day")
+          .where(col("conc") === col("peak"))
+          .groupBy("day", "peak")
+          .agg(min("m").as("first_peak_m"))
+          .select("day", "peak", "first_peak_m")
+          .orderBy("day")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        ), flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN LAG(us) OVER w IS NULL
+                        OR us - LAG(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), numbered AS (
+          SELECT user_id, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        ), sess AS (
+          SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+          FROM numbered GROUP BY 1, 2
+        ), d AS (
+          SELECT s_us // 60000000 AS m, CAST(1 AS BIGINT) AS d FROM sess
+          UNION ALL
+          SELECT e_us // 60000000 + 1, CAST(-1 AS BIGINT) FROM sess
+        ), md AS (
+          SELECT m, CAST(SUM(d) AS BIGINT) AS d FROM d GROUP BY 1
+        ), run AS (
+          SELECT m, m // 1440 AS day,
+                 CAST(SUM(d) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc
+          FROM md
+        ), pk AS (
+          SELECT day, MAX(conc) AS peak FROM run GROUP BY 1
+        )
+        SELECT r.day, p.peak, MIN(r.m) AS first_peak_m
+        FROM run r JOIN pk p ON r.day = p.day AND r.conc = p.peak
+        GROUP BY 1, 2
+        ORDER BY r.day
+      """)),
+
+    // ----------------------------------------------------------------
+    // q200: PARETO SKYLINE of parts — minimize p_retailprice, maximize
+    // p_size; a part survives iff no other part is ≤ price AND ≥ size
+    // with at least one strict. Equal (price, size) twins don't
+    // dominate each other, so both survive.
+    //
+    // Plan shape (the scale path — dominance is quadratic if naive):
+    // (1) PRUNE: bucket price into $1 cells, take per-bucket max size
+    //     (one map-combined aggregate to ≤ |price domain| rows), run
+    //     the strictly-earlier-bucket running max over that bounded
+    //     table, and broadcast it back as a filter — any part at or
+    //     under its threshold has a strictly cheaper, no-smaller
+    //     dominator and is eliminated at the scan. Survivors ≈
+    //     skyline + one bucket of boundary noise.
+    // (2) EXACT: on the pruned candidate set (skyline-sized, not
+    //     corpus-sized) keep per-price max-size ties, then require
+    //     size strictly above the running max over STRICTLY cheaper
+    //     candidate prices (a ROWS window at distinct-price grain, so
+    //     "strictly cheaper" needs no range-frame trick).
+    // Dominance is transitive, so pruning by any dominator is safe and
+    // the exact pass over survivors returns the true skyline. The
+    // oracle is the direct NOT EXISTS dominance spelling — a different
+    // formulation entirely, which is the point of the gate.
+    Q(
+      "q200_pareto_skyline",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select("p_partkey", "p_retailprice", "p_size")
+          .withColumn("bucket", floor(col("p_retailprice")).cast("long"))
+        val thr = p.groupBy("bucket").agg(max("p_size").as("bmax"))
+          .withColumn("t", max("bmax").over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select("bucket", "t")
+        val cand = p.join(broadcast(thr), Seq("bucket"))
+          .where(col("t").isNull || col("p_size") > col("t"))
+        val prices = cand.groupBy("p_retailprice").agg(max("p_size").as("pmax"))
+          .withColumn("rm", max("pmax").over(
+            Window.orderBy("p_retailprice")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        cand.join(broadcast(prices), Seq("p_retailprice"))
+          .where(col("p_size") === col("pmax") &&
+            (col("rm").isNull || col("p_size") > col("rm")))
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
+      """)),
+
+    // ----------------------------------------------------------------
+    // q201: LEAVE-ONE-OUT TARGET ENCODING — encode o_orderpriority by
+    // the mean o_totalprice of OTHER orders in the category:
+    // enc_i = (Σ_cat − x_i) / (n_cat − 1). The standard leakage-safe
+    // categorical encoder (each row's own target never feeds its
+    // encoding — the q95 train/test-hygiene discipline applied to a
+    // feature transform).
+    //
+    // Plan shape: one 5-row category aggregate (decimal-exact sum +
+    // count) broadcast back onto the scan — NO window partitioned by a
+    // 5-value key (that shape puts a fifth of the corpus in one window
+    // partition; the broadcast join keeps the fact scan pipelined).
+    // Σ and x are DECIMAL(·,2), the subtraction is exact, and the one
+    // double op is the final division; n_cat = 1 yields NULL in both
+    // engines rather than a 0/0.
+    Q(
+      "q201_target_encoding_loo",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            col("o_totalprice"))
+        val cat = o.groupBy("prio")
+          .agg(sum(Q.dec2(col("o_totalprice"))).as("cat_sum"),
+            count(lit(1)).as("n_cat"))
+        o.join(broadcast(cat), Seq("prio"))
+          .select(col("o_orderkey"), col("prio"), col("n_cat"),
+            when(col("n_cat") > 1,
+              (col("cat_sum") - Q.dec2(col("o_totalprice"))).cast("double") /
+                (col("n_cat") - 1)).as("enc_loo"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH cat AS (
+          SELECT o_orderpriority AS prio,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cat_sum,
+                 COUNT(*) AS n_cat
+          FROM orders GROUP BY 1
+        )
+        SELECT o_orderkey, prio, n_cat,
+               CASE WHEN n_cat > 1 THEN
+                 CAST(cat_sum - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   / (n_cat - 1)
+               END AS enc_loo
+        FROM orders JOIN cat ON o_orderpriority = cat.prio
+        ORDER BY o_orderkey
+      """)),
+
+    // ----------------------------------------------------------------
+    // q202: MULTI-TOUCH ATTRIBUTION with an EXACT integer budget —
+    // every purchase splits 1,000,000 credit-ppm across its view/click
+    // touches in the strictly-prior 7 days: each touch gets ⌊1e6/n⌋
+    // and the LATEST touch absorbs the remainder, so per-conversion
+    // credit sums to exactly 1e6 by construction (no float weights to
+    // drift); touchless purchases credit a "(none)" channel. Reported
+    // at channel grain.
+    //
+    // Plan shape: the q153 LEFT OUTER native band join (purchases ←
+    // touches, band [−7d, −1µs] on integer micros — one exchange+sort
+    // per side, merge memory bounded by band occupancy), then ONE
+    // window pass per conversion (count + latest-touch row_number,
+    // partition = conversion id, bounded by per-user 7-day activity)
+    // and a channel-grain aggregate. Ties on touch time break on the
+    // unique event id, so the remainder assignment is deterministic.
+    Q(
+      "q202_multitouch_attribution",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val W = 7L * 24 * 3600 * 1000000L
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as t_us", "event_type")
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("t_us").as("c_us"))
+        val touches = ev.where(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("t_us"),
+            col("event_id").as("touch_id"),
+            col("event_type").as("channel0"))
+        val joined = BandJoin.bandJoinLeftOuterNative(
+          purch, touches,
+          "user_id", "user_id", "c_us", "t_us",
+          lo = -W - 1, hi = -1,
+          payload = Seq("touch_id", "channel0", "t_us"))
+        val byConv = Window.partitionBy("conv_id")
+        val credited = joined
+          .withColumn("n", count("touch_id").over(byConv))
+          .withColumn("rk", row_number().over(
+            byConv.orderBy(col("t_us").desc_nulls_last,
+              col("touch_id").desc_nulls_last)))
+          .select(col("conv_id"),
+            coalesce(col("channel0"), lit("(none)")).as("channel"),
+            col("touch_id"),
+            when(col("touch_id").isNull, lit(1000000L))
+              .otherwise(expr("1000000 div n") +
+                when(col("rk") === 1, expr("1000000 % n")).otherwise(0L))
+              .as("credit_ppm"))
+        credited.groupBy("channel")
+          .agg(countDistinct("conv_id").as("n_conversions"),
+            count("touch_id").as("n_touches"),
+            sum("credit_ppm").as("credit_ppm"))
+          .orderBy("channel")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 event_type
+          FROM events
+        ), p AS (
+          SELECT event_id AS conv_id, user_id, t_us AS c_us
+          FROM e WHERE event_type = 'purchase'
+        ), t AS (
+          SELECT event_id AS touch_id, user_id, t_us, event_type AS channel0
+          FROM e WHERE event_type IN ('view', 'click')
+        ), j AS (
+          SELECT p.conv_id, t.touch_id, t.channel0, t.t_us
+          FROM p LEFT JOIN t ON t.user_id = p.user_id
+                            AND t.t_us >= p.c_us - 604800000000
+                            AND t.t_us < p.c_us
+        ), w AS (
+          SELECT conv_id, touch_id, channel0,
+                 COUNT(touch_id) OVER (PARTITION BY conv_id) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY t_us DESC NULLS LAST,
+                            touch_id DESC NULLS LAST) AS rk
+          FROM j
+        ), credited AS (
+          SELECT conv_id,
+                 COALESCE(channel0, '(none)') AS channel,
+                 touch_id,
+                 CASE WHEN touch_id IS NULL THEN 1000000
+                      ELSE 1000000 // n
+                           + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END
+                 END AS credit_ppm
+          FROM w
+        )
+        SELECT channel,
+               COUNT(DISTINCT conv_id) AS n_conversions,
+               COUNT(touch_id) AS n_touches,
+               CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+        FROM credited
+        GROUP BY 1
+        ORDER BY channel
+      """)),
+
+    // ----------------------------------------------------------------
+    // q203: TRIANGLE COUNT of the thresholded co-supply graph —
+    // suppliers are nodes, an edge joins two suppliers filling ≥ 5
+    // common orders. The support threshold is part of the semantics
+    // AND the scale contract: raw co-occurrence density rises with
+    // corpus size, but the ≥5 filter keeps only stable relationships,
+    // so the graph stays sparse as facts grow.
+    //
+    // Plan shape: (order, supplier) distinct → per-order pairs (basket-
+    // bounded) → thresholded distinct edges; then DEGREE-ORIENTED
+    // wedge counting (the Schank–Wagner / Latapy bound): orient every
+    // edge from the (degree, id)-smaller endpoint, build wedges by
+    // joining out-edges AT THE APEX KEY with the (degree, id) order
+    // canonicalizing each wedge once, and close them with one more
+    // equi-join. Out-degrees are bounded by √(2·|E|), so wedge volume
+    // is O(|E|^{3/2}) instead of Σ deg² — the standard distributed-
+    // triangle shape; every join is keyed, nothing is all-pairs. The
+    // oracle counts the same triangles by the naive ordered 3-way
+    // self-join (a < b < c) — a fully different derivation.
+    Q(
+      "q203_triangle_count",
+      (s, dir) => {
+        val minSupport = 5L
+        val os = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = os.select(col("ok"), col("sk").as("u"))
+          .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .where(col("w") >= minSupport)
+          .select("u", "v")
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+            Seq("u"))
+          .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+            Seq("v"))
+        val oriented = withDeg.select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+            .otherwise(col("du")).as("ddst"))
+        val wedges = oriented.select(col("src"), col("dst").as("a"),
+            col("ddst").as("da"))
+          .join(oriented.select(col("src"), col("dst").as("b"),
+            col("ddst").as("db")), Seq("src"))
+          .where(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")))
+          .select(col("a").as("src"), col("b").as("dst"))
+        val nTriangles = wedges
+          .join(oriented.select("src", "dst"), Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+        nNodes.crossJoin(nEdges).crossJoin(nTriangles)
+          .select("n_nodes", "n_edges", "n_triangles")
+      },
+      Some("""
+        WITH os AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        ), e AS (
+          SELECT a.sk AS u, b.sk AS v
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ), nodes AS (
+          SELECT u AS node FROM e UNION SELECT v FROM e
+        )
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*)
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                 AS n_triangles
+      """)),
+
+    // ----------------------------------------------------------------
+    // q204: LARGEST-REMAINDER QUOTA ALLOCATION — split a 100,000-slot
+    // sampling budget across document sources proportionally to corpus
+    // share, with the Hamilton/Hare rounding rule: every source gets
+    // ⌊budget·n_s/N⌋, and the sources with the largest remainders
+    // (ties → source name) absorb the leftover slots one each, so the
+    // grand total is EXACTLY the budget. q70's corpus mixing computes
+    // float rates; this is the integer-exact quota layer a sampler
+    // actually executes against.
+    //
+    // Plan shape: one map-combined count to source grain (the only
+    // data-sized exchange), then pure integer window arithmetic over
+    // the ≤ |sources| quota table. budget·n_s stays in BIGINT (1e5 ×
+    // count — overflows only past 9e13 docs; the oracle's arithmetic
+    // is identical).
+    Q(
+      "q204_quota_allocation",
+      (s, dir) => {
+        val budget = 100000L
+        val src = Tables.df(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val tot = src.agg(sum("n_docs").as("n_total"))
+        val based = src.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($budget * n_docs) div n_total"))
+          .withColumn("rem", expr(s"($budget * n_docs) % n_total"))
+        val leftover = based.agg((lit(budget) - sum("base")).as("spare"))
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .select(col("source"), col("n_docs"), col("n_total"), col("base"),
+            (col("base") + when(col("rk") <= col("spare"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH src AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM src
+        ), based AS (
+          SELECT source, n_docs, n_total,
+                 (100000 * n_docs) // n_total AS base,
+                 (100000 * n_docs) % n_total AS rem
+          FROM src CROSS JOIN tot
+        ), spare AS (
+          SELECT 100000 - CAST(SUM(base) AS BIGINT) AS spare FROM based
+        )
+        SELECT source, n_docs, n_total, CAST(base AS BIGINT) AS base,
+               CAST(base + CASE WHEN ROW_NUMBER() OVER
+                 (ORDER BY rem DESC, source) <= spare THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM based CROSS JOIN spare
+        ORDER BY source
+      """))
+  )
+}

@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Brute-force re-derivations for the q198-q204 association/decision
+  * batch (market basket, sweep-line concurrency, skyline, LOO target
+  * encoding, multi-touch attribution, triangles, quota allocation).
+  * The DuckDB gate certifies engine-vs-engine parity at sf0.01; these
+  * suites re-derive the SEMANTICS independently in plain Scala on
+  * sf0.001 — catching the class of bug where both SQL formulations
+  * share the same misreading (e.g. an attribution whose remainder goes
+  * to the WRONG touch in both engines, or a skyline that drops
+  * equal-point twins).
+  */
+class AssocQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val events: Seq[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+  }
+
+  test("q198 market basket == brute-force pair counts and exact lift arithmetic") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q198_market_basket")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect()
+    val brandOf = Tables.part(spark, dir).select("p_partkey", "p_brand")
+      .as[(Long, String)].collect().toMap
+    val baskets = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val brandN = baskets.groupBy(_._2).map { case (b, g) => b -> g.length.toLong }
+    val pairN = baskets.groupBy(_._1).values.flatMap { items =>
+      val bs = items.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    assert(got.length == pairN.size)
+    got.foreach { case (a, b, nAb, nA, nB, nO, support, confidence, lift) =>
+      assert(nAb == pairN((a, b)), s"n_ab for ($a,$b)")
+      assert(nA == brandN(a) && nB == brandN(b) && nO == nOrders)
+      assert(support == nAb.toDouble / nOrders)
+      assert(confidence == nAb.toDouble / nA)
+      assert(lift == nAb.toDouble * nOrders / (nA * nB))
+    }
+  }
+
+  test("q199 peak concurrency == brute-force sweep over sessionized intervals") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q199_peak_concurrency")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val gap = 30L * 60 * 1000000
+    // Sessionize: per user, split sorted timestamps at gaps > 30 min.
+    val sessions = events.groupBy(_._2).values.flatMap { rows =>
+      val ts = rows.map(_._3).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last > gap) { bounds += ((start, last)); start = t }
+        last = t
+      }
+      bounds += ((start, last))
+      bounds
+    }.toSeq
+    // Sweep at minute grain.
+    val deltas = sessions.flatMap { case (s, e) =>
+      Seq((s / 60000000L, 1L), (e / 60000000L + 1, -1L))
+    }.groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
+    var conc = 0L
+    val concAt = deltas.toSeq.sortBy(_._1).map { case (m, d) =>
+      conc += d; (m, conc)
+    }
+    val want = concAt.groupBy(_._1 / 1440).map { case (day, rows) =>
+      val peak = rows.map(_._2).max
+      day -> ((peak, rows.filter(_._2 == peak).map(_._1).min))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (day, (peak, firstM)) =>
+      assert(got(day) == ((peak, firstM)), s"day $day")
+    }
+    // Conservation: every session opens once and closes once.
+    assert(deltas.values.sum == 0L)
+  }
+
+  test("q200 skyline == brute-force dominance filter, twins kept") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q200_pareto_skyline")(spark, dir)
+      .as[(Long, Double, Int)].collect().map(_._1).toSet
+    val parts = Tables.part(spark, dir)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Int)].collect()
+    val want = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    // Twins: inject a duplicated skyline point and re-check on a frame.
+    val pr = parts.filter(p => want.contains(p._1)).head
+    val twin = parts :+ ((-1L, pr._2, pr._3))
+    val twinSky = twin.filter { case (_, p2, s2) =>
+      !twin.exists { case (_, q2, z2) =>
+        q2 <= p2 && z2 >= s2 && (q2 < p2 || z2 > s2) }
+    }.map(_._1).toSet
+    assert(twinSky.contains(-1L) && twinSky.contains(pr._1),
+      "equal (price,size) twins must both survive dominance")
+  }
+
+  test("q201 LOO encoding == BigDecimal re-derivation; singleton is NULL") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q201_target_encoding_loo")(spark, dir)
+      .select(col("o_orderkey"), col("enc_loo"))
+      .as[(Long, Option[Double])].collect().toMap
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    val byPrio = orders.groupBy(_._2)
+    orders.foreach { case (ok, prio, price) =>
+      val grp = byPrio(prio)
+      val sum = grp.map(r => BigDecimal(r._3).setScale(2)).sum
+      val n = grp.length
+      got(ok) match {
+        case Some(g) if n > 1 =>
+          // Exact decimal numerator, then the engine's one IEEE division.
+          val exact = (sum - BigDecimal(price).setScale(2)).toDouble / (n - 1)
+          assert(g == exact, s"enc for order $ok")
+        case None if n == 1 => ()
+        case other => fail(s"order $ok (n=$n): $other")
+      }
+    }
+  }
+
+  test("q202 attribution conserves the ppm budget and routes the remainder to the latest touch") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q202_multitouch_attribution")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val W = 7L * 24 * 3600 * 1000000L
+    val purchases = events.filter(_._4 == "purchase")
+    val touchesByUser = events.filter(e => e._4 == "view" || e._4 == "click")
+      .groupBy(_._2)
+    // Brute force: per purchase, the in-window touches; floor credit to
+    // each, remainder to the (t_us, event_id)-max touch.
+    val credits = purchases.flatMap { case (convId, user, cUs, _) =>
+      val ts = touchesByUser.getOrElse(user, Seq.empty)
+        .filter(t => t._3 >= cUs - W && t._3 < cUs)
+      if (ts.isEmpty) Seq(("(none)", convId, None: Option[Long], 1000000L))
+      else {
+        val n = ts.length
+        val last = ts.maxBy(t => (t._3, t._1))
+        ts.map { t =>
+          val credit = 1000000L / n + (if (t == last) 1000000L % n else 0L)
+          (t._4, convId, Some(t._1), credit)
+        }
+      }
+    }
+    val want = credits.groupBy(_._1).map { case (ch, rows) =>
+      ch -> ((rows.map(_._2).distinct.length.toLong,
+        rows.count(_._3.isDefined).toLong, rows.map(_._4).sum))
+    }
+    assert(got == want)
+    // Conservation: the engine's total credit is exactly 1e6 per purchase.
+    assert(got.values.map(_._3).sum == 1000000L * purchases.length)
+  }
+
+  test("q203 triangle count == naive ordered 3-way join over thresholded edges") {
+    import spark.implicits._
+    val Seq((nNodes, nEdges, nTri)) =
+      SparkEntry.queries("q203_triangle_count")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .as[(Long, Long)].collect().distinct
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val sk = rows.map(_._2).sorted
+      for (i <- sk.indices; j <- (i + 1) until sk.length) yield (sk(i), sk(j))
+    }.groupBy(identity).filter(_._2.size >= 5).keys.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    // count, not a for-yield over the Set (mapping a Set to a constant
+    // would dedupe the 1s and collapse the tally to edges-with-any-apex)
+    val tri = edges.toSeq.map { case (a, b) =>
+      nodes.count(c => c > b && edges.contains((b, c)) && edges.contains((a, c)))
+    }.sum
+    assert(nNodes == nodes.size.toLong)
+    assert(nEdges == edges.size.toLong)
+    assert(nTri == tri.toLong)
+  }
+
+  test("q204 quota allocation sums exactly to the budget, Hamilton rule") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q204_quota_allocation")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val budget = 100000L
+    assert(got.map(_._5).sum == budget, "allocations must sum to the budget")
+    got.foreach { case (src, nDocs, nTotal, base, alloc) =>
+      assert(base == budget * nDocs / nTotal, s"base for $src")
+      assert(alloc == base || alloc == base + 1, s"alloc for $src")
+    }
+    // The +1s go to the largest remainders (ties by source name asc).
+    val ranked = got.sortBy { case (src, nDocs, nTotal, _, _) =>
+      (-(budget * nDocs % nTotal), src)
+    }
+    val spare = (budget - got.map(_._4).sum).toInt
+    ranked.zipWithIndex.foreach { case ((src, _, _, base, alloc), i) =>
+      val wantAlloc = if (i < spare) base + 1 else base
+      assert(alloc == wantAlloc, s"Hamilton rank for $src")
+    }
+  }
+}
