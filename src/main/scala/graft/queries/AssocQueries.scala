@@ -128,10 +128,14 @@ object AssocQueries {
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "sid")
           .agg(min("us").as("s_us"), max("us").as("e_us"))
-        val deltas = sess.select(expr("s_us div 60000000").as("m"),
-            lit(1L).as("d"))
-          .unionAll(sess.select((expr("e_us div 60000000") + 1).as("m"),
-            lit(-1L).as("d")))
+        // one explode, not a union of two selects over `sess` — a union
+        // would run the two-window sessionization subtree once PER BRANCH
+        // (only exchanges are dedup-reused), doubling the dominant cost
+        val deltas = sess.select(explode(array(
+            struct(expr("s_us div 60000000").as("m"), lit(1L).as("d")),
+            struct((expr("e_us div 60000000") + 1).as("m"),
+              lit(-1L).as("d")))).as("x"))
+          .select(col("x.m").as("m"), col("x.d").as("d"))
           .groupBy("m").agg(sum("d").as("d"))
         val run = deltas.withColumn("conc", sum("d").over(
             Window.orderBy("m")
