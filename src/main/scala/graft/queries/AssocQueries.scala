@@ -141,8 +141,10 @@ object AssocQueries {
             Window.orderBy("m")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("day", expr("m div 1440"))
-        val peaks = run.groupBy("day").agg(max("conc").as("peak"))
-        run.join(peaks, "day")
+        // day peak via a day-keyed window, NOT a run⋈peaks self-join —
+        // a self-join would recompute the whole sessionization subtree
+        // for the peaks side (plan-pinned: one events scan)
+        run.withColumn("peak", max("conc").over(Window.partitionBy("day")))
           .where(col("conc") === col("peak"))
           .groupBy("day", "peak")
           .agg(min("m").as("first_peak_m"))

@@ -80,4 +80,58 @@ class PlanShapeSpec extends AnyFunSuite {
       s"un-partitioned window in sketch build: $w"))
     assert(df.count() == 5) // one row per event type at every SF
   }
+
+  test("q198 basket: brand dim broadcast, pair join keyed, no cartesian") {
+    val df = SparkEntry.queries("q198_market_basket")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 2-column brand dim and the marginal tables ride broadcasts;
+    // only the (order, brand) distinct + pair self-join shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the lineitem scan reads only the two needed columns
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(reads.exists(r => r.contains("l_orderkey") && r.contains("l_partkey")
+      && !r.contains("l_extendedprice")),
+      s"basket scan must prune to (l_orderkey, l_partkey):\n$reads")
+  }
+
+  test("q199 sweep: per-user windows keyed; exactly one minute-grain global window") {
+    val df = SparkEntry.queries("q199_peak_concurrency")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val winSpecs = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(winSpecs.count(_.contains("user_id")) >= 2,
+      s"sessionization windows must key on user_id:\n$winSpecs")
+    // the one permitted global window is the minute-grain running sum
+    // (calendar-bounded input by construction — see the query doc);
+    // the day-peak window keys on day
+    val unkeyed = winSpecs.filterNot(w =>
+      w.contains("user_id") || w.contains("day"))
+    assert(unkeyed.size == 1, s"expected exactly one global window:\n$winSpecs")
+    // the explode rewrite keeps ONE sessionization subtree: exactly one
+    // events scan in the whole plan (the union form had two)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+  }
+
+  test("q200 skyline: prune + exact joins broadcast, no cartesian") {
+    val df = SparkEntry.queries("q200_pareto_skyline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"threshold/price tables must broadcast, never shuffle the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q202 attribution: native band-join exec, no cartesian") {
+    val df = SparkEntry.queries("q202_multitouch_attribution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BandJoin"),
+      s"attribution must run through the band-join exec:\n$plan")
+    // per-conversion credit windows key on the conversion id
+    val winSpecs = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    winSpecs.foreach(w => assert(w.contains("conv_id"),
+      s"un-keyed window in the credit pass: $w"))
+  }
 }
