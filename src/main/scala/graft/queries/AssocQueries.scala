@@ -528,6 +528,270 @@ object AssocQueries {
                  AS BIGINT) AS alloc
         FROM based CROSS JOIN spare
         ORDER BY source
+      """)),
+
+    // ----------------------------------------------------------------
+    // q205: REVENUE CONCENTRATION — exact Gini coefficient and
+    // top-decile revenue share over per-customer revenue. The
+    // inequality report every marketplace runs; Gini needs an EXACT
+    // global rank of every customer by revenue.
+    //
+    // Plan shape: customer revenue is one map-combined decimal
+    // aggregate; the global rank reuses q167's machinery (range
+    // repartition on the (rev, key) total order + in-partition
+    // position from monotonically_increasing_id + per-partition counts
+    // cumulated in a metadata window) — NO corpus-sized global window.
+    // n comes from the SAME metadata table (sum of partition counts),
+    // not a second scan. Arithmetic: revenue in integer cents,
+    // Σ i·rev_c accumulated as DECIMAL(18,0)×DECIMAL(18,0) products
+    // (37-digit products — a BIGINT product wraps at corpus scale, the
+    // q189/q197 lesson); Gini and shares are fixed-order double
+    // expressions spelled identically in the oracle.
+    Q(
+      "q205_revenue_concentration",
+      (s, dir) => {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val rev = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(sum(Q.dec2(col("o_totalprice"))).as("rev"))
+          .select(col("o_custkey").as("ck"),
+            (col("rev") * 100).cast("long").as("rev_c"))
+        val parted = rev
+          .repartitionByRange(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("rev_c"), col("ck"))
+          .sortWithinPartitions("rev_c", "ck")
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lpos", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        val cnts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        val offsets = cnts
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "offset")
+        val nRow = cnts.agg(sum("cnt").as("n"))
+        parted.join(broadcast(offsets), Seq("pid"))
+          .select(col("rev_c"), (col("offset") + col("lpos") + 1L).as("i"))
+          .crossJoin(broadcast(nRow))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum("rev_c").as("s_c"),
+            sum(col("i").cast(d18) * col("rev_c").cast(d18)).as("a"),
+            sum(when(col("i") > col("n") - expr("n div 10"), col("rev_c"))
+              .otherwise(0L)).as("t_c"))
+          .select(col("n_cust"),
+            (col("s_c").cast("double") / lit(100.0)).as("total_rev"),
+            (lit(2.0) * col("a").cast("double") /
+              (col("n_cust").cast("double") * col("s_c").cast("double")) -
+              (col("n_cust") + 1).cast("double") / col("n_cust").cast("double"))
+              .as("gini"),
+            (col("t_c").cast("double") / col("s_c")).as("top_decile_share"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev_c
+          FROM orders GROUP BY 1
+        ), ranked AS (
+          SELECT ck, rev_c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rev_c, ck) AS BIGINT) AS i
+          FROM rev
+        ), nn AS (
+          SELECT COUNT(*) AS n FROM rev
+        ), agg AS (
+          SELECT COUNT(*) AS n_cust,
+                 CAST(SUM(rev_c) AS BIGINT) AS s_c,
+                 SUM(CAST(i AS DECIMAL(18,0)) * CAST(rev_c AS DECIMAL(18,0)))
+                   AS a,
+                 CAST(SUM(CASE WHEN i > n - n // 10 THEN rev_c ELSE 0 END)
+                   AS BIGINT) AS t_c
+          FROM ranked CROSS JOIN nn
+        )
+        SELECT n_cust,
+               CAST(s_c AS DOUBLE) / 100.0 AS total_rev,
+               2.0 * CAST(a AS DOUBLE)
+                 / (CAST(n_cust AS DOUBLE) * CAST(s_c AS DOUBLE))
+                 - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE) AS gini,
+               CAST(t_c AS DOUBLE) / s_c AS top_decile_share
+        FROM agg
+      """)),
+
+    // ----------------------------------------------------------------
+    // q206: A/B TEST two-proportion z — users deterministically
+    // assigned by user_id parity; conversion = "heavy buyer" (≥ 14
+    // purchases — a flag that actually splits this corpus; ≥ 1 purchase
+    // saturates to p̂ = 1, and under ANSI the degenerate √0 denominator
+    // is a DIVIDE_BY_ZERO error, so the z is additionally CASE-guarded
+    // to NULL when p̂ ∈ {0, 1} or an arm is empty, in both engines).
+    // z = (p_t − p_c)/√(p̂(1−p̂)(1/n_t + 1/n_c)) — the experiment
+    // readout every growth team runs daily.
+    //
+    // Plan shape: ONE hash aggregate to user grain (the purchase count
+    // is a conditional sum, scan stays pipelined), then a 4-way
+    // conditional count to a single row. The z expression is a fixed
+    // tree of correctly-rounded IEEE ops (divisions, one sqrt) spelled
+    // identically in the oracle — every operand pair is identical in
+    // both engines, so every intermediate is bit-equal.
+    Q(
+      "q206_ab_test",
+      (s, dir) => {
+        val u = Tables.df(s, dir, "events")
+          .select(col("user_id"), col("event_type"))
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+          .select(col("user_id"),
+            when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
+          .withColumn("arm", expr("user_id % 2"))
+        val counts = u.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .as("conv_control"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .as("conv_treatment"))
+        val withP = counts.select(
+          col("n_control"), col("conv_control"),
+          col("n_treatment"), col("conv_treatment"),
+          when(col("n_control") > 0,
+            col("conv_control").cast("double") / col("n_control"))
+            .as("p_control"),
+          when(col("n_treatment") > 0,
+            col("conv_treatment").cast("double") / col("n_treatment"))
+            .as("p_treatment"),
+          ((col("conv_control") + col("conv_treatment")).cast("double") /
+            (col("n_control") + col("n_treatment"))).as("p_pooled"))
+        withP.select(col("n_control"), col("conv_control"),
+          col("n_treatment"), col("conv_treatment"),
+          col("p_control"), col("p_treatment"), col("p_pooled"),
+          when(col("p_pooled") > 0 && col("p_pooled") < 1 &&
+            col("n_control") > 0 && col("n_treatment") > 0,
+            (col("p_treatment") - col("p_control")) /
+              sqrt(col("p_pooled") * (lit(1.0) - col("p_pooled")) *
+                (lit(1.0) / col("n_treatment") + lit(1.0) / col("n_control"))))
+            .as("z_score"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS conv,
+                 user_id % 2 AS arm
+          FROM events GROUP BY user_id
+        ), counts AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_control,
+            CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_control,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_treatment,
+            CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_treatment
+          FROM u
+        ), withp AS (
+          SELECT n_control, conv_control, n_treatment, conv_treatment,
+                 CASE WHEN n_control > 0
+                   THEN CAST(conv_control AS DOUBLE) / n_control END
+                   AS p_control,
+                 CASE WHEN n_treatment > 0
+                   THEN CAST(conv_treatment AS DOUBLE) / n_treatment END
+                   AS p_treatment,
+                 CAST(conv_control + conv_treatment AS DOUBLE)
+                   / (n_control + n_treatment) AS p_pooled
+          FROM counts
+        )
+        SELECT n_control, conv_control, n_treatment, conv_treatment,
+               p_control, p_treatment, p_pooled,
+               CASE WHEN p_pooled > 0 AND p_pooled < 1
+                     AND n_control > 0 AND n_treatment > 0 THEN
+                 (p_treatment - p_control)
+                 / SQRT(p_pooled * (1.0 - p_pooled)
+                        * (1.0 / n_treatment + 1.0 / n_control))
+               END AS z_score
+        FROM withp
+      """)),
+
+    // ----------------------------------------------------------------
+    // q207: BENFORD first-digit audit of order totals — the
+    // fraud/data-quality screen. The first significant digit comes
+    // from EXACT integer cents (decimal cast, ×100, BIGINT) rendered
+    // to a string — never floor(log10(x)), whose libm rounding at
+    // digit boundaries diverges between engines (the q143 lesson);
+    // integer→string is identical everywhere. Expected Benford mass
+    // is a literal table; the oracle CASTs each literal to DOUBLE
+    // because DuckDB parses bare decimal literals as DECIMAL and
+    // would otherwise compute the deviation in exact decimal (the
+    // q143 trap, again).
+    //
+    // Plan shape: one map-combined aggregate to ≤9 digit rows; the
+    // total broadcasts back. Shares/deviations are single IEEE ops.
+    Q(
+      "q207_benford_digits",
+      (s, dir) => {
+        val digit = substring(
+          (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
+          1, 1).cast("int")
+        val byDigit = Tables.orders(s, dir)
+          .select(digit.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = byDigit.agg(sum("n").as("n_total"))
+        val benfordP = Seq(
+          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+          9 -> 0.04575749056067514)
+          .foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+            when(col("digit") === d, lit(p)).otherwise(acc)
+          }
+        byDigit.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("n_total")).as("share"),
+            benfordP.as("benford_p"))
+          .withColumn("abs_dev", abs(col("share") - col("benford_p")))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (
+          SELECT CAST(SUBSTR(CAST(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders
+        ), byd AS (
+          SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM byd
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / n_total AS share,
+               CASE digit
+                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+               END AS benford_p,
+               ABS(CAST(n AS DOUBLE) / n_total - CASE digit
+                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+               END) AS abs_dev
+        FROM byd CROSS JOIN tot
+        ORDER BY digit
       """))
   )
 }

@@ -192,6 +192,79 @@ class AssocQueriesSpec extends AnyFunSuite {
     assert(nTri == tri.toLong)
   }
 
+  test("q205 Gini == BigDecimal brute force over sorted customer revenue") {
+    import spark.implicits._
+    val Seq((nCust, totalRev, gini, topShare)) =
+      SparkEntry.queries("q205_revenue_concentration")(spark, dir)
+        .as[(Long, Double, Double, Double)].collect().toSeq
+    val revC = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (ck, rows) =>
+        val cents = rows.map(r => BigDecimal(r._2).setScale(2)).sum * 100
+        (ck, cents.toLongExact)
+      }.toSeq.sortBy(r => (r._2, r._1))
+    val n = revC.length.toLong
+    val s = revC.map(r => BigInt(r._2)).sum
+    val a = revC.zipWithIndex.map { case ((_, c), idx) =>
+      BigInt(idx + 1) * BigInt(c)
+    }.sum
+    val k = n / 10
+    val t = revC.drop((n - k).toInt).map(r => BigInt(r._2)).sum
+    assert(nCust == n)
+    assert(totalRev == s.toDouble / 100.0)
+    val wantGini = 2.0 * a.toDouble / (n.toDouble * s.toDouble) -
+      (n + 1).toDouble / n.toDouble
+    assert(gini == wantGini, s"gini $gini vs $wantGini")
+    assert(topShare == t.toDouble / s.toDouble)
+    assert(gini >= 0.0 && gini <= 1.0 && topShare >= 0.1)
+  }
+
+  test("q206 z-score == scalar re-derivation; guard survives a degenerate arm") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q206_ab_test")(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double,
+        Option[Double])].collect().head
+    val (n0, c0, n1, c1, p0, p1, pp, z) = row
+    val byUser = events.groupBy(_._2)
+    val conv = byUser.map { case (uid, rows) =>
+      uid -> (if (rows.count(_._4 == "purchase") >= 14) 1L else 0L)
+    }
+    val arm0 = conv.filter(_._1 % 2 == 0)
+    val arm1 = conv.filter(_._1 % 2 == 1)
+    assert(n0 == arm0.size && c0 == arm0.values.sum)
+    assert(n1 == arm1.size && c1 == arm1.values.sum)
+    assert(p0.contains(c0.toDouble / n0) && p1.contains(c1.toDouble / n1))
+    assert(pp == (c0 + c1).toDouble / (n0 + n1))
+    val wantZ = (p1.get - p0.get) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+    assert(z.contains(wantZ))
+    // the guard: a saturated pooled rate must yield NULL, not an ANSI
+    // DIVIDE_BY_ZERO (the >= 1-purchase definition would have hit it)
+    assert(!(pp == 0.0 || pp == 1.0), "threshold must split this corpus")
+  }
+
+  test("q207 Benford digits == integer-cents brute force; shares sum to 1") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q207_benford_digits")(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    val digits = Tables.orders(spark, dir).select("o_totalprice")
+      .as[Double].collect()
+      .map(p => (BigDecimal(p).setScale(2) * 100).toLongExact.toString.head
+        .asDigit)
+    val n = digits.length.toLong
+    val want = digits.groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    got.foreach { case (d, c, share, p, dev) =>
+      assert(share == c.toDouble / n)
+      // compare against the literal table, not math.log10 — log10 is
+      // not guaranteed correctly rounded, the literals are the contract
+      assert(math.abs(p - math.log10(1.0 + 1.0 / d)) < 1e-15,
+        s"benford_p for digit $d")
+      assert(dev == math.abs(share - p))
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("q204 quota allocation sums exactly to the budget, Hamilton rule") {
     import spark.implicits._
     val got = SparkEntry.queries("q204_quota_allocation")(spark, dir)
