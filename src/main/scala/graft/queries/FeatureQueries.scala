@@ -1052,6 +1052,100 @@ object FeatureQueries {
                CAST(b.v AS DOUBLE) - p.wd_mean AS dev
         FROM bars b JOIN prof p ON b.user_id = p.user_id AND b.wd = p.wd
         ORDER BY b.user_id, b.d
-      """))
+      """)),
+
+    // ----------------------------------------------------------------
+    // q208: PAIRWISE CORRELATION MATRIX over lineitem's numeric columns
+    // — pandas df.corr(), the EDA step the reference runs verbatim
+    // (transform_data.ipynb:647 `corr_matrix = btc_data_numeric.corr()`;
+    // q138/q175 cover the rolling and lagged forms, this is the full
+    // matrix).
+    //
+    // Determinism: Pearson r from EXACT DECIMAL power sums — for k=4
+    // columns, ONE map-combined aggregate computes n, 4 sums, 4 sums of
+    // squares, and 6 cross sums (15 decimal aggregates over one scan,
+    // map-side combine does all the work; the exchange carries one
+    // row). Products are (18,2)×(18,2) → (37,4), never the 38-digit
+    // truncation zone; n·Sxy − Sx·Sy likewise multiplies only
+    // width-capped casts (the q205 discipline). The per-pair finale is
+    // a fixed IEEE tree (one division, two sqrt, one multiply) spelled
+    // identically in the oracle; a zero-variance column CASE-guards r
+    // to NULL in both engines. Output = the 6 upper-triangle pairs,
+    // exploded from the single aggregate row — bounded by k², never
+    // the corpus.
+    Q(
+      "q208_correlation_matrix",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 2)
+        def dc(c: String) = col(c).cast(d18)
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+            cols.map(c => sum(dc(c)).as(s"s_$c")) ++
+            cols.map(c => sum(dc(c) * dc(c)).as(s"ss_$c")) ++
+            (for {
+              i <- cols.indices; j <- (i + 1) until cols.length
+            } yield sum(dc(cols(i)) * dc(cols(j)))
+              .as(s"sp_${cols(i)}_${cols(j)}"))
+        val row = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+        // width discipline (DuckDB caps multiply at combined width 38):
+        // n(10,0) × Σxy(28,4) = 38; Σx(19,2) × Σy(19,2) = 38 — exact to
+        // ~1e12 rows at these magnitudes, the documented ceiling
+        val d10 = org.apache.spark.sql.types.DecimalType(10, 0)
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 2)
+        val d28 = org.apache.spark.sql.types.DecimalType(28, 4)
+        def den(c: String) =
+          col("n").cast(d10) * col(s"ss_$c").cast(d28) -
+            col(s"s_$c").cast(d19) * col(s"s_$c").cast(d19)
+        def pairStruct(a: String, b: String) = {
+          val num = col("n").cast(d10) * col(s"sp_${a}_$b").cast(d28) -
+            col(s"s_$a").cast(d19) * col(s"s_$b").cast(d19)
+          struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+            when(den(a) > 0 && den(b) > 0,
+              num.cast("double") /
+                (sqrt(den(a).cast("double")) * sqrt(den(b).cast("double"))))
+              .as("r"))
+        }
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.length
+        } yield pairStruct(cols(i), cols(j))
+        row.select(explode(array(pairs: _*)).as("p"))
+          .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.r"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val sums =
+          (Seq("COUNT(*) AS n") ++
+            cols.map(c => s"SUM(CAST($c AS DECIMAL(18,2))) AS s_$c") ++
+            cols.map(c =>
+              s"SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS ss_$c") ++
+            (for { i <- cols.indices; j <- (i + 1) until cols.length }
+              yield s"SUM(CAST(${cols(i)} AS DECIMAL(18,2)) * CAST(${cols(j)} AS DECIMAL(18,2))) AS sp_${cols(i)}_${cols(j)}"))
+            .mkString(",\n                 ")
+        def den(c: String) =
+          s"(CAST(n AS DECIMAL(10,0)) * CAST(ss_$c AS DECIMAL(28,4)) - CAST(s_$c AS DECIMAL(19,2)) * CAST(s_$c AS DECIMAL(19,2)))"
+        val selects = (for {
+          i <- cols.indices; j <- (i + 1) until cols.length
+          a = cols(i); b = cols(j)
+        } yield s"""          SELECT '$a' AS col_a, '$b' AS col_b, n,
+            CASE WHEN ${den(a)} > 0 AND ${den(b)} > 0 THEN
+              CAST(CAST(n AS DECIMAL(10,0)) * CAST(sp_${a}_$b AS DECIMAL(28,4))
+                   - CAST(s_$a AS DECIMAL(19,2)) * CAST(s_$b AS DECIMAL(19,2))
+                   AS DOUBLE)
+              / (SQRT(CAST(${den(a)} AS DOUBLE)) * SQRT(CAST(${den(b)} AS DOUBLE)))
+            END AS r
+          FROM sums""").mkString("\n          UNION ALL\n")
+        s"""
+        WITH sums AS (
+          SELECT $sums
+          FROM lineitem
+        )
+        SELECT col_a, col_b, n, r FROM (
+$selects
+        )
+        ORDER BY col_a, col_b
+      """
+      })
   )
 }

@@ -265,6 +265,36 @@ class AssocQueriesSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("q208 correlation matrix == BigDecimal power-sum brute force, symmetric domain") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q208_correlation_matrix")(spark, dir)
+      .as[(String, String, Long, Option[Double])].collect()
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = Tables.lineitem(spark, dir)
+      .select(cols.head, cols.tail: _*)
+      .as[(Double, Double, Double, Double)].collect()
+      .map(t => Array(t._1, t._2, t._3, t._4)
+        .map(v => BigDecimal(v).setScale(2)))
+    val n = rows.length
+    def r(i: Int, j: Int): Double = {
+      val sx = rows.map(_(i)).sum; val sy = rows.map(_(j)).sum
+      val sxx = rows.map(v => v(i) * v(i)).sum
+      val syy = rows.map(v => v(j) * v(j)).sum
+      val sxy = rows.map(v => v(i) * v(j)).sum
+      val num = (BigDecimal(n) * sxy - sx * sy).toDouble
+      val dx = (BigDecimal(n) * sxx - sx * sx).toDouble
+      val dy = (BigDecimal(n) * syy - sy * sy).toDouble
+      num / (math.sqrt(dx) * math.sqrt(dy))
+    }
+    assert(got.length == 6)
+    got.foreach { case (a, b, gn, gr) =>
+      assert(gn == n.toLong)
+      val want = r(cols.indexOf(a), cols.indexOf(b))
+      assert(gr.contains(want), s"corr($a,$b): $gr vs $want")
+      assert(math.abs(gr.get) <= 1.0)
+    }
+  }
+
   test("q204 quota allocation sums exactly to the budget, Hamilton rule") {
     import spark.implicits._
     val got = SparkEntry.queries("q204_quota_allocation")(spark, dir)
