@@ -59,8 +59,15 @@ object ScaleAudit {
     "q145",                            // streaming watermark dedup replay
     "q146", "q147",                    // native + broadcast band join
                                        // (attribution via the custom exec)
-    "q149", "q150")                    // cross-sectional median/MAD;
+    "q149", "q150",                    // cross-sectional median/MAD;
                                        // running-distinct ranking rewrite
+    "q184", "q189", "q193",            // r15 reps: salted band, drift TVD
+                                       // (bucket-grain exchange), PIT probe
+    "q198", "q199", "q203",            // basket pairs (order-grain self-join),
+                                       // sweep line (minute-grain window),
+                                       // thresholded triangles (oriented wedges)
+    "q205", "q208")                    // Gini via q167 global rank;
+                                       // one-pass correlation matrix
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
