@@ -216,23 +216,9 @@ object AssocQueries {
     Q(
       "q200_pareto_skyline",
       (s, dir) => {
-        val p = Tables.part(s, dir)
-          .select("p_partkey", "p_retailprice", "p_size")
-          .withColumn("bucket", floor(col("p_retailprice")).cast("long"))
-        val thr = p.groupBy("bucket").agg(max("p_size").as("bmax"))
-          .withColumn("t", max("bmax").over(
-            Window.orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, -1)))
-          .select("bucket", "t")
-        val cand = p.join(broadcast(thr), Seq("bucket"))
-          .where(col("t").isNull || col("p_size") > col("t"))
-        val prices = cand.groupBy("p_retailprice").agg(max("p_size").as("pmax"))
-          .withColumn("rm", max("pmax").over(
-            Window.orderBy("p_retailprice")
-              .rowsBetween(Window.unboundedPreceding, -1)))
-        cand.join(broadcast(prices), Seq("p_retailprice"))
-          .where(col("p_size") === col("pmax") &&
-            (col("rm").isNull || col("p_size") > col("rm")))
+        graft.operators.Skyline.skyline2d(
+          Tables.part(s, dir).select("p_partkey", "p_retailprice", "p_size"),
+          minCol = "p_retailprice", maxCol = "p_size", bucketWidth = 1.0)
           .select("p_partkey", "p_retailprice", "p_size")
           .orderBy("p_partkey")
       },
@@ -423,38 +409,7 @@ object AssocQueries {
           .groupBy("u", "v").agg(count(lit(1)).as("w"))
           .where(col("w") >= minSupport)
           .select("u", "v")
-        val deg = edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val withDeg = edges
-          .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
-            Seq("u"))
-          .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
-            Seq("v"))
-        val oriented = withDeg.select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("u"))
-            .otherwise(col("v")).as("src"),
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("v"))
-            .otherwise(col("u")).as("dst"),
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("dv"))
-            .otherwise(col("du")).as("ddst"))
-        val wedges = oriented.select(col("src"), col("dst").as("a"),
-            col("ddst").as("da"))
-          .join(oriented.select(col("src"), col("dst").as("b"),
-            col("ddst").as("db")), Seq("src"))
-          .where(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")))
-          .select(col("a").as("src"), col("b").as("dst"))
-        val nTriangles = wedges
-          .join(oriented.select("src", "dst"), Seq("src", "dst"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-        nNodes.crossJoin(nEdges).crossJoin(nTriangles)
-          .select("n_nodes", "n_edges", "n_triangles")
+        graft.operators.Triangles.count(edges)
       },
       Some("""
         WITH os AS (
