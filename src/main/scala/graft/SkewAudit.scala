@@ -84,6 +84,26 @@ object SkewAudit {
       bS = math.min(bS, time(bandSalted _))
     }
     println(f"""{"metric":"skew_band","left_rows":$leftRows,"hot_pct":$hotPct,"buckets":$buckets,"pairs":$nPairs,"unsalted_sec":$bU%.3f,"salted_sec":$bS%.3f,"speedup":${bU / bS}%.2f}""")
+
+    // COST GUARD decisions (SkewRoute.guardedBuckets): the salted route
+    // replicates the whole right side per bucket, so the affordable
+    // fan-out shrinks as |right| grows toward (and past) |left|. Three
+    // regimes on the same left: the dim-sized right above (full request
+    // affordable), a right ~ |left| (guard shrinks toward
+    // maxReplication), and a right ~ 6x |left| (cap < 2 → the router
+    // refuses the salt and falls back to plain SMJ).
+    val rightMid = left.select(col("k").as("rk"), col("t").as("rt"),
+      col("left_id").as("p"))
+    val rightBig = rightMid.crossJoin(spark.range(6).select(col("id")))
+      .select(col("rk"), (col("rt") + col("id")).as("rt"), col("p"))
+    val maxRepl = 4.0
+    val gSmall = graft.operators.SkewRoute.guardedBuckets(
+      left, right, buckets, maxRepl)
+    val gMid = graft.operators.SkewRoute.guardedBuckets(
+      left, rightMid, buckets, maxRepl)
+    val gBig = graft.operators.SkewRoute.guardedBuckets(
+      left, rightBig, buckets, maxRepl)
+    println(s"""{"metric":"skew_guard","requested":$buckets,"max_replication":$maxRepl,"buckets_dim_right":$gSmall,"buckets_eq_right":$gMid,"buckets_6x_right":$gBig,"route_6x_right":"${if (gBig < 2) "plain_smj" else "salted"}"}""")
     spark.stop()
   }
 }

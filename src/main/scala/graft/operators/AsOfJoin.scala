@@ -847,7 +847,12 @@ object AsOfJoin {
     *   1. right fits `spark.sql.autoBroadcastJoinThreshold` →
     *      broadcast exec (left never shuffles; key skew is moot);
     *   2. else, left key's measured max-share >= the hot threshold →
-    *      [[asofSalted]] (hash-partitions on (key, __asof_salt));
+    *      [[asofSalted]] (hash-partitions on (key, __asof_salt)),
+    *      with the fan-out CAPPED by [[SkewRoute.guardedBuckets]]:
+    *      the salt replicates the whole right side per bucket, so the
+    *      bucket count shrinks as |right| grows until, below 2
+    *      affordable buckets, the salt costs more than the straggler
+    *      it removes and the route degrades to step 3;
     *   3. else the plain co-partitioned sort-merge.
     * Step 2 runs one eager, bounded sampling job at call time — the
     * price of measured (rather than guessed) routing.
@@ -882,9 +887,13 @@ object AsOfJoin {
       val hot = SkewRoute
         .hotKeyShare(left, leftKey, c.sampleBytes, c.minRows)
         .exists(_ >= hotShare.getOrElse(c.hotShare))
-      if (hot)
+      // cost guard: replicated-right volume ≤ maxReplication × |left|;
+      // under 2 affordable buckets the salt cannot pay → plain SMJ
+      val b = SkewRoute.guardedBuckets(left, right,
+        buckets.getOrElse(c.buckets), c.maxReplication)
+      if (hot && b >= 2)
         asofSalted(left, right, leftKey, rightKey, leftTime, rightTime,
-          payload, buckets.getOrElse(c.buckets), direction, stable,
+          payload, b, direction, stable,
           tolerance, strict = !allowExactMatches)
       else
         asof(left, right, leftKey, rightKey, leftTime, rightTime, payload,

@@ -84,9 +84,13 @@ object BandJoin {
   /** [[bandJoinAuto]] with SKEW-AWARE routing — the band twin of
     * [[AsOfJoin.asofAutoSkew]], same [[SkewRoute]] decision tree:
     * dim-sized right → broadcast (fact side never shuffles, skew is
-    * moot); else measured hot left key → [[bandJoinSalted]]; else the
-    * plain co-partitioned sort-merge. One eager bounded sampling job
-    * at call time buys the measured choice; every route is
+    * moot); else measured hot left key → [[bandJoinSalted]], with the
+    * fan-out CAPPED by [[SkewRoute.guardedBuckets]] (the salt
+    * replicates the whole right side per bucket, so buckets shrink as
+    * |right| grows; under 2 affordable buckets the salt costs more
+    * than the straggler and the route degrades to plain SMJ); else
+    * the plain co-partitioned sort-merge. One eager bounded sampling
+    * job at call time buys the measured choice; every route is
     * value-identical (SkewBandSpec). */
   def bandJoinAutoSkew(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
@@ -105,9 +109,12 @@ object BandJoin {
       val hot = SkewRoute
         .hotKeyShare(left, leftKey, c.sampleBytes, c.minRows)
         .exists(_ >= hotShare.getOrElse(c.hotShare))
-      if (hot)
+      // cost guard: replicated-right volume ≤ maxReplication × |left|
+      val b = SkewRoute.guardedBuckets(left, right,
+        buckets.getOrElse(c.buckets), c.maxReplication)
+      if (hot && b >= 2)
         bandJoinSalted(left, right, leftKey, rightKey, leftTime, rightTime,
-          lo, hi, payload, buckets.getOrElse(c.buckets), stable, leftOuter)
+          lo, hi, payload, b, stable, leftOuter)
       else
         plan(left, right, leftKey, rightKey, leftTime, rightTime, lo, hi,
           payload, broadcast = Some(false), leftOuter = leftOuter)

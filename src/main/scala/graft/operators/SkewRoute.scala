@@ -43,12 +43,19 @@ import org.apache.spark.sql.functions._
   *     target — the fraction is sampleBytes / stats.sizeInBytes;
   *   - `spark.graft.skew.minRows`     (default 1000): below this many
   *     sampled rows skew routing is pointless (any key fits one task)
-  *     and the router reports no-skew.
+  *     and the router reports no-skew;
+  *   - `spark.graft.skew.maxReplication` (default 4.0): cost guard on
+  *     the salted route — the salt REPLICATES the entire right side
+  *     once per bucket, so the replicated-right volume is bounded to
+  *     at most this multiple of the LEFT's size (see
+  *     [[guardedBuckets]]); below 2 surviving buckets the salt cannot
+  *     pay for itself and the router falls back to the plain
+  *     sort-merge.
   */
 object SkewRoute {
 
   final case class Conf(hotShare: Double, buckets: Int, sampleBytes: Long,
-                        minRows: Long)
+                        minRows: Long, maxReplication: Double)
 
   def conf(df: DataFrame): Conf = {
     val c = df.sparkSession.conf
@@ -57,7 +64,9 @@ object SkewRoute {
       buckets = c.get("spark.graft.skew.buckets", "32").toInt,
       sampleBytes =
         c.get("spark.graft.skew.sampleBytes", (64L << 20).toString).toLong,
-      minRows = c.get("spark.graft.skew.minRows", "1000").toLong)
+      minRows = c.get("spark.graft.skew.minRows", "1000").toLong,
+      maxReplication =
+        c.get("spark.graft.skew.maxReplication", "4.0").toDouble)
   }
 
   /** Max single-key share of `df.key`, estimated from a deterministic
@@ -89,5 +98,34 @@ object SkewRoute {
       .autoBroadcastJoinThreshold
     threshold > 0 &&
       right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
+
+  /** COST GUARD on the salted route: cap the salt fan-out so the
+    * replicated right side never dominates the join.
+    *
+    * The salted recipe replicates the ENTIRE right side once per salt
+    * bucket. When the right misses the broadcast threshold by a lot
+    * (a 1 TB attribute table behind a hot left key), 32× replication
+    * shuffles 32 TB to dodge ONE straggler task — strictly worse than
+    * the straggler. The guard bounds replicated-right volume by the
+    * work the join already pays for: `buckets × |right| ≤
+    * maxReplication × |left|` (both from logical-plan size stats, the
+    * same estimate the broadcast rule trusts), i.e.
+    * `buckets = min(requested, ⌊maxReplication·|left| / |right|⌋)`.
+    * Fewer buckets still spread the hot key — just proportionally to
+    * what the replication budget affords. A result < 2 means even the
+    * minimum useful salt costs more than the straggler it removes;
+    * callers fall back to the plain co-partitioned sort-merge.
+    * Missing stats (size ≤ 0 on either side) trust the caller. */
+  def guardedBuckets(left: DataFrame, right: DataFrame,
+                     requested: Int, maxReplication: Double): Int = {
+    val l = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    val r = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (l <= 0 || r <= 0) requested
+    else {
+      val cap = (BigDecimal(l) * maxReplication / BigDecimal(r))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR)
+      if (cap >= requested) requested else cap.toInt
+    }
   }
 }
