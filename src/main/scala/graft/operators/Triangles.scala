@@ -29,10 +29,22 @@ object Triangles {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    // The degree table is NODE-grain — dim-sized for co-occurrence
+    // graphs over bounded entity sets, but unbounded for arbitrary
+    // graphs (a billion-node edge list has a billion-row degree table,
+    // and a FORCED broadcast hint would bypass the threshold and OOM
+    // the build). Stats decide instead (SkewRoute.rightFitsBroadcast,
+    // the same rule the as-of/band router uses): hint only when the
+    // estimate fits spark.sql.autoBroadcastJoinThreshold, otherwise
+    // leave the join unhinted — a keyed shuffle join that AQE may still
+    // upgrade to broadcast from RUNTIME sizes. The wedge bound does not
+    // depend on how the degree annotation is joined.
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (SkewRoute.rightFitsBroadcast(df)) broadcast(df) else df
     val withDeg = e
-      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+      .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
         Seq("u"))
-      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+      .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
         Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
