@@ -109,9 +109,15 @@ object AssocQueries {
     // grain — calendar-bounded like q190's cohort window (~525k rows
     // per data-YEAR at ANY corpus size), never event grain, so the
     // unpartitioned window is metadata-sized by construction. Days
-    // with no session boundary are plateaus — they carry no delta row
-    // and are (documented) absent from the report; both engines apply
-    // the same rule. All arithmetic is exact integer micros/minutes.
+    // with NO delta row at all are all-plateau and (documented) absent
+    // from the report; both engines apply the same rule. Days that DO
+    // have deltas additionally get a synthetic ZERO delta at their
+    // first minute (emitted from the same explode), so an overnight
+    // CARRY-IN plateau competes for the day's peak — without the seed,
+    // a day whose true maximum is the carried concurrency before its
+    // first in-day delta (e.g. the first delta is a session end) would
+    // report only the post-delta maxima. All arithmetic is exact
+    // integer micros/minutes.
     Q(
       "q199_peak_concurrency",
       (s, dir) => {
@@ -134,7 +140,15 @@ object AssocQueries {
         val deltas = sess.select(explode(array(
             struct(expr("s_us div 60000000").as("m"), lit(1L).as("d")),
             struct((expr("e_us div 60000000") + 1).as("m"),
-              lit(-1L).as("d")))).as("x"))
+              lit(-1L).as("d")),
+            // carry-in seeds: a ZERO delta at the first minute of each
+            // day a real delta touches, so the overnight plateau level
+            // competes for that day's peak (same explode — no second
+            // pass over the sessionization subtree)
+            struct(expr("(s_us div 60000000) div 1440 * 1440").as("m"),
+              lit(0L).as("d")),
+            struct(expr("((e_us div 60000000) + 1) div 1440 * 1440").as("m"),
+              lit(0L).as("d")))).as("x"))
           .select(col("x.m").as("m"), col("x.d").as("d"))
           .groupBy("m").agg(sum("d").as("d"))
         val run = deltas.withColumn("conc", sum("d").over(
@@ -173,6 +187,11 @@ object AssocQueries {
           SELECT s_us // 60000000 AS m, CAST(1 AS BIGINT) AS d FROM sess
           UNION ALL
           SELECT e_us // 60000000 + 1, CAST(-1 AS BIGINT) FROM sess
+          UNION ALL
+          SELECT (s_us // 60000000) // 1440 * 1440, CAST(0 AS BIGINT) FROM sess
+          UNION ALL
+          SELECT ((e_us // 60000000) + 1) // 1440 * 1440, CAST(0 AS BIGINT)
+          FROM sess
         ), md AS (
           SELECT m, CAST(SUM(d) AS BIGINT) AS d FROM d GROUP BY 1
         ), run AS (
@@ -197,8 +216,11 @@ object AssocQueries {
     // dominate each other, so both survive.
     //
     // Plan shape (the scale path — dominance is quadratic if naive):
-    // (1) PRUNE: bucket price into $1 cells, take per-bucket max size
-    //     (one map-combined aggregate to ≤ |price domain| rows), run
+    // (1) PRUNE: bucket price into cells whose width the operator
+    //     picks ITSELF from a bounded deterministic sample of the
+    //     price range (~1024 occupied cells at any domain — no caller
+    //     knob to get wrong), take per-bucket max size (one
+    //     map-combined aggregate to the bounded cell table), run
     //     the strictly-earlier-bucket running max over that bounded
     //     table, and broadcast it back as a filter — any part at or
     //     under its threshold has a strictly cheaper, no-smaller
@@ -218,7 +240,7 @@ object AssocQueries {
       (s, dir) => {
         graft.operators.Skyline.skyline2d(
           Tables.part(s, dir).select("p_partkey", "p_retailprice", "p_size"),
-          minCol = "p_retailprice", maxCol = "p_size", bucketWidth = 1.0)
+          minCol = "p_retailprice", maxCol = "p_size")
           .select("p_partkey", "p_retailprice", "p_size")
           .orderBy("p_partkey")
       },

@@ -52,6 +52,47 @@ class AssocPropertySpec extends AnyFunSuite {
       "the exact pass must make the result bucket-width-invariant")
   }
 
+  test("Skyline auto width == brute force on a WIDE-domain minCol") {
+    import spark.implicits._
+    // minCol spans ~1e9: a caller-supplied width of 1.0 would occupy
+    // one bucket per distinct value; the auto width targets ~1024
+    // cells from a sampled range instead
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 400).map { id =>
+      (id.toLong, rnd.nextDouble() * 1e9, rnd.nextInt(100))
+    }
+    val df = pts.toDF("id", "price", "size")
+    val got = graft.operators.Skyline.skyline2d(df, "price", "size")
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, q, z) => q <= p && z >= s && (q < p || z > s) }
+    }.map(_._1).toSet
+    assert(got == want)
+    // degenerate domains still answer: constant minCol → width 1.0
+    val const = Seq((1L, 5.0, 3), (2L, 5.0, 9), (3L, 5.0, 9))
+      .toDF("id", "price", "size")
+    assert(graft.operators.Skyline.skyline2d(const, "price", "size")
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("Skyline excludes NULL objectives instead of letting them poison the prune") {
+    import spark.implicits._
+    // the ADVICE scenario: a null-minCol row with a huge maxCol sorts
+    // first in the bucket order and would seed the running max for
+    // every real bucket, over-pruning rows nothing dominates
+    val df = Seq(
+      (1L, Option(10.0), Option(5)),
+      (2L, Option(20.0), Option(7)),
+      (3L, Option.empty[Double], Option(999)), // null minCol, huge maxCol
+      (4L, Option(30.0), Option.empty[Int])    // null maxCol
+    ).toDF("id", "price", "size")
+    val got = graft.operators.Skyline.skyline2d(df, "price", "size", 1.0)
+      .select("id").as[Long].collect().toSet
+    // among non-null rows neither (10,5) nor (20,7) dominates the
+    // other; null rows are excluded by contract
+    assert(got == Set(1L, 2L))
+  }
+
   test("Triangles.count == brute force on random graphs, degree order != id order") {
     import spark.implicits._
     for (seed <- 1 to 5) {
@@ -75,5 +116,31 @@ class AssocPropertySpec extends AnyFunSuite {
       assert(nNodes == nodes.size.toLong && nEdges == edges.size.toLong)
       assert(nTri == want.toLong, s"seed $seed: got $nTri, want $want")
     }
+  }
+
+  test("Triangles degree joins are stats-routed, not hint-forced") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    // threshold disabled → NO broadcast anywhere (a billion-node degree
+    // table must never be forced onto the driver); the degree joins
+    // fall back to keyed shuffle joins and the count is unchanged
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Triangles.count(edges)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("broadcast"),
+        s"degree joins must not be hint-forced:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected keyed shuffle joins:\n$plan")
+      val Seq((n, e, t)) = df.as[(Long, Long, Long)].collect().toSeq
+      assert((n, e, t) == ((4L, 5L, 2L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // threshold enabled and the dim-sized degree table fits → the hint
+    // applies and the annotation join broadcasts as before
+    val hinted = graft.operators.Triangles.count(edges)
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("Broadcast"), hinted)
   }
 }
