@@ -769,6 +769,135 @@ object AssocQueries {
                END) AS abs_dev
         FROM byd CROSS JOIN tot
         ORDER BY digit
+      """)),
+
+    // ----------------------------------------------------------------
+    // q211: CHI-SQUARE k×2 CONTINGENCY test — independence of
+    // event_type (k = the 5 known types) and value band (low/high at
+    // the fixed $50 split), extending the q206 decision-stats family.
+    // χ² = Σ_cells (O−E)²/E with E = R·C/N; for a k×2 table the two
+    // cells of row t share one exact numerator D_t = O_t,low·N −
+    // R_t·C_low (the high cell's numerator is −D_t), and the row
+    // contribution collapses algebraically to D_t² / (R_t·C_low·C_high)
+    // — so the statistic needs NO expected-count division per cell.
+    //
+    // Determinism (the q189 TVD recipe): D_t is exact
+    // DECIMAL(18,0)-product arithmetic (counts×counts reach 1e24 at
+    // corpus scale — a BIGINT product wraps in Spark and ERRORS in
+    // DuckDB; decimal is exact and identical in both); each row term
+    // is then a FIXED left-associated IEEE tree d/R·d/C_low/C_high on
+    // correctly-rounded operands, and χ² sums the five terms in one
+    // literal expression (click+error+purchase+signup+view) — a pinned
+    // evaluation order, never a SUM() whose accumulation order the
+    // engine picks. Degenerate margins are CASE-guarded in BOTH
+    // engines: an absent type contributes 0 (its D is 0 but 0/0 would
+    // NaN), and an empty value band NULLs the statistic outright.
+    //
+    // Plan shape: one map-combined conditional aggregate to a single
+    // row (the scan stays pipelined; the only exchange carries one
+    // row); the χ² tree is scalar arithmetic on that row.
+    Q(
+      "q211_chi2_contingency",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val ev = Tables.df(s, dir, "events")
+          .where(col("event_type").isin(types: _*))
+          .select(col("event_type"), (col("value") >= 50.0).as("hi"))
+        val aggs = types.flatMap { t =>
+          Seq(
+            sum(when(col("event_type") === t && !col("hi"), 1L)
+              .otherwise(0L)).as(s"o_lo_$t"),
+            sum(when(col("event_type") === t, 1L).otherwise(0L))
+              .as(s"r_$t"))
+        } ++ Seq(
+          sum(when(!col("hi"), 1L).otherwise(0L)).as("c_low"),
+          sum(when(col("hi"), 1L).otherwise(0L)).as("c_high"),
+          count(lit(1)).as("n_total"))
+        val row = ev.agg(aggs.head, aggs.tail: _*)
+        def d(t: String) =
+          (col(s"o_lo_$t").cast(d18) * col("n_total").cast(d18) -
+            col(s"r_$t").cast(d18) * col("c_low").cast(d18)).cast("double")
+        def term(t: String) = when(col(s"r_$t") > 0,
+          d(t) / col(s"r_$t") * d(t) / col("c_low") / col("c_high"))
+          .otherwise(lit(0.0))
+        val kPresent = types.map(t =>
+          when(col(s"r_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+        row.select(col("n_total"), col("c_low"), col("c_high"),
+          kPresent.as("k_present"), (kPresent - 1).as("df"),
+          when(col("c_low") > 0 && col("c_high") > 0,
+            types.map(term).reduce(_ + _)).as("chi2"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, value >= 50.0 AS hi FROM events
+          WHERE event_type IN ('click','error','purchase','signup','view')
+        ), agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_click,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS r_click,
+            CAST(SUM(CASE WHEN event_type = 'error' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_error,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS r_error,
+            CAST(SUM(CASE WHEN event_type = 'purchase' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_purchase,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r_purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_signup,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS r_signup,
+            CAST(SUM(CASE WHEN event_type = 'view' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_view,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS r_view,
+            CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS c_low,
+            CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS c_high,
+            COUNT(*) AS n_total
+          FROM ev
+        )
+        SELECT n_total, c_low, c_high,
+          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END) AS k_present,
+          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END - 1) AS df,
+          CASE WHEN c_low > 0 AND c_high > 0 THEN
+            (CASE WHEN r_click > 0 THEN
+              CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_click
+              * CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_error > 0 THEN
+              CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_error
+              * CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_purchase > 0 THEN
+              CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_purchase
+              * CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_signup > 0 THEN
+              CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_signup
+              * CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_view > 0 THEN
+              CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_view
+              * CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END)
+          END AS chi2
+        FROM agg
       """))
   )
 }

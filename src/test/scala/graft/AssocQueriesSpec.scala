@@ -69,10 +69,14 @@ class AssocQueriesSpec extends AnyFunSuite {
       bounds += ((start, last))
       bounds
     }.toSeq
-    // Sweep at minute grain.
-    val deltas = sessions.flatMap { case (s, e) =>
+    // Sweep at minute grain, with the carry-in seed: each day a delta
+    // touches also gets a zero delta at its first minute, so an
+    // overnight plateau competes for that day's peak.
+    val raw = sessions.flatMap { case (s, e) =>
       Seq((s / 60000000L, 1L), (e / 60000000L + 1, -1L))
     }.groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
+    val seeds = raw.keys.map(m => (m / 1440L) * 1440L).toSet
+    val deltas = (raw.keySet ++ seeds).map(m => m -> raw.getOrElse(m, 0L)).toMap
     var conc = 0L
     val concAt = deltas.toSeq.sortBy(_._1).map { case (m, d) =>
       conc += d; (m, conc)
@@ -87,6 +91,37 @@ class AssocQueriesSpec extends AnyFunSuite {
     }
     // Conservation: every session opens once and closes once.
     assert(deltas.values.sum == 0L)
+  }
+
+  test("q199 carry-in plateau: an overnight carry can BE the day's peak") {
+    import spark.implicits._
+    // 3 sessions span midnight into day 1 and END there (day 1's first
+    // real deltas are -1s), plus one midday session of concurrency 1.
+    // Day 1's true maximum is the CARRY-IN level 3 at its first
+    // minute — the case the zero-delta seed exists for (pre-seed, the
+    // report said 2: the level after the first in-day delta).
+    val day = 1440L * 60000000L
+    val ev = Seq.tabulate(3) { i =>
+      Seq((100L + i, day - 10L * 60000000L),          // day 0, 23:50
+        (100L + i, day + (10L + i) * 60000000L))      // day 1, ~00:10 (gap < 30 min)
+    }.flatten ++ Seq(
+      (200L, day + 720L * 60000000L),                 // day 1, 12:00
+      (200L, day + 730L * 60000000L))
+    val out = graft.Q.scratch(spark, "q199_carryin", "spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    ev.toDF("user_id", "us")
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .write.parquet(s"$out/events.parquet")
+    val got = SparkEntry.queries("q199_peak_concurrency")(spark, out)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 1440L)),
+      s"day 1 peak must be the carry-in plateau at the day's first minute: $got")
+    assert(got(0L)._1 == 3L, s"day 0 peak: $got")
   }
 
   test("q200 skyline == brute-force dominance filter, twins kept") {
