@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental SCD2 maintenance — [[Scd2.intervals]]'s validity
+  * intervals kept up to date under APPENDED attribute events, the way
+  * a dimension history actually grows: each ingest batch is compressed
+  * to its own runs ONCE (O(batch) work — the batch's windows never see
+  * stored state), appended as a delta in one atomic commit, and the
+  * read side stitches fragments into intervals at RUN grain — new
+  * events close the previously-open interval and open new ones without
+  * the corpus ever being re-windowed.
+  *
+  * State: one [[DeltaStore]] table of RUN FRAGMENTS
+  * `(k, attr, from_us, last_us, n_events)` — a batch's
+  * gaps-and-islands output, carrying each run's last event time. The
+  * stitch fold (merge adjacent equal-attr fragments per key) is
+  * associative over time-ordered fragments and idempotent, so it
+  * serves as both the read-side merge and the [[compact]] fold, and
+  * the maintained output equals the one-shot [[Scd2.intervals]] build
+  * EXACTLY — which is what lets the q209 registry entry reuse q192's
+  * DuckDB oracle verbatim (the q171/LmIndex move).
+  *
+  * PRECONDITION, ENFORCED: batches append in time order — every event
+  * of a new batch is later than every event already stored (the
+  * natural CDC/ingest shape). An out-of-order event would have been
+  * compressed against the wrong neighbors (a batch cannot know it
+  * splits an older run), so [[appendBatch]] REFUSES it loudly instead
+  * of silently corrupting the dimension: the batch's min time must
+  * exceed the stored horizon (max `last_us`), read from per-delta
+  * horizon sidecars when complete, else one column-pruned aggregate
+  * over the run-grain state (both O(state metadata), and the check
+  * EXCLUDES the batch's own delta so a checkpoint replay of an
+  * already-committed batch passes and replaces its delta
+  * bit-identically). Arbitrarily-late data needs the MorTable
+  * merge-on-read path instead. Scd2IndexSpec pins maintained ==
+  * one-shot across random time-split batches, the mid-stream compact,
+  * and the out-of-order refusal.
+  */
+object Scd2Index {
+
+  private val runSchema = StructType(Seq(
+    StructField("k", LongType), StructField("attr", IntegerType),
+    StructField("from_us", LongType), StructField("last_us", LongType),
+    StructField("n_events", LongType)))
+
+  private val horizonSidecar = "scd2_horizon"
+
+  /** Merge adjacent equal-attr fragments per key — the stitch fold.
+    * Input and output both carry [[runSchema]]'s columns. */
+  private def stitch(frags: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("k").orderBy("from_us")
+    frags
+      .withColumn("chg",
+        when(lag("attr", 1).over(byKey).isNull ||
+          lag("attr", 1).over(byKey) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("island", sum("chg").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min("attr").as("attr"), min("from_us").as("from_us"),
+        max("last_us").as("last_us"), sum("n_events").as("n_events"))
+      .select("k", "attr", "from_us", "last_us", "n_events")
+  }
+
+  /** Stored horizon (max event time across all live state, excluding
+    * `ownBatch`'s delta): the fast path folds the per-delta horizon
+    * sidecars (advisory — written after each commit); any live dir
+    * without one (a base, or a crash between commit and sidecar)
+    * falls back to one aggregate over the run-grain state. */
+  private def horizon(spark: SparkSession, store: DeltaStore,
+                      ownBatch: Int): Option[Long] = {
+    val live = store.live(None)
+      .filterNot { case (isBase, id, _) => !isBase && id == ownBatch }
+    if (live.isEmpty) None
+    else {
+      val fromSidecars = live.map { case (isBase, _, d) =>
+        if (isBase) None
+        else store.readSidecar(d, horizonSidecar)
+          .filter(_.length == 8)
+          .map(java.nio.ByteBuffer.wrap(_).getLong)
+      }
+      if (fromSidecars.forall(_.isDefined)) Some(fromSidecars.flatten.max)
+      else {
+        val row = store.readEntries(spark, runSchema, live, None)
+          .agg(max("last_us")).head()
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      }
+    }
+  }
+
+  /** Compress one batch (columns: key `k` LONG, time `us` LONG, unique
+    * tiebreak `tie`, attribute `attr` INT) to its run fragments and
+    * append them as the delta for `batchId` — one atomic commit, no
+    * window ever spans stored state. Refuses a batch that starts at or
+    * before the stored horizon (see the class doc). */
+  def appendBatch(spark: SparkSession, batch: DataFrame, root: String,
+                  batchId: Int, buckets: Int = 16): Unit = {
+    val store = DeltaStore(root, buckets)
+    store.heal()
+    val bounds = batch.agg(min("us"), max("us")).head()
+    val isEmpty = bounds.isNullAt(0)
+    if (!isEmpty) {
+      horizon(spark, store, batchId).foreach { hz =>
+        require(bounds.getLong(0) > hz,
+          s"batch $batchId starts at ${bounds.getLong(0)} <= stored horizon " +
+            s"$hz — out-of-order appends would stitch against the wrong " +
+            "neighbors; route late data through the merge-on-read path")
+      }
+    }
+    val byKey = Window.partitionBy("k").orderBy("us", "tie")
+    val frags = batch.select(col("k"), col("tie"), col("us"), col("attr"))
+      .withColumn("chg",
+        when(lag("attr", 1).over(byKey).isNull ||
+          lag("attr", 1).over(byKey) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("island", sum("chg").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min("attr").as("attr"), min("us").as("from_us"),
+        max("us").as("last_us"), count(lit(1)).cast(LongType).as("n_events"))
+      .select("k", "attr", "from_us", "last_us", "n_events")
+      .withColumn("gbucket", store.gb(col("k")))
+    store.append(frags, batchId, within = Seq(col("k"), col("from_us")))
+    if (!isEmpty)
+      store.writeSidecar(batchId, horizonSidecar,
+        java.nio.ByteBuffer.allocate(8).putLong(bounds.getLong(1)).array())
+  }
+
+  /** Fold the fragment deltas into one stitched base (atomic commit);
+    * the read path is unchanged — stitching is idempotent. */
+  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit =
+    DeltaStore(root, buckets).compact(spark, runSchema, col("k"), stitch)
+
+  /** The maintained dimension: stitched runs numbered per key in time
+    * order, half-open validity closed by the next run's start —
+    * identical, row for row, to [[Scd2.intervals]] over the union of
+    * all appended batches (under the append-order contract). */
+  def intervals(spark: SparkSession, root: String,
+                buckets: Int = 16): DataFrame = {
+    val runs = stitch(
+      DeltaStore(root, buckets).read(spark, runSchema, None))
+    val byKey = Window.partitionBy("k")
+    runs
+      .withColumn("island",
+        row_number().over(byKey.orderBy("from_us")).cast(LongType))
+      .withColumn("valid_to_us",
+        lead("from_us", 1).over(byKey.orderBy("island")))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("k"), col("island"), col("attr"),
+        col("from_us").as("valid_from_us"), col("valid_to_us"),
+        col("is_current"), col("n_events"))
+  }
+}

@@ -297,6 +297,89 @@ object EventQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q209: INCREMENTAL SCD2 MAINTENANCE — q192's validity intervals
+    // kept up to date under APPENDED attribute events, the way the
+    // dimension actually grows in production: the stream lands in two
+    // time-split waves (every wave-2 event is later than every wave-1
+    // event — the CDC append shape), each wave is compressed to its
+    // own runs ONCE (O(batch); the batch windows never see stored
+    // state) and committed atomically to operators/Scd2Index's
+    // fragment store, with a mid-stream COMPACT between the waves so
+    // the fold path itself sits under the gate. The read side stitches
+    // fragments at RUN grain — new events close the open interval and
+    // open new ones; the corpus is never re-windowed.
+    //
+    // The stitch fold (merge adjacent equal-tier fragments per key) is
+    // associative over time-ordered fragments and idempotent, so
+    // maintained == one-shot EXACTLY — which is why this entry is held
+    // to q192's DuckDB oracle VERBATIM (the q171/LmIndex move: one
+    // green row certifies the ingest protocol, the mid-stream compact,
+    // and the stitched read end-to-end). Scd2IndexSpec additionally
+    // pins random multi-batch splits and the out-of-order guard.
+    Q(
+      "q209_scd2_incremental",
+      (s, dir) => {
+        import graft.operators.Scd2Index
+        val root = graft.Q.scratch(s, "q209_scd2idx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").as("k"), col("event_id").as("tie"),
+            usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("attr"))
+        // per-key time-split waves from the global midpoint (usable
+        // because us <= mid / us > mid splits EVERY key in time order)
+        val mid = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long"))
+          .head().getLong(0)
+        Scd2Index.appendBatch(s, ev.where(col("us") <= mid), root, 1)
+        Scd2Index.compact(s, root)
+        Scd2Index.appendBatch(s, ev.where(col("us") > mid), root, 2)
+        Scd2Index.intervals(s, root)
+          .select(col("k").as("user_id"), col("island"),
+            col("attr").as("tier"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"), col("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, CAST(island AS BIGINT) AS island,
+                 MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us,
+                 COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id, island, tier, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 IS NULL AS is_current,
+               n_events
+        FROM runs
+        ORDER BY user_id, island
+      """)),
+
+    // ----------------------------------------------------------------
     // q193: POINT-IN-TIME FEATURE JOIN — the feature-store lookup that
     // prevents training-data leakage: for every purchase, the user's
     // engagement tier AS OF that moment, where the tier state is set by
@@ -613,6 +696,107 @@ object EventQueries {
                  DECIMAL(38,0))) AS DOUBLE) FROM fin) AS share
         FROM fin
         ORDER BY tier
+      """)),
+
+    // ----------------------------------------------------------------
+    // q210: STREAMING FUNNEL — q191's ordered conversion funnel
+    // maintained at the ingestion edge, under the q152 two-wave
+    // checkpoint-resume protocol (input lands in two waves split by
+    // event_id parity; the stream is STARTED TWICE on one checkpoint,
+    // so the resume path itself sits under the gate).
+    //
+    // WHY the maintained state is the stage-event CANDIDATE LOG and
+    // not per-batch anchors: funnel anchors are NOT additive across
+    // batches — a later batch's EARLIER view moves the stage-1 anchor
+    // back, which can make a click the earlier batches already saw
+    // newly eligible (and push a later one out of the gap window), so
+    // no fold of per-batch anchor frames reconstructs the true anchors
+    // (StreamFunnelSpec constructs exactly this case and shows the
+    // naive fold wrong). The minimal state that IS order-independent
+    // is the set of stage-type events: each micro-batch appends its
+    // (user, type, us) stage rows once — an O(batch) filter+project,
+    // no shuffle, type predicate pushed into the batch scan — and set
+    // union is independent of how the stream was batched, so the
+    // report over the maintained state equals the one-shot batch
+    // funnel for ANY split (stronger than q209's time-order contract).
+    // The anchor recursion (user-grain joins against the shrinking
+    // anchor frame) runs on the compacted state at REPORT time, never
+    // per batch. Held to q191's DuckDB oracle VERBATIM.
+    Q(
+      "q210_stream_funnel",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q210_streamfunnel", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.df(s, dir, "events")
+          .selectExpr("event_id", "user_id",
+            s"${Tables.eventsTsMicrosSql(s, dir)} as us", "event_type")
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.where(col("event_type")
+                  .isin("view", "click", "purchase"))
+                .select("user_id", "event_type", "us")
+                .write.mode("append").parquet(s"$out/stages")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q210 drain did not finish in 300 s")
+          }
+        }
+        ev.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        ev.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        graft.operators.Funnel.report(
+          s.read.parquet(s"$out/stages"),
+          "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"),
+          maxGapUs = 7L * 24 * 3600 * 1000000L)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(us) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.us) AS t2
+          FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.us >= s1.t1 AND e.us <= s1.t1 + 604800000000
+          GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.us) AS t3
+          FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.us >= s2.t2 AND e.us <= s2.t2 + 604800000000
+          GROUP BY 1
+        ), staged AS (
+          SELECT '1_view' AS stage FROM s1
+          UNION ALL SELECT '2_click' FROM s2
+          UNION ALL SELECT '3_purchase' FROM s3
+        ), counts AS (
+          SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY 1
+        )
+        SELECT stage, n_users,
+               CAST(n_users AS DOUBLE) /
+                 MAX(CASE WHEN stage = '1_view' THEN n_users END) OVER ()
+                 AS conv_pct
+        FROM counts
+        ORDER BY stage
       """))
   )
 }

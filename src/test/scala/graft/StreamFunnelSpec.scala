@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Why q210's maintained state is the stage-event CANDIDATE LOG and
+  * not per-batch anchor frames: funnel anchors are NOT additive across
+  * micro-batches. This spec constructs the counter-example — a later
+  * batch delivers an EARLIER stage-1 event, which makes a stage-2
+  * event an earlier batch already saw newly eligible — and shows (a)
+  * the naive per-stage min-fold of per-batch anchors gets it wrong,
+  * (b) the candidate-log state reproduces the one-shot funnel exactly
+  * under random batch splits (set union is independent of batching).
+  */
+class StreamFunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "purchase")
+  private val gap = 1000L
+
+  private def report(ev: DataFrame): Map[String, Long] =
+    graft.operators.Funnel.report(ev, "u", "t", "us", stages, gap)
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+
+  test("anchors are not additive: a late earlier view re-qualifies an old click") {
+    // user 1: click@5 then view@10 land in batch 1; batch 2 delivers
+    // view@1. True funnel: t1=1, the click@5 is >= t1 and in gap →
+    // stage 2 converts. Per-batch anchors: batch 1 has t1=10 (click@5
+    // precedes it → no stage 2), batch 2 has no click — so ANY fold of
+    // the per-batch anchor frames reports stage 2 empty.
+    val b1 = Seq((1L, "click", 5L), (1L, "view", 10L)).toDF("u", "t", "us")
+    val b2 = Seq((1L, "view", 1L)).toDF("u", "t", "us")
+    val oneShot = report(b1.unionByName(b2))
+    assert(oneShot("2_click") == 1L, s"true funnel converts stage 2: $oneShot")
+    // the naive fold: per-stage MIN over each batch's anchor frames
+    val naive = Seq(b1, b2).map(b =>
+      graft.operators.Funnel.anchors(b, "u", "t", "us", stages, gap)
+        .map(_.select(col("u"), col("t").as("anchor_t"))))
+    val naiveStage2 = naive.map(_(1)).reduce(_ unionByName _)
+      .groupBy("u").agg(min("anchor_t")).count()
+    assert(naiveStage2 == 0L,
+      "the per-batch anchor fold MUST miss the re-qualified click — " +
+        "if this starts passing, the counter-example no longer bites")
+    // the candidate log (what q210 maintains) is the union itself
+    assert(report(b2.unionByName(b1)) == oneShot,
+      "candidate-log state is batching-order-independent")
+  }
+
+  test("candidate-log state == one-shot funnel under random batch splits") {
+    val rnd = new scala.util.Random(77)
+    val types = Seq("view", "click", "purchase", "error")
+    val ev = (1 to 400).map { i =>
+      (rnd.nextInt(20).toLong, types(rnd.nextInt(types.length)),
+        rnd.nextInt(5000).toLong)
+    }.toDF("u", "t", "us")
+    val oneShot = report(ev)
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val cut = r.nextInt(97) + 1
+      // arbitrary (non-time-ordered!) 4-way partition — the state
+      // contract is stronger than q209's append-order precondition
+      val bucket = pmod(col("us") + cut, lit(4))
+      val parts = (0 until 4).map(p => ev.where(bucket === p))
+      val unioned = parts.reduce(_ unionByName _)
+        .where(col("t").isin(stages: _*))
+      assert(report(unioned) == oneShot, s"seed $seed")
+    }
+  }
+}
