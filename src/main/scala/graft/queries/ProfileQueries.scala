@@ -282,6 +282,91 @@ object ProfileQueries {
         ) t(relation, n_child_keys, n_orphan_keys, n_orphan_rows,
             n_parent_keys, n_childless_parents)
         ORDER BY relation
+      """)),
+
+    // ----------------------------------------------------------------
+    // q212: STREAMING referential-integrity audit — q196's
+    // events.user_id -> customer relation checked AT THE INGESTION
+    // EDGE (the q170 score-on-arrival shape): each micro-batch reduces
+    // to per-key counts (one O(batch) map-combined aggregate) and
+    // probes the BROADCAST parent keyset immediately — an orphan is
+    // flagged the batch it arrives, never discovered by a later
+    // full-corpus audit — and the flagged key-grain rows are the only
+    // state that accumulates. The final audit folds that key-grain
+    // state (sum counts, OR the per-batch flags — both additive, so
+    // maintained == one-shot exactly) and re-derives the childless-
+    // parent side from the same keyset. Runs under the q152 two-wave
+    // checkpoint-resume protocol (waves split by event_id parity, the
+    // stream started twice on one checkpoint); held to q196's
+    // events-relation oracle VERBATIM — orphans asserted exactly zero
+    // on the clean corpus, coverage gaps carrying the hash weight.
+    Q(
+      "q212_stream_integrity",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q212_streamintegrity", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.df(s, dir, "events").selectExpr("event_id", "user_id")
+        val parents = Tables.customer(s, dir)
+          .select(col("c_custkey").as("k")).distinct()
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.select(col("user_id").as("k"))
+                .groupBy("k").agg(count(lit(1)).as("n_rows"))
+                .join(broadcast(parents.withColumn("__p", lit(1))),
+                  Seq("k"), "left")
+                .select(col("k"), col("n_rows"),
+                  col("__p").isNull.as("orphan"))
+                .write.mode("append").parquet(s"$out/keys")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q212 drain did not finish in 300 s")
+          }
+        }
+        ev.where(col("event_id") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        ev.where(col("event_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        val state = s.read.parquet(s"$out/keys")
+          .groupBy("k")
+          .agg(sum("n_rows").as("n_rows"), expr("bool_or(orphan)").as("orphan"))
+        val childless = parents.join(state, Seq("k"), "left_anti")
+        state.agg(
+            count(lit(1)).as("n_child_keys"),
+            sum(when(col("orphan"), 1L).otherwise(0L)).as("n_orphan_keys"),
+            sum(when(col("orphan"), col("n_rows")).otherwise(0L))
+              .as("n_orphan_rows"))
+          .crossJoin(parents.agg(count(lit(1)).as("n_parent_keys")))
+          .crossJoin(childless.agg(count(lit(1)).as("n_childless_parents")))
+          .select(lit("events.user_id->customer").as("relation"),
+            col("n_child_keys"), col("n_orphan_keys"), col("n_orphan_rows"),
+            col("n_parent_keys"), col("n_childless_parents"),
+            (col("n_orphan_keys") === 0L).as("ok"))
+      },
+      Some("""
+        SELECT 'events.user_id->customer' AS relation,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS n_child_keys,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events) e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphan_keys,
+          (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphan_rows,
+          (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parent_keys,
+          (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) AS n_childless_parents,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events) e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0 AS ok
       """))
   )
 
