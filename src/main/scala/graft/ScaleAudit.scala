@@ -66,8 +66,11 @@ object ScaleAudit {
     "q198", "q199", "q203",            // basket pairs (order-grain self-join),
                                        // sweep line (minute-grain window),
                                        // thresholded triangles (oriented wedges)
-    "q205", "q208")                    // Gini via q167 global rank;
+    "q205", "q208",                    // Gini via q167 global rank;
                                        // one-pass correlation matrix
+    "q209", "q213")                    // r16 reps: incremental SCD2
+                                       // (run-fragment stitch), rank-sum
+                                       // U (dollar-grain midranks)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

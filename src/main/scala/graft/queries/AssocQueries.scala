@@ -898,6 +898,172 @@ object AssocQueries {
               / c_low / c_high ELSE 0.0 END)
           END AS chi2
         FROM agg
+      """)),
+
+    // ----------------------------------------------------------------
+    // q213: MANN-WHITNEY U rank-sum test — do urgent-priority orders
+    // (o_orderpriority 1-URGENT/2-HIGH) draw from the same totalprice
+    // distribution as the rest? The non-parametric A/B companion to
+    // q206's proportion z: no normality assumption, driven entirely by
+    // ranks.
+    //
+    // Exactness without per-row ranks: at DOLLAR grain (exact decimal
+    // floor — domain-bounded like q199's minutes, so the value table
+    // is metadata-sized at any corpus), tied observations share the
+    // midrank (cum_before + (t+1)/2). Midranks are half-integers, so
+    // everything carries DOUBLED: 2·S_A = Σ cntA(v)·(2·cum + t + 1) is
+    // a pure integer accumulated in DECIMAL(18,0)×DECIMAL(18,0)
+    // products (36 digits — inside both engines' multiply ceiling).
+    // The tie correction Σ(t³−t) cubes through DECIMAL(12,0) (t ≤
+    // 1e12−1; 12+12+12 = 36-digit products — the q208 width-capping
+    // discipline). z = (U − μ)/σ with σ² = nA·nB/12·((n+1) −
+    // Σ(t³−t)/(n(n−1))) is one fixed tree of IEEE ops on
+    // correctly-rounded casts, spelled identically in the oracle, and
+    // CASE-guarded when a group is empty or every value ties (σ = 0).
+    //
+    // Plan shape: one map-combined aggregate to value grain, one
+    // running-sum window over the domain-bounded value table, one
+    // 1-row reduce. Nothing event-grain crosses a second exchange.
+    Q(
+      "q213_mann_whitney_u",
+      (s, dir) => {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+        val o = Tables.orders(s, dir).select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        val byV = o.groupBy("v")
+          .agg(sum("is_a").as("cnt_a"), count(lit(1)).as("t"))
+        val cum = byV.withColumn("cum",
+          coalesce(sum("t").over(org.apache.spark.sql.expressions.Window
+            .orderBy("v")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        val agg = cum.agg(
+          sum("cnt_a").as("n_a"),
+          sum("t").as("n"),
+          sum(col("cnt_a").cast(d18) *
+            (col("cum") * 2 + col("t") + 1).cast(d18)).as("s2_a"),
+          sum(col("t").cast(d12) * col("t").cast(d12) * col("t").cast(d12) -
+            col("t").cast(d12)).as("tie"))
+        agg.select(
+            col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"),
+            col("s2_a"), col("tie"))
+          .select(col("n_a"), col("n_b"), col("n"),
+            ((col("s2_a").cast("double") -
+              col("n_a").cast("double") * (col("n_a") + 1)) / 2.0).as("u_a"),
+            (col("n_a").cast("double") * col("n_b") / 2.0).as("mean_u"),
+            col("tie").cast("double").as("tie_term"),
+            when(col("n_a") > 0 && col("n_b") > 0,
+              sqrt(col("n_a").cast("double") * col("n_b") / 12.0 *
+                ((col("n") + 1) - col("tie").cast("double") /
+                  (col("n").cast("double") * (col("n") - 1)))))
+              .as("sigma_u"))
+          .select(col("n_a"), col("n_b"), col("n"), col("u_a"),
+            col("mean_u"), col("tie_term"), col("sigma_u"),
+            when(col("sigma_u") > 0,
+              (col("u_a") - col("mean_u")) / col("sigma_u")).as("z_score"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a,
+                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
+          FROM orders
+        ), byv AS (
+          SELECT v, CAST(SUM(is_a) AS BIGINT) AS cnt_a, COUNT(*) AS t
+          FROM o GROUP BY 1
+        ), cumt AS (
+          SELECT v, cnt_a, t,
+                 CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum
+          FROM byv
+        ), agg AS (
+          SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(t) AS BIGINT) AS n,
+                 SUM(CAST(cnt_a AS DECIMAL(18,0)) *
+                     CAST(cum * 2 + t + 1 AS DECIMAL(18,0))) AS s2_a,
+                 SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                     * CAST(t AS DECIMAL(12,0))
+                     - CAST(t AS DECIMAL(12,0))) AS tie
+          FROM cumt
+        ), named AS (
+          SELECT n_a, n - n_a AS n_b, n, s2_a, tie FROM agg
+        ), stats AS (
+          SELECT n_a, n_b, n,
+                 (CAST(s2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0
+                   AS u_a,
+                 CAST(n_a AS DOUBLE) * n_b / 2.0 AS mean_u,
+                 CAST(tie AS DOUBLE) AS tie_term,
+                 CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                     ((n + 1) - CAST(tie AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * (n - 1))))
+                 END AS sigma_u
+          FROM named
+        )
+        SELECT n_a, n_b, n, u_a, mean_u, tie_term, sigma_u,
+               CASE WHEN sigma_u > 0
+                 THEN (u_a - mean_u) / sigma_u END AS z_score
+        FROM stats
+      """)),
+
+    // ----------------------------------------------------------------
+    // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
+    // kept up to date under APPENDED parts, the q209/q181 maintenance
+    // discipline applied to a non-additive report. The identity that
+    // makes it exact: skyline(A ∪ B) = skyline(skyline(A) ∪ B) —
+    // dominance is transitive, and every dominated row has a dominator
+    // ON the frontier (follow its dominator chain up; the finite chain
+    // ends at an undominated element), so pruning A to its frontier
+    // loses no dominator. Each wave therefore folds
+    // frontier ∪ batch — skyline-sized + batch-sized, NEVER the
+    // accumulated corpus — through the q200 operator (auto bucket
+    // width re-sampled per fold, since the frontier's domain drifts),
+    // and the state parquet rewritten per wave is frontier-sized.
+    // Equal-point twins survive folding: ties don't dominate, so both
+    // ride the frontier into the next fold. Held to q200's DuckDB
+    // oracle VERBATIM over the full corpus (the q192→q209 move);
+    // AssocPropertySpec pins maintained == one-shot across random
+    // splits where later waves dominate earlier frontier rows.
+    Q(
+      "q214_skyline_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q214_skyidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val parts = Tables.part(s, dir)
+          .select("p_partkey", "p_retailprice", "p_size")
+        // waves by key parity — NOT time/value-ordered: the fold
+        // identity needs no append-order contract (unlike q209)
+        val waves = Seq(parts.where(col("p_partkey") % 2 === 0),
+          parts.where(col("p_partkey") % 2 === 1))
+        waves.zipWithIndex.foreach { case (w, i) =>
+          val prev =
+            if (i == 0) w.limit(0)
+            else s.read.parquet(s"$root/state=${i - 1}")
+          graft.operators.Skyline
+            .skyline2d(prev.unionByName(w), "p_retailprice", "p_size")
+            .write.parquet(s"$root/state=$i")
+        }
+        s.read.parquet(s"$root/state=${waves.length - 1}")
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
       """))
   )
 }

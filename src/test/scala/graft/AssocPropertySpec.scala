@@ -75,6 +75,27 @@ class AssocPropertySpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("incremental skyline fold == one-shot: skyline(skyline(A) ∪ B) identity") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 13)
+      // clustered values so later waves dominate earlier frontier rows
+      val pts = (1 to 300).map { id =>
+        (id.toLong, (rnd.nextInt(60) / 2.0) + 1.0, rnd.nextInt(30))
+      }
+      val df = pts.toDF("id", "price", "size")
+      val oneShot = graft.operators.Skyline.skyline2d(df, "price", "size")
+        .select("id").as[Long].collect().toSet
+      // fold 3 arbitrary (id-parity, not value-ordered) waves
+      val waves = (0 until 3).map(p => df.where(pmod($"id", lit(3)) === p))
+      val folded = waves.foldLeft(df.limit(0)) { (state, w) =>
+        graft.operators.Skyline.skyline2d(state.unionByName(w), "price", "size")
+      }.select("id").as[Long].collect().toSet
+      assert(folded == oneShot, s"seed $seed")
+      assert(oneShot.nonEmpty)
+    }
+  }
+
   test("Skyline excludes NULL objectives instead of letting them poison the prune") {
     import spark.implicits._
     // the ADVICE scenario: a null-minCol row with a huge maxCol sorts
