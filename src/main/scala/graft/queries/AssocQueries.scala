@@ -1011,6 +1011,105 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q215: KOLMOGOROV-SMIRNOV two-sample D — the distribution-shape
+    // companion to q213's location test: the maximum ECDF gap between
+    // urgent-priority order totals and the rest, with the first value
+    // attaining it and the asymptotic statistic λ = D·√(nA·nB/(nA+nB)).
+    //
+    // Exactness (the q189 recipe again): at each pooled dollar-grain
+    // value, |ECDF_A − ECDF_B| = |cumA·nB − cumB·nA| / (nA·nB) — the
+    // NUMERATOR is exact DECIMAL(18,0) cross-multiplication (cum×n
+    // reaches 1e24 at corpus scale, past BIGINT), and the MAX over
+    // values is taken on that exact numerator, never on per-value
+    // float divisions whose rounding could reorder near-ties between
+    // engines. D and λ are then a fixed IEEE tree on the one max
+    // numerator. The argmax value is the MIN v attaining the max —
+    // total order, both engines agree exactly.
+    //
+    // Plan shape: one map-combined aggregate to dollar grain (domain-
+    // bounded, the q199/q213 class), one running-sum window over that
+    // bounded table, a 1-row max reduce broadcast back for the argmax,
+    // and a scalar finale.
+    Q(
+      "q215_ks_two_sample",
+      (s, dir) => {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val o = Tables.orders(s, dir).select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        val byV = o.groupBy("v")
+          .agg(sum("is_a").as("a"), (count(lit(1)) - sum("is_a")).as("b"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val cum = byV
+          .withColumn("cum_a", sum("a").over(w))
+          .withColumn("cum_b", sum("b").over(w))
+        val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
+        val gaps = cum.crossJoin(broadcast(tot))
+          .select(col("v"), col("n_a"), col("n_b"),
+            abs(col("cum_a").cast(d18) * col("n_b").cast(d18) -
+              col("cum_b").cast(d18) * col("n_a").cast(d18)).as("num"))
+        val mx = gaps.agg(max("num").as("max_num"))
+        gaps.crossJoin(broadcast(mx))
+          .where(col("num") === col("max_num"))
+          .groupBy("n_a", "n_b", "max_num")
+          .agg(min("v").as("d_at_v"))
+          .select(col("n_a"), col("n_b"), col("d_at_v"),
+            when(col("n_a") > 0 && col("n_b") > 0,
+              col("max_num").cast("double") /
+                (col("n_a").cast("double") * col("n_b"))).as("d_stat"))
+          .withColumn("ks_lambda",
+            col("d_stat") * sqrt(col("n_a").cast("double") * col("n_b") /
+              (col("n_a") + col("n_b"))))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a,
+                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
+          FROM orders
+        ), byv AS (
+          SELECT v, CAST(SUM(is_a) AS BIGINT) AS a,
+                 CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS b
+          FROM o GROUP BY 1
+        ), cum AS (
+          SELECT v,
+                 CAST(SUM(a) OVER win AS BIGINT) AS cum_a,
+                 CAST(SUM(b) OVER win AS BIGINT) AS cum_b
+          FROM byv
+          WINDOW win AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(b) AS BIGINT) AS n_b
+          FROM byv
+        ), gaps AS (
+          SELECT v, n_a, n_b,
+                 ABS(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0))
+                   - CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0)))
+                   AS num
+          FROM cum CROSS JOIN tot
+        ), mx AS (
+          SELECT MAX(num) AS max_num FROM gaps
+        ), arg AS (
+          SELECT n_a, n_b, max_num, MIN(v) AS d_at_v
+          FROM gaps CROSS JOIN mx
+          WHERE num = max_num
+          GROUP BY 1, 2, 3
+        )
+        SELECT n_a, n_b, d_at_v,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST(max_num AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * n_b) END AS d_stat,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END
+                 * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS ks_lambda
+        FROM arg
+      """)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that

@@ -797,6 +797,98 @@ object EventQueries {
                  AS conv_pct
         FROM counts
         ORDER BY stage
+      """)),
+
+    // ----------------------------------------------------------------
+    // q216: STREAMING SCD2 maintenance — Scd2Index driven from a
+    // checkpointed stream, making q192's oracle gate the SAME
+    // dimension through THREE consumers (the q44/q183 move): the
+    // one-shot build (q192), the batch-incremental replay (q209), and
+    // this stream. Each drain processes one time-split wave as ONE
+    // micro-batch (no maxFilesPerTrigger — a wave's files are
+    // partition splits, not time splits, so per-file batches would
+    // interleave times and trip the horizon guard by design); delta id
+    // = the streaming batch id, so a checkpoint replay rewrites the
+    // SAME delta idempotently and the horizon guard excludes the
+    // batch's own delta — exactly-once by construction. The stream is
+    // STARTED TWICE on one checkpoint (the q152 resume protocol): a
+    // re-processed wave 1 would stitch duplicated runs and fail the
+    // n_events columns, so the resume path itself is under the gate.
+    Q(
+      "q216_stream_scd2",
+      (s, dir) => {
+        import graft.operators.Scd2Index
+        val out = graft.Q.scratch(s, "q216_streamscd2", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").as("k"), col("event_id").as("tie"),
+            usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("attr"))
+        val mid = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long"))
+          .head().getLong(0)
+        def drain(): Unit = {
+          val q = s.readStream.schema(ev.schema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Scd2Index.appendBatch(s, b, s"$out/store", id.toInt)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q216 drain did not finish in 300 s")
+          }
+        }
+        ev.where(col("us") <= mid).repartition(2).write.parquet(s"$out/in")
+        drain()
+        ev.where(col("us") > mid).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        Scd2Index.intervals(s, s"$out/store")
+          .select(col("k").as("user_id"), col("island"),
+            col("attr").as("tier"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"), col("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, CAST(island AS BIGINT) AS island,
+                 MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us,
+                 COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id, island, tier, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 IS NULL AS is_current,
+               n_events
+        FROM runs
+        ORDER BY user_id, island
       """))
   )
 }
