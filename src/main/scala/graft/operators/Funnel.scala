@@ -39,6 +39,47 @@ object Funnel {
     }
   }
 
+  /** PROVABLY SAFE compaction of a streaming funnel's candidate log
+    * (the q210 state: distinct stage-type `(user, type, us)` rows).
+    *
+    * Funnel anchors are not additive across batches, so the exact
+    * maintained state is the stage-event log — which grows with the
+    * stream. This prune bounds it without ever changing a report,
+    * UNDER ANY FUTURE APPEND:
+    *   - stage 1: only the per-user MIN can ever anchor (min is a
+    *     fold), so exactly that row is kept;
+    *   - stage k > 1: along any qualifying chain t1 ≤ t2 ≤ … each
+    *     step adds at most `maxGapUs`, so a stage-k candidate can
+    *     qualify only at time ≤ t1 + (k−1)·gap. Appends only DECREASE
+    *     t1 (another min-fold), so the bound computed from the
+    *     CURRENT t1 is conservative forever: a row above it is dead
+    *     under every future append and is dropped. Rows at or below
+    *     the bound — including ones before the current t1 — are kept,
+    *     because a later, earlier stage-1 event can re-qualify them
+    *     (the StreamFunnelSpec counter-example).
+    *   - a user with no stage-1 event yet keeps everything: a future
+    *     first view could anchor anywhere.
+    * StreamFunnelSpec pins prune-then-append == full report on the
+    * adversarial corpus and that the prune actually drops rows. Run it
+    * as a periodic compaction job between micro-batches. */
+  def pruneCandidates(state: DataFrame, userCol: String, typeCol: String,
+      usCol: String, stages: Seq[String], maxGapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val t1 = state.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(usCol).as("__t1"))
+    val minViews = t1.select(col(userCol), lit(stages.head).as(typeCol),
+      col("__t1").as(usCol))
+    val stageK = stages.zipWithIndex.tail.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, i)) => when(col(typeCol) === name, i).otherwise(acc)
+    }
+    val later = state.filter(col(typeCol).isin(stages.tail: _*))
+      .join(t1, Seq(userCol), "left")
+      .where(col("__t1").isNull ||
+        col(usCol) <= col("__t1") + stageK.cast("long") * maxGapUs)
+      .select(col(userCol), col(typeCol), col(usCol))
+    minViews.unionByName(later)
+  }
+
   /** Funnel report: (stage, n_users, conv_pct vs stage 1), one row per
     * stage, stage labels `1_<name>`, `2_<name>`, … so they sort. */
   def report(ev: DataFrame, userCol: String, typeCol: String,

@@ -17,28 +17,31 @@ import org.apache.spark.sql.functions._
   * generated exactly once by ranking the two leaves in the SAME
   * (degree, id) order the orientation uses, so the closing edge is
   * oriented leaf₁ → leaf₂ by construction and the equi-join needs no
-  * disjunction. Returns one row: (n_nodes, n_edges, n_triangles).
+  * disjunction. [[count]] returns one row
+  * (n_nodes, n_edges, n_triangles); [[perNode]] keeps the wedge APEX
+  * through the closing join and explodes each triangle to its three
+  * corners for node-grain counts and the local clustering coefficient.
   *
   * Engine-added (no reference analog): the cohesion statistic of
   * co-occurrence graphs — co-supply, co-purchase, co-citation.
   */
 object Triangles {
 
-  def count(edges: DataFrame, u: String = "u", v: String = "v"): DataFrame = {
-    val e = edges.select(col(u).as("u"), col(v).as("v"))
+  /** (degree table, oriented edge list (src, dst, ddst)). The degree
+    * table is NODE-grain — dim-sized for co-occurrence graphs over
+    * bounded entity sets, but unbounded for arbitrary graphs (a
+    * billion-node edge list has a billion-row degree table, and a
+    * FORCED broadcast hint would bypass the threshold and OOM the
+    * build). Stats decide instead (SkewRoute.rightFitsBroadcast, the
+    * same rule the as-of/band router uses): hint only when the
+    * estimate fits spark.sql.autoBroadcastJoinThreshold, otherwise
+    * leave the join unhinted — a keyed shuffle join that AQE may still
+    * upgrade to broadcast from RUNTIME sizes. The wedge bound does not
+    * depend on how the degree annotation is joined. */
+  private def orient(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
-    // The degree table is NODE-grain — dim-sized for co-occurrence
-    // graphs over bounded entity sets, but unbounded for arbitrary
-    // graphs (a billion-node edge list has a billion-row degree table,
-    // and a FORCED broadcast hint would bypass the threshold and OOM
-    // the build). Stats decide instead (SkewRoute.rightFitsBroadcast,
-    // the same rule the as-of/band router uses): hint only when the
-    // estimate fits spark.sql.autoBroadcastJoinThreshold, otherwise
-    // leave the join unhinted — a keyed shuffle join that AQE may still
-    // upgrade to broadcast from RUNTIME sizes. The wedge bound does not
-    // depend on how the degree annotation is joined.
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (SkewRoute.rightFitsBroadcast(df)) broadcast(df) else df
     val withDeg = e
@@ -52,19 +55,50 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-    val wedges = oriented.select(col("src"), col("dst").as("a"),
-        col("ddst").as("da"))
+    (deg, oriented)
+  }
+
+  /** Closed triangles as (apex, a, b) — each exactly once, with
+    * (apex, a, b) the orientation's (degree, id) order. */
+  private def triangles(oriented: DataFrame): DataFrame =
+    oriented.select(col("src"), col("dst").as("a"), col("ddst").as("da"))
       .join(oriented.select(col("src"), col("dst").as("b"),
         col("ddst").as("db")), Seq("src"))
       .where(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
-    val nTriangles = wedges
-      .join(oriented.select("src", "dst"), Seq("src", "dst"))
+      .select(col("src").as("apex"), col("a"), col("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
+
+  def count(edges: DataFrame, u: String = "u", v: String = "v"): DataFrame = {
+    val e = edges.select(col(u).as("u"), col(v).as("v"))
+    val (deg, oriented) = orient(e)
+    val nTriangles = triangles(oriented)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
     val nEdges = e.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
     val nNodes = deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
     nNodes.crossJoin(nEdges).crossJoin(nTriangles)
       .select("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Node-grain report: (node, degree, n_triangles, clustering) —
+    * local clustering coefficient c(v) = 2·t(v)/(d(v)·(d(v)−1)), NULL
+    * for degree-1 nodes (no wedge to close). Shape: the same oriented
+    * wedge pipeline with the APEX carried through the closing join,
+    * each triangle exploded to its three corners (3 rows per triangle
+    * — output-bounded), then one node-grain aggregate left-joined onto
+    * the degree table so triangle-free nodes report 0. */
+  def perNode(edges: DataFrame, u: String = "u", v: String = "v"): DataFrame = {
+    val e = edges.select(col(u).as("u"), col(v).as("v"))
+    val (deg, oriented) = orient(e)
+    val corners = triangles(oriented)
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") > 1,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg").cast("double") * (col("deg") - 1))).as("clustering"))
   }
 }

@@ -453,6 +453,72 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q217: LOCAL CLUSTERING COEFFICIENTS over q203's thresholded
+    // co-supply graph — per supplier node, its triangle count and
+    // c(v) = 2·t(v)/(d(v)·(d(v)−1)), the node-grain cohesion report
+    // behind community detection and broker detection (low clustering
+    // at high degree = a bridge between clusters).
+    //
+    // Plan shape: the same degree-oriented wedge pipeline as q203
+    // (O(|E|^1.5) wedge volume, stats-routed degree joins) with the
+    // wedge APEX carried through the closing semi-join; each closed
+    // triangle explodes to its three corners (3 rows per triangle —
+    // output-bounded), one node-grain aggregate, one left join onto
+    // the degree table so triangle-free nodes report 0. The oracle
+    // derives the same counts from the naive ordered 3-way self-join
+    // with all three corners kept — an independent derivation. The
+    // one double expression is spelled identically (the 2.0 literal
+    // CAST to DOUBLE against DuckDB's parse-as-DECIMAL, the q207
+    // lesson); degree-1 nodes are NULL in both engines.
+    Q(
+      "q217_clustering_coefficients",
+      (s, dir) => {
+        val minSupport = 5L
+        val os = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = os.select(col("ok"), col("sk").as("u"))
+          .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .where(col("w") >= minSupport)
+          .select("u", "v")
+        graft.operators.Triangles.perNode(edges).orderBy("node")
+      },
+      Some("""
+        WITH os AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        ), e AS (
+          SELECT a.sk AS u, b.sk AS v
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ), deg AS (
+          SELECT node, COUNT(*) AS degree
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          GROUP BY 1
+        ), tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ), cnt AS (
+          SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1
+        )
+        SELECT d.node, d.degree,
+               COALESCE(cnt.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree > 1 THEN
+                 CAST(2.0 AS DOUBLE) * COALESCE(cnt.n_triangles, 0)
+                   / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+               END AS clustering
+        FROM deg d LEFT JOIN cnt USING (node)
+        ORDER BY node
+      """)),
+
+    // ----------------------------------------------------------------
     // q204: LARGEST-REMAINDER QUOTA ALLOCATION — split a 100,000-slot
     // sampling budget across document sources proportionally to corpus
     // share, with the Hamilton/Hare rounding rule: every source gets

@@ -721,7 +721,13 @@ object EventQueries {
     // funnel for ANY split (stronger than q209's time-order contract).
     // The anchor recursion (user-grain joins against the shrinking
     // anchor frame) runs on the compacted state at REPORT time, never
-    // per batch. Held to q191's DuckDB oracle VERBATIM.
+    // per batch. The log itself is BOUNDED by the provably-safe prune
+    // (Funnel.pruneCandidates): stage 1 keeps only the per-user min;
+    // stage k keeps rows at or under t1 + (k−1)·gap — t1 only
+    // decreases under appends, so dropped rows are dead under every
+    // future batch. The report here runs over the pruned state, so the
+    // compaction sits under the gate. Held to q191's DuckDB oracle
+    // VERBATIM.
     Q(
       "q210_stream_funnel",
       (s, dir) => {
@@ -758,11 +764,17 @@ object EventQueries {
         ev.where(col("event_id") % 2 === 1).repartition(2)
           .write.mode("append").parquet(s"$out/in")
         drain()
+        // report over the PRUNED candidate log — the provably-safe
+        // compaction (Funnel.pruneCandidates) that bounds the state a
+        // production deployment would otherwise grow forever; the gate
+        // certifies prune + report == the one-shot funnel
+        val gap = 7L * 24 * 3600 * 1000000L
+        val stages = Seq("view", "click", "purchase")
         graft.operators.Funnel.report(
-          s.read.parquet(s"$out/stages"),
-          "user_id", "event_type", "us",
-          Seq("view", "click", "purchase"),
-          maxGapUs = 7L * 24 * 3600 * 1000000L)
+          graft.operators.Funnel.pruneCandidates(
+            s.read.parquet(s"$out/stages"),
+            "user_id", "event_type", "us", stages, gap),
+          "user_id", "event_type", "us", stages, maxGapUs = gap)
       },
       Some("""
         WITH ev AS (

@@ -139,6 +139,39 @@ class AssocPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Triangles.perNode == brute-force corner counts; clustering formula") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 101)
+      val n = 25
+      val hub = rnd.nextInt(n).toLong
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25 || a == hub
+      } yield (a, b)).distinct
+      val eSet = edges.toSet
+      val got = graft.operators.Triangles.perNode(edges.toDF("u", "v"))
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val triangles = for {
+        (a, b) <- edges; c <- nodes
+        if c > b && eSet.contains((b, c)) && eSet.contains((a, c))
+      } yield (a, b, c)
+      val wantT = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val wantD = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      assert(got.keySet == nodes.toSet, s"seed $seed: node set")
+      nodes.foreach { v =>
+        val (d, t, c) = got(v)
+        assert(d == wantD(v) && t == wantT.getOrElse(v, 0L), s"seed $seed node $v")
+        if (d > 1) assert(c.contains(2.0 * t / (d.toDouble * (d - 1))))
+        else assert(c.isEmpty, s"degree-1 node $v must have NULL clustering")
+      }
+    }
+  }
+
   test("Triangles degree joins are stats-routed, not hint-forced") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -48,6 +48,43 @@ class StreamFunnelSpec extends AnyFunSuite {
       "candidate-log state is batching-order-independent")
   }
 
+  test("pruneCandidates: drops dead rows, never a live one — even under later appends") {
+    // gap = 50. Wave 1, user 1: view@100 makes the current t1 = 100,
+    // so the stage-2 bound is 150 and the stage-3 bound is 200. The
+    // click@151 and purchase@249 are DEAD under any future append (t1
+    // only decreases); click@30 and purchase@60 are below the current
+    // t1 but must survive — wave 2's view@5 re-qualifies them. User 2
+    // has no view yet, so nothing of theirs may be dropped.
+    val w1 = Seq(
+      (1L, "view", 100L), (1L, "click", 30L), (1L, "click", 149L),
+      (1L, "click", 151L), (1L, "purchase", 60L), (1L, "purchase", 249L),
+      (2L, "click", 999L)).toDF("u", "t", "us")
+    val w2 = Seq((1L, "view", 5L), (2L, "view", 998L)).toDF("u", "t", "us")
+    val pruned = graft.operators.Funnel.pruneCandidates(
+      w1, "u", "t", "us", stages, maxGapUs = 50L)
+    val keptRows = pruned.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(!keptRows.contains((1L, "click", 151L)) &&
+      !keptRows.contains((1L, "purchase", 249L)),
+      s"dead rows past t1 + (k-1)*gap must drop: $keptRows")
+    assert(keptRows.contains((1L, "click", 30L)) &&
+      keptRows.contains((1L, "purchase", 60L)),
+      "rows before the current t1 must survive — a later view re-qualifies them")
+    assert(keptRows.contains((2L, "click", 999L)),
+      "users without a stage-1 anchor keep everything")
+    // prune-then-append == one-shot over the full input
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Funnel.report(df, "u", "t", "us", stages, 50L)
+        .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(rep(pruned.unionByName(w2)) == rep(w1.unionByName(w2)))
+    // user 1 converts all three stages post-append (5 -> 30 -> 60)
+    assert(rep(w1.unionByName(w2))("3_purchase") == 1L)
+    // idempotence: pruning the pruned+appended state changes nothing
+    val again = graft.operators.Funnel.pruneCandidates(
+      pruned.unionByName(w2), "u", "t", "us", stages, 50L)
+    assert(rep(again) == rep(w1.unionByName(w2)))
+  }
+
   test("candidate-log state == one-shot funnel under random batch splits") {
     val rnd = new scala.util.Random(77)
     val types = Seq("view", "click", "purchase", "error")
