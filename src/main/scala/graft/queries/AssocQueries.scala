@@ -1176,6 +1176,106 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q218: SPEARMAN rank correlation between lineitem quantity and
+    // dollar-grain extended price — Pearson over midranks, completing
+    // the correlation family (q208 is Pearson on values, q213/q215 the
+    // rank tests). Monotone-but-nonlinear association that value
+    // Pearson understates is exactly what a feature-selection pass
+    // wants here.
+    //
+    // Exactness: both variables rank at DOMAIN-BOUNDED grain (quantity
+    // is integral 1..50; price floors to exact-decimal dollars), ties
+    // take the midrank, and every rank carries DOUBLED so 2·midrank =
+    // 2·cum_before + t + 1 is a pure integer. The doubled ranks join
+    // back onto the fact scan through two BROADCAST value tables
+    // (domain-bounded — never a corpus-sized window), and ONE
+    // map-combined aggregate accumulates n and the five power sums in
+    // DECIMAL(19,0)×DECIMAL(19,0) products (38 digits — both engines'
+    // multiply ceiling, the q208 discipline). The ×2 scaling cancels
+    // in ρ, whose finale is a fixed IEEE tree on correctly-rounded
+    // decimal→double casts, CASE-guarded when either variable is
+    // constant (zero variance).
+    Q(
+      "q218_spearman_rank_corr",
+      (s, dir) => {
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val li = Tables.lineitem(s, dir).select(
+          Q.dec2(col("l_quantity")).cast("long").as("x"),
+          floor(Q.dec2(col("l_extendedprice"))).cast("long").as("y"))
+        def ranks(c: String) = li.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).as("t"))
+          .withColumn("cum",
+            coalesce(sum("t").over(org.apache.spark.sql.expressions.Window
+              .orderBy("v")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+          .select(col("v").as(c), (col("cum") * 2 + col("t") + 1).as(s"r_$c"))
+        val ranked = li
+          .join(broadcast(ranks("x")), Seq("x"))
+          .join(broadcast(ranks("y")), Seq("y"))
+        val agg = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("r_x").cast(d19)).as("sx"),
+          sum(col("r_y").cast(d19)).as("sy"),
+          sum(col("r_x").cast(d19) * col("r_x").cast(d19)).as("sxx"),
+          sum(col("r_y").cast(d19) * col("r_y").cast(d19)).as("syy"),
+          sum(col("r_x").cast(d19) * col("r_y").cast(d19)).as("sxy"))
+        agg.select(col("n"),
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")).as("num"),
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")).as("den_x"),
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")).as("den_y"))
+          .select(col("n"), col("num"), col("den_x"), col("den_y"),
+            when(col("den_x") > 0 && col("den_y") > 0,
+              col("num") / sqrt(col("den_x") * col("den_y")))
+              .as("rho_spearman"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+                 CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS y
+          FROM lineitem
+        ), rx AS (
+          SELECT v AS x, CAST(cum * 2 + t + 1 AS BIGINT) AS r_x FROM (
+            SELECT x AS v, COUNT(*) AS t,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum
+            FROM li GROUP BY x)
+        ), ry AS (
+          SELECT v AS y, CAST(cum * 2 + t + 1 AS BIGINT) AS r_y FROM (
+            SELECT y AS v, COUNT(*) AS t,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum
+            FROM li GROUP BY y)
+        ), agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(r_x AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST(r_y AS DECIMAL(19,0))) AS sy,
+                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(r_y AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS sxy
+          FROM li JOIN rx USING (x) JOIN ry USING (y)
+        ), named AS (
+          SELECT n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+          FROM agg
+        )
+        SELECT n, num, den_x, den_y,
+               CASE WHEN den_x > 0 AND den_y > 0
+                 THEN num / SQRT(den_x * den_y) END AS rho_spearman
+        FROM named
+      """)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that

@@ -124,6 +124,43 @@ class AssocQueriesSpec extends AnyFunSuite {
     assert(got(0L)._1 == 3L, s"day 0 peak: $got")
   }
 
+  test("q218 Spearman == midrank re-derivation, identical op sequence") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q218_spearman_rank_corr")(spark, dir)
+      .as[(Long, Double, Double, Double, Option[Double])].collect().head
+    val li = Tables.lineitem(spark, dir)
+      .select("l_quantity", "l_extendedprice")
+      .as[(Double, Double)].collect()
+      .map { case (q, p) =>
+        (BigDecimal(q).setScale(2).toLong,
+          BigDecimal(p).setScale(2).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }
+    // doubled midranks per variable: 2*cumBefore + t + 1
+    def r2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      byV.map { case (v, t) => val r = cum * 2 + t + 1; cum += t; v -> r }.toMap
+    }
+    val rx = r2(li.map(_._1)); val ry = r2(li.map(_._2))
+    val n = li.length.toLong
+    val (sx, sy, sxx, syy, sxy) = li.foldLeft((BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((a, b, c, d, e), (x, y)) =>
+        val (u, v) = (BigInt(rx(x)), BigInt(ry(y)))
+        (a + u, b + v, c + u * u, d + v * v, e + u * v)
+    }
+    // replicate the engine's exact op sequence (decimal->double casts,
+    // then the pinned IEEE tree) so the comparison is bit-for-bit
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val denX = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val denY = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    assert(got._1 == n && got._2 == num && got._3 == denX && got._4 == denY)
+    assert(got._5.contains(num / math.sqrt(denX * denY)))
+    // sanity: the synthetic generator draws quantity and price
+    // INDEPENDENTLY (unlike TPC-H's quantity-scaled extendedprice), so
+    // the rank correlation must be near zero — and always in [-1, 1]
+    assert(math.abs(got._5.get) < 0.1, s"independent draws, got ${got._5}")
+  }
+
   test("q200 skyline == brute-force dominance filter, twins kept") {
     import spark.implicits._
     val got = SparkEntry.queries("q200_pareto_skyline")(spark, dir)
