@@ -69,6 +69,48 @@ object ConnectedComponents {
     labels
   }
 
+  /** INCREMENTAL maintenance — CC(E_old ∪ E_new) from the OLD LABELS
+    * and the new edges alone, never re-touching the accumulated edge
+    * set. Sound because component merging is monotone under appends
+    * (components only merge, never split) and label = MIN reachable
+    * id: condense each new edge's endpoints through the old labels
+    * (an unseen endpoint keeps itself), run [[components]] on the
+    * CONDENSED graph — batch-sized + touched components, with any
+    * within-component edge collapsing to a self-loop — and the
+    * condensed label of an old component c is exactly the min id of
+    * every old cluster merged into it (c is itself the min id of its
+    * own cluster). Old nodes remap comp → condensed comp (untouched
+    * components keep their label without ever being read); brand-new
+    * nodes take their condensed label directly. Iteration cost per
+    * batch is the condensed graph's diameter, not the full graph's.
+    * Order-independence of merging means NO append-order contract —
+    * any partition of the edge stream folds to the one-shot labels
+    * (ConnectedComponentsPropertySpec pins random splits; q219 is
+    * gated by q62's oracle verbatim).
+    *
+    * @param labels   (id, comp) from the previous fold ([[components]]
+    *                 or an earlier [[maintain]])
+    * @param newPairs the new batch's undirected edges (two columns)
+    * @return (id, comp) over all nodes seen so far */
+  def maintain(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val e = newPairs.toDF("a", "b")
+    val condensed = e
+      .join(labels.select(col("id").as("a"), col("comp").as("ca")),
+        Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("comp").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    val cond = components(condensed)
+    val remapped = labels
+      .join(cond.select(col("id").as("comp"), col("comp").as("newc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    // condensed nodes not present in the old labels are brand-new ids
+    val fresh = cond.join(labels.select("id"), Seq("id"), "left_anti")
+    remapped.unionByName(fresh.select("id", "comp"))
+  }
+
   /** Duplicate groups from a near-dup pair list: every id mapped to its
     * group's keeper (the smallest id), one row per non-keeper — the
     * "rows to drop" list of a dedup job. */

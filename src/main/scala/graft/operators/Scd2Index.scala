@@ -76,9 +76,8 @@ object Scd2Index {
       .filterNot { case (isBase, id, _) => !isBase && id == ownBatch }
     if (live.isEmpty) None
     else {
-      val fromSidecars = live.map { case (isBase, _, d) =>
-        if (isBase) None
-        else store.readSidecar(d, horizonSidecar)
+      val fromSidecars = live.map { case (_, _, d) =>
+        store.readSidecar(d, horizonSidecar)
           .filter(_.length == 8)
           .map(java.nio.ByteBuffer.wrap(_).getLong)
       }
@@ -129,9 +128,23 @@ object Scd2Index {
   }
 
   /** Fold the fragment deltas into one stitched base (atomic commit);
-    * the read path is unchanged — stitching is idempotent. */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit =
-    DeltaStore(root, buckets).compact(spark, runSchema, col("k"), stitch)
+    * the read path is unchanged — stitching is idempotent. The fresh
+    * base gets its own horizon sidecar (one aggregate, here at
+    * compact time rather than on every later append), so the guard's
+    * sidecar fast path stays complete after compaction. Advisory as
+    * always: a crash between commit and sidecar degrades the next
+    * append to the state-aggregate fallback, never to wrongness. */
+  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
+    val store = DeltaStore(root, buckets)
+    store.compact(spark, runSchema, col("k"), stitch)
+    val row = store.read(spark, runSchema, None).agg(max("last_us")).head()
+    if (!row.isNullAt(0))
+      store.live(None).collectFirst { case (true, _, d) => d }.foreach { d =>
+        java.nio.file.Files.write(
+          new java.io.File(d, horizonSidecar).toPath,
+          java.nio.ByteBuffer.allocate(8).putLong(row.getLong(0)).array())
+      }
+  }
 
   /** The maintained dimension: stitched runs numbered per key in time
     * order, half-open validity closed by the next run's start —

@@ -453,6 +453,76 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q220: STREAMING skyline maintenance — q214's fold deployed at
+    // the ingestion edge under the q152 two-wave checkpoint-resume
+    // protocol, making q200's oracle gate the SAME frontier through
+    // three consumers (the q192/q209/q216 move): one-shot (q200),
+    // batch-incremental (q214), and this stream. Each micro-batch
+    // folds frontier ∪ batch through the skyline operator (the
+    // skyline(A∪B) = skyline(skyline(A)∪B) identity — frontier-sized
+    // + batch-sized, never the accumulated corpus) and writes a
+    // VERSIONED state dir keyed by the STREAMING batch id; a batch
+    // reads the newest state BELOW its own id, so a checkpoint replay
+    // recomputes from the same predecessor and overwrites its own
+    // version — deterministic under the replay contract. The stream
+    // is started twice on one checkpoint; the report reads the final
+    // version.
+    Q(
+      "q220_stream_skyline",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q220_streamsky", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val parts = Tables.part(s, dir)
+          .select("p_partkey", "p_retailprice", "p_size")
+        def latestBelow(id: Long): Option[String] =
+          Option(new java.io.File(s"$out/sky").listFiles()).toSeq.flatten
+            .map(_.getName).filter(_.startsWith("state="))
+            .map(_.stripPrefix("state=").toLong).filter(_ < id)
+            .maxOption.map(k => s"$out/sky/state=$k")
+        def drain(): Unit = {
+          val q = s.readStream.schema(parts.schema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val prev = latestBelow(id)
+                .map(s.read.parquet(_)).getOrElse(b.limit(0))
+              graft.operators.Skyline
+                .skyline2d(prev.unionByName(b), "p_retailprice", "p_size")
+                .write.mode("overwrite").parquet(s"$out/sky/state=$id")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q220 drain did not finish in 300 s")
+          }
+        }
+        parts.where(col("p_partkey") % 2 === 0).repartition(2)
+          .write.parquet(s"$out/in")
+        drain()
+        parts.where(col("p_partkey") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        s.read.parquet(latestBelow(Long.MaxValue).get)
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
+      """)),
+
+    // ----------------------------------------------------------------
     // q217: LOCAL CLUSTERING COEFFICIENTS over q203's thresholded
     // co-supply graph — per supplier node, its triangle count and
     // c(v) = 2·t(v)/(d(v)·(d(v)−1)), the node-grain cohesion report

@@ -1051,6 +1051,71 @@ object SimilarityQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q219: INCREMENTAL connected components — q62's duplicate groups
+    // maintained under APPENDED near-dup edges, the maintenance move
+    // (q209/q214) applied to the dedup-grouping step a production
+    // pipeline re-runs every ingest. Sound because component merging
+    // is MONOTONE under appends (components only merge, never split)
+    // and labels are min-reachable ids: each wave condenses its new
+    // edges through the stored labels and runs label propagation on
+    // the CONDENSED graph — batch-sized + touched components, never
+    // the accumulated edge set, with per-batch iteration cost the
+    // condensed diameter rather than the full graph's. Merging is
+    // order-independent, so there is NO append-order contract (waves
+    // split by a hash of the pair — deliberately arbitrary). State is
+    // the node-grain label table, rewritten per wave. Held to q62's
+    // recursive-closure oracle VERBATIM; the fold identity is
+    // additionally property-pinned across random splits in
+    // ConnectedComponentsPropertySpec.
+    Q(
+      "q219_dedup_components_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q219_ccidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val names = blockedNames(s, dir)
+        val pairs = names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        val waves = (0 until 3).map(w =>
+          pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(3)) === w))
+        waves.zipWithIndex.foreach { case (w, i) =>
+          val next =
+            if (i == 0) ConnectedComponents.components(w)
+            else ConnectedComponents.maintain(
+              s.read.parquet(s"$root/state=${i - 1}"), w)
+          next.write.parquet(s"$root/state=$i")
+        }
+        s.read.parquet(s"$root/state=${waves.length - 1}")
+          .select(col("id").as("name"), col("comp").as("component"))
+          .orderBy("name")
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= 64),
+        p AS (
+          SELECT a.p_name AS x, b.p_name AS y
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+                              AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT id AS name, MIN(r) AS component
+        FROM reach GROUP BY id ORDER BY name
+      """)),
+
+    // ----------------------------------------------------------------
     // q63: the SAME dedup-component problem solved by alternating
     // large-star/small-star contraction
     // ([[graft.operators.ConnectedComponents.componentsStar]]) — O(log^2 n)

@@ -52,4 +52,26 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
       assert(viaStar == expect, s"star contraction diverged on seed $seed")
     }
   }
+
+  test("incremental maintain == one-shot under ARBITRARY edge splits") {
+    // component merging is order-independent, so any partition of the
+    // edge stream must fold to the one-shot labels — including splits
+    // where a later wave BRIDGES two previously-separate components
+    // and where a wave's edges fall entirely inside one old component
+    for (seed <- Seq(11, 88, 2026)) {
+      val edges = randomGraph(seed)
+      val expect = unionFind(edges)
+      val rnd = new scala.util.Random(seed * 7)
+      val tagged = edges.map(e => (e, rnd.nextInt(4)))
+      val folded = (0 until 4).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (state, w) =>
+          val wave = tagged.filter(_._2 == w).map(_._1).toDF("a", "b")
+          Some(state match {
+            case None => ConnectedComponents.components(wave, maxIter = 40)
+            case Some(labels) => ConnectedComponents.maintain(labels, wave)
+          })
+      }.get.as[(Long, Long)].collect().toMap
+      assert(folded == expect, s"seed $seed: incremental fold diverged")
+    }
+  }
 }
