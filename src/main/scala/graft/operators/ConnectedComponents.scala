@@ -59,12 +59,16 @@ object ConnectedComponents {
       converged = !changed
       i += 1
     }
+    // Partial labels would hand the caller a dedup plan that merges too
+    // little — and [[maintain]] builds every LATER fold on top of the
+    // returned labels, so one truncated fold would silently corrupt all
+    // subsequent incremental state. Non-convergence must be an ERROR,
+    // not a warning the caller can miss.
     if (!converged)
-      // Silently returning partial labels would hand the caller a dedup
-      // plan that merges too little; make the truncation loud.
-      System.err.println(
-        s"[graft] ConnectedComponents: maxIter=$maxIter reached before convergence; " +
-          "labels are NOT final (cluster diameter exceeds maxIter)")
+      throw new IllegalStateException(
+        s"ConnectedComponents: maxIter=$maxIter reached before convergence; " +
+          "labels are NOT final (cluster diameter exceeds maxIter) — raise " +
+          "maxIter or use componentsStar (O(log^2 n) rounds on any graph)")
     edges.unpersist(false)
     labels
   }
@@ -92,7 +96,8 @@ object ConnectedComponents {
     *                 or an earlier [[maintain]])
     * @param newPairs the new batch's undirected edges (two columns)
     * @return (id, comp) over all nodes seen so far */
-  def maintain(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+  def maintain(labels: DataFrame, newPairs: DataFrame,
+               maxIter: Int = 20): DataFrame = {
     val e = newPairs.toDF("a", "b")
     val condensed = e
       .join(labels.select(col("id").as("a"), col("comp").as("ca")),
@@ -101,7 +106,9 @@ object ConnectedComponents {
         Seq("b"), "left")
       .select(coalesce(col("ca"), col("a")).as("a"),
         coalesce(col("cb"), col("b")).as("b"))
-    val cond = components(condensed)
+    // components() THROWS on non-convergence (never returns partial
+    // labels), so a truncated fold can't poison later incremental state
+    val cond = components(condensed, maxIter)
     val remapped = labels
       .join(cond.select(col("id").as("comp"), col("comp").as("newc")),
         Seq("comp"), "left")
@@ -184,9 +191,9 @@ object ConnectedComponents {
       i += 1
     }
     if (!converged)
-      System.err.println(
-        s"[graft] componentsStar: maxIter=$maxIter reached before convergence; " +
-          "labels are NOT final")
+      throw new IllegalStateException(
+        s"componentsStar: maxIter=$maxIter reached before convergence; " +
+          "labels are NOT final — raise maxIter")
     // stars: every non-root points at its root; roots label themselves
     val nodes = e0.select(col("a").as("id")).unionByName(e0.select(col("b").as("id"))).distinct()
     nodes.join(edges.select(col("hi").as("id"), col("lo")), Seq("id"), "left")

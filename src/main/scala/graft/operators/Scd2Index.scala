@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * the corpus ever being re-windowed.
   *
   * State: one [[DeltaStore]] table of RUN FRAGMENTS
-  * `(k, attr, from_us, last_us, n_events)` — a batch's
-  * gaps-and-islands output, carrying each run's last event time. The
+  * `(k, attr, from_us, last_us, n_events, tie)` — a batch's
+  * gaps-and-islands output, carrying each run's last event time and
+  * the tiebreak of its FIRST event (the (from_us, tie) sort key that
+  * keeps stitching deterministic under duplicate timestamps). The
   * stitch fold (merge adjacent equal-attr fragments per key) is
   * associative over time-ordered fragments and idempotent, so it
   * serves as both the read-side merge and the [[compact]] fold, and
@@ -42,17 +44,26 @@ import org.apache.spark.sql.types._
   */
 object Scd2Index {
 
+  // `tie` = the tiebreak of the run's FIRST event (in (us, tie) order).
+  // Duplicate (k, us) timestamps can put two fragments of one key on the
+  // SAME from_us (a run boundary between two same-microsecond events),
+  // so every stitch/interval window orders by (from_us, tie) — ordering
+  // by from_us alone would be nondeterministic there and could diverge
+  // from the (us, tie)-ordered one-shot [[Scd2.intervals]]. The START
+  // event's tie (min_by over (us, tie)) is the only safe representative:
+  // a plain min(tie) over the run could pick a LATER event's tie and
+  // sort a run before a (from_us)-peer that actually precedes it.
   private val runSchema = StructType(Seq(
     StructField("k", LongType), StructField("attr", IntegerType),
     StructField("from_us", LongType), StructField("last_us", LongType),
-    StructField("n_events", LongType)))
+    StructField("n_events", LongType), StructField("tie", LongType)))
 
   private val horizonSidecar = "scd2_horizon"
 
   /** Merge adjacent equal-attr fragments per key — the stitch fold.
     * Input and output both carry [[runSchema]]'s columns. */
   private def stitch(frags: DataFrame): DataFrame = {
-    val byKey = Window.partitionBy("k").orderBy("from_us")
+    val byKey = Window.partitionBy("k").orderBy("from_us", "tie")
     frags
       .withColumn("chg",
         when(lag("attr", 1).over(byKey).isNull ||
@@ -61,8 +72,9 @@ object Scd2Index {
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("k"), col("island"))
       .agg(min("attr").as("attr"), min("from_us").as("from_us"),
-        max("last_us").as("last_us"), sum("n_events").as("n_events"))
-      .select("k", "attr", "from_us", "last_us", "n_events")
+        max("last_us").as("last_us"), sum("n_events").as("n_events"),
+        min_by(col("tie"), struct(col("from_us"), col("tie"))).as("tie"))
+      .select("k", "attr", "from_us", "last_us", "n_events", "tie")
   }
 
   /** Stored horizon (max event time across all live state, excluding
@@ -118,8 +130,9 @@ object Scd2Index {
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("k"), col("island"))
       .agg(min("attr").as("attr"), min("us").as("from_us"),
-        max("us").as("last_us"), count(lit(1)).cast(LongType).as("n_events"))
-      .select("k", "attr", "from_us", "last_us", "n_events")
+        max("us").as("last_us"), count(lit(1)).cast(LongType).as("n_events"),
+        min_by(col("tie"), struct(col("us"), col("tie"))).as("tie"))
+      .select("k", "attr", "from_us", "last_us", "n_events", "tie")
       .withColumn("gbucket", store.gb(col("k")))
     store.append(frags, batchId, within = Seq(col("k"), col("from_us")))
     if (!isEmpty)
@@ -157,7 +170,7 @@ object Scd2Index {
     val byKey = Window.partitionBy("k")
     runs
       .withColumn("island",
-        row_number().over(byKey.orderBy("from_us")).cast(LongType))
+        row_number().over(byKey.orderBy("from_us", "tie")).cast(LongType))
       .withColumn("valid_to_us",
         lead("from_us", 1).over(byKey.orderBy("island")))
       .withColumn("is_current", col("valid_to_us").isNull)

@@ -116,12 +116,20 @@ object SkewRoute {
     * what the replication budget affords. A result < 2 means even the
     * minimum useful salt costs more than the straggler it removes;
     * callers fall back to the plain co-partitioned sort-merge.
-    * Missing stats (size ≤ 0 on either side) trust the caller. */
+    *
+    * Missing stats are asymmetric: an UNKNOWN RIGHT is the dangerous
+    * case — the salt replicates the right, so sizing its fan-out with
+    * no estimate is an unguarded `requested`× blow-up exactly when the
+    * optimizer knows least — so it returns 1 (= plain SMJ; the
+    * straggler is bounded, the replication is not). An unknown LEFT
+    * with a known right only loses the budget ratio, and the plain
+    * SMJ already pays |left| anyway, so it stays permissive. */
   def guardedBuckets(left: DataFrame, right: DataFrame,
                      requested: Int, maxReplication: Double): Int = {
     val l = left.queryExecution.optimizedPlan.stats.sizeInBytes
     val r = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (l <= 0 || r <= 0) requested
+    if (r <= 0) 1
+    else if (l <= 0) requested
     else {
       val cap = (BigDecimal(l) * maxReplication / BigDecimal(r))
         .setScale(0, BigDecimal.RoundingMode.FLOOR)

@@ -97,7 +97,10 @@ object Skyline {
     require(cols.contains(minCol) && cols.contains(maxCol),
       s"skyline2d: columns ($minCol, $maxCol) must exist in ${cols.mkString(",")}")
     val b = "__sky_bucket"
-    // null objectives are excluded by contract (see the class doc)
+    // null objectives are excluded by contract (see the class doc); the
+    // q200/q214/q220 oracles carry matching IS NOT NULL predicates so the
+    // contract holds on nullable inputs, not just NOT NULL TPC-H columns
+
     val p = df.where(col(minCol).isNotNull && col(maxCol).isNotNull)
       .withColumn(b, floor(col(minCol) / bucketWidth).cast("long"))
     val thr = p.groupBy(b).agg(max(maxCol).as("__sky_bmax"))

@@ -81,6 +81,91 @@ object Triangles {
       .select("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** INCREMENTAL maintenance: the triangle-count DELTA from appending
+    * `newEdges` to `oldEdges` — the number of triangles in old ∪ new
+    * with AT LEAST ONE new edge, so
+    * `count(old ∪ new) = count(old) + countDelta(old, new)` and a
+    * maintained total folds additively across waves (q224 holds the
+    * fold to q203's oracle verbatim).
+    *
+    * PRECONDITION: `newEdges` is disjoint from `oldEdges` (both
+    * canonical u < v, one row per edge) — a duplicated edge would
+    * recount its old triangles.
+    *
+    * Why this is sound under degree drift: degrees (and thus the
+    * (degree, id) orientation) change as edges append, but a
+    * triangle's membership in the delta is decided by EDGE AGE alone —
+    * orientation only DEDUPES wedge generation within this fold, and
+    * any orientation counts each triangle exactly once. So the fold
+    * re-annotates degrees over old ∪ new (one O(|E|) aggregate — linear
+    * bookkeeping, cheap next to wedge volume) and never re-counts old
+    * wedge pairs.
+    *
+    * Delta triangles by their canonical (apex, a, b) decomposition,
+    * partitioned into the disjoint cases:
+    *   - ≥1 NEW WEDGE EDGE: wedges from (new a-leaf × any b-leaf) ∪
+    *     (old a-leaf × new b-leaf) at the apex key — the a-slot age
+    *     makes the union disjoint and covers both-new exactly once —
+    *     closed by a semi-join against ALL oriented edges. Volume ≤
+    *     |Δ| · √(2|E|) (the orientation bound, batch-scaled).
+    *   - BOTH WEDGE EDGES OLD, CLOSING NEW: for each new oriented edge
+    *     (a, b) — whose own orientation IS the canonical leaf order —
+    *     apexes with old out-edges to both a and b, via two keyed
+    *     joins against the old adjacency (O(|Δ| · avg-in-degree)
+    *     intermediate; in-neighborhoods of thresholded co-occurrence
+    *     graphs are support-bounded).
+    *   - both wedge edges old, closing old: an OLD triangle — not in
+    *     the delta by definition.
+    *
+    * @return one row, `n_new_triangles` LONG */
+  def countDelta(oldEdges: DataFrame, newEdges: DataFrame,
+                 u: String = "u", v: String = "v"): DataFrame = {
+    val all = oldEdges.select(col(u).as("u"), col(v).as("v"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newEdges.select(col(u).as("u"), col(v).as("v"))
+        .withColumn("is_new", lit(true)))
+    val deg = all.select(col("u").as("node"))
+      .unionAll(all.select(col("v").as("node")))
+      .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (SkewRoute.rightFitsBroadcast(df)) broadcast(df) else df
+    val withDeg = all
+      .join(maybeBroadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+        Seq("u"))
+      .join(maybeBroadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+        Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // reused six times below; materialize once and cut lineage
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"),
+      col("is_new")).localCheckpoint()
+    val oNew = oriented.where(col("is_new"))
+    val oOld = oriented.where(!col("is_new"))
+    def leafA(df: DataFrame) = df.select(col("src"),
+      col("dst").as("a"), col("ddst").as("da"))
+    def leafB(df: DataFrame) = df.select(col("src"),
+      col("dst").as("b"), col("ddst").as("db"))
+    val canon = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val wedgeEdgeNew = leafA(oNew).join(leafB(oriented), Seq("src"))
+      .where(canon)
+      .unionByName(leafA(oOld).join(leafB(oNew), Seq("src")).where(canon))
+    val closedAny = wedgeEdgeNew.select("src", "a", "b")
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
+    val closedNew = oNew.select(col("src").as("a"), col("dst").as("b"))
+      .join(oOld.select(col("dst").as("a"), col("src").as("w")), Seq("a"))
+      .join(oOld.select(col("dst").as("b"), col("src").as("w")),
+        Seq("b", "w"), "left_semi")
+    closedAny.agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .unionByName(
+        closedNew.agg(org.apache.spark.sql.functions.count(lit(1)).as("n")))
+      .agg(sum("n").as("n_new_triangles"))
+  }
+
   /** Node-grain report: (node, degree, n_triangles, clustering) —
     * local clustering coefficient c(v) = 2·t(v)/(d(v)·(d(v)−1)), NULL
     * for degree-1 nodes (no wedge to close). Shape: the same oriented

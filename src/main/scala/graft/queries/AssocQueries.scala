@@ -247,7 +247,8 @@ object AssocQueries {
       Some("""
         SELECT p_partkey, p_retailprice, p_size
         FROM part p
-        WHERE NOT EXISTS (
+        WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+          AND NOT EXISTS (
           SELECT 1 FROM part q
           WHERE q.p_retailprice <= p.p_retailprice
             AND q.p_size >= p.p_size
@@ -453,6 +454,81 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q224: INCREMENTAL TRIANGLE maintenance — q203's count kept up to
+    // date under APPENDED edges, the maintenance move applied to the
+    // graph-statistics tier: each wave counts ONLY triangles with ≥1
+    // new edge (Triangles.countDelta — new-wedge-edge cases closed
+    // against all edges, plus both-old wedges closed by a new edge via
+    // wedge closure against the stored adjacency; degrees re-annotated
+    // per fold, but classification is by EDGE AGE, so the total folds
+    // additively under any orientation drift). Wedge volume per wave
+    // is batch-scaled (|Δ|·√(2|E|)), never the full O(|E|^1.5)
+    // recount. Edge waves split by hash — disjoint by construction
+    // (countDelta's precondition) and order-free (triangle membership
+    // is append-order-independent). State is the edge list itself,
+    // appended O(batch) per wave and never rewritten; node/edge counts
+    // re-aggregate from it at report time. Held to q203's naive
+    // 3-way-self-join oracle VERBATIM; AssocPropertySpec pins the fold
+    // against one-shot counts across random splits.
+    Q(
+      "q224_triangle_count_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q224_triidx", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val minSupport = 5L
+        val os = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = os.select(col("ok"), col("sk").as("u"))
+          .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .where(col("w") >= minSupport)
+          .select("u", "v")
+        val waves = (0 until 3).map(w =>
+          edges.where(pmod(hash(col("u"), col("v")), lit(3)) === w))
+        var total = 0L
+        waves.zipWithIndex.foreach { case (w, i) =>
+          val old =
+            if (i == 0) w.limit(0)
+            else s.read.parquet(s"$root/edges").select("u", "v")
+          total += graft.operators.Triangles.countDelta(old, w)
+            .head().getLong(0)
+          w.write.parquet(s"$root/edges/wave=$i")
+        }
+        val acc = s.read.parquet(s"$root/edges").select("u", "v")
+        val nNodes = acc.select(col("u").as("node"))
+          .unionByName(acc.select(col("v").as("node"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        val nEdges = acc.agg(count(lit(1)).as("n_edges"))
+        nNodes.crossJoin(nEdges)
+          .select(col("n_nodes"), col("n_edges"),
+            lit(total).as("n_triangles"))
+      },
+      Some("""
+        WITH os AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        ), e AS (
+          SELECT a.sk AS u, b.sk AS v
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ), nodes AS (
+          SELECT u AS node FROM e UNION SELECT v FROM e
+        )
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*)
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                 AS n_triangles
+      """)),
+
+    // ----------------------------------------------------------------
     // q220: STREAMING skyline maintenance — q214's fold deployed at
     // the ingestion edge under the q152 two-wave checkpoint-resume
     // protocol, making q200's oracle gate the SAME frontier through
@@ -514,7 +590,8 @@ object AssocQueries {
       Some("""
         SELECT p_partkey, p_retailprice, p_size
         FROM part p
-        WHERE NOT EXISTS (
+        WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+          AND NOT EXISTS (
           SELECT 1 FROM part q
           WHERE q.p_retailprice <= p.p_retailprice
             AND q.p_size >= p.p_size
@@ -1346,6 +1423,105 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q223: KENDALL TAU-B — completes the rank-correlation family
+    // (q208 Pearson matrix, q218 Spearman): concordant/discordant pair
+    // counts with the tie correction, over quantity × price-in-whole-
+    // thousands. The BOUNDED-DOMAIN recipe (q213/q218): both variables
+    // quantize to small value domains (quantity ≤ 50 values, price
+    // thousands ~100), so the (x, y) CELL table — one count per
+    // observed value pair — is dim-sized and FIXED as the corpus
+    // grows; C and D are cell-PAIR sums over a broadcast nested-loop
+    // join of the cell table with itself (≤ |cells|² predicate
+    // evaluations, O(1) w.r.t. corpus scale), never a row-pair join
+    // (n² row pairs is the textbook formula and a non-starter at any
+    // scale). Arithmetic is exact end-to-end: counts as DECIMAL(18,0),
+    // cell products DECIMAL(37,0) (a BIGINT product wraps at corpus
+    // scale — the q189/q205 lesson), and the tie-corrected identity is
+    // used in its 2×-scaled integer form
+    //   tau_b = 2(C−D) / sqrt((n(n−1) − Σtx(tx−1)) (n(n−1) − Σty(ty−1)))
+    // so no exact value is ever halved; the one double op per output
+    // is the final cast/sqrt, spelled identically in the oracle.
+    // Degenerate (all-tied) margins yield NULL via the same CASE in
+    // both engines.
+    Q(
+      "q223_kendall_tau_b",
+      (s, dir) => {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val li = Tables.lineitem(s, dir)
+          .select(Q.dec2(col("l_quantity")).cast("long").as("x"),
+            (Q.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .selectExpr("x", "cents div 100000 AS y")
+        val cells = li.groupBy("x", "y")
+          .agg(count(lit(1)).cast(d18).as("t"))
+        val c1 = cells.select(col("x").as("x1"), col("y").as("y1"),
+          col("t").as("t1"))
+        val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+          col("t").as("t2"))
+        val conc = c1.join(broadcast(c2),
+            col("x1") < col("x2") && col("y1") < col("y2"))
+          .agg(sum(col("t1") * col("t2")).as("c"))
+        val disc = c1.join(broadcast(c2),
+            col("x1") < col("x2") && col("y1") > col("y2"))
+          .agg(sum(col("t1") * col("t2")).as("d"))
+        val mx = cells.groupBy("x").agg(sum("t").cast(d18).as("tx"))
+          .agg(sum(col("tx") * (col("tx") - 1)).as("t1s"))
+        val my = cells.groupBy("y").agg(sum("t").cast(d18).as("ty"))
+          .agg(sum(col("ty") * (col("ty") - 1)).as("t2s"))
+        val nn = cells.agg(sum("t").cast(d18).as("n"))
+        nn.crossJoin(conc).crossJoin(disc).crossJoin(mx).crossJoin(my)
+          .select(col("n").cast("long").as("n"),
+            col("c").cast("double").as("conc"),
+            col("d").cast("double").as("disc"),
+            (lit(2) * (col("c") - col("d"))).cast("double").as("num"),
+            (col("n") * (col("n") - 1) - col("t1s")).cast("double")
+              .as("den_x"),
+            (col("n") * (col("n") - 1) - col("t2s")).cast("double")
+              .as("den_y"))
+          .select(col("n"), col("conc"), col("disc"), col("num"),
+            col("den_x"), col("den_y"),
+            when(col("den_x") > 0 && col("den_y") > 0,
+              col("num") / sqrt(col("den_x") * col("den_y")))
+              .as("tau_b"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100000 AS y
+          FROM lineitem
+        ), cells AS (
+          SELECT x, y, CAST(COUNT(*) AS DECIMAL(18,0)) AS t
+          FROM li GROUP BY 1, 2
+        ), conc AS (
+          SELECT SUM(c1.t * c2.t) AS c
+          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y < c2.y
+        ), disc AS (
+          SELECT SUM(c1.t * c2.t) AS d
+          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y > c2.y
+        ), mx AS (
+          SELECT SUM(tx * (tx - 1)) AS t1s FROM (
+            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS tx FROM cells GROUP BY x)
+        ), my AS (
+          SELECT SUM(ty * (ty - 1)) AS t2s FROM (
+            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS ty FROM cells GROUP BY y)
+        ), nn AS (
+          SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS n FROM cells
+        ), named AS (
+          SELECT CAST(n AS BIGINT) AS n,
+                 CAST(c AS DOUBLE) AS conc,
+                 CAST(d AS DOUBLE) AS disc,
+                 CAST(2 * (c - d) AS DOUBLE) AS num,
+                 CAST(n * (n - 1) - t1s AS DOUBLE) AS den_x,
+                 CAST(n * (n - 1) - t2s AS DOUBLE) AS den_y
+          FROM nn, conc, disc, mx, my
+        )
+        SELECT n, conc, disc, num, den_x, den_y,
+               CASE WHEN den_x > 0 AND den_y > 0
+                 THEN num / SQRT(den_x * den_y) END AS tau_b
+        FROM named
+      """)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that
@@ -1393,7 +1569,8 @@ object AssocQueries {
       Some("""
         SELECT p_partkey, p_retailprice, p_size
         FROM part p
-        WHERE NOT EXISTS (
+        WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+          AND NOT EXISTS (
           SELECT 1 FROM part q
           WHERE q.p_retailprice <= p.p_retailprice
             AND q.p_size >= p.p_size

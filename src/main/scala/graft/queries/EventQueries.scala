@@ -713,21 +713,27 @@ object EventQueries {
     // no fold of per-batch anchor frames reconstructs the true anchors
     // (StreamFunnelSpec constructs exactly this case and shows the
     // naive fold wrong). The minimal state that IS order-independent
-    // is the set of stage-type events: each micro-batch appends its
-    // (user, type, us) stage rows once — an O(batch) filter+project,
-    // no shuffle, type predicate pushed into the batch scan — and set
+    // is the set of stage-type events: each micro-batch contributes
+    // its (user, type, us) stage rows (an O(batch) filter+project,
+    // type predicate pushed into the batch scan), and set
     // union is independent of how the stream was batched, so the
     // report over the maintained state equals the one-shot batch
     // funnel for ANY split (stronger than q209's time-order contract).
     // The anchor recursion (user-grain joins against the shrinking
     // anchor frame) runs on the compacted state at REPORT time, never
-    // per batch. The log itself is BOUNDED by the provably-safe prune
-    // (Funnel.pruneCandidates): stage 1 keeps only the per-user min;
-    // stage k keeps rows at or under t1 + (k−1)·gap — t1 only
-    // decreases under appends, so dropped rows are dead under every
-    // future batch. The report here runs over the pruned state, so the
-    // compaction sits under the gate. Held to q191's DuckDB oracle
-    // VERBATIM.
+    // per batch. The log is BOUNDED WHILE THE STREAM RUNS: every
+    // micro-batch folds prior state ∪ its stage rows through the
+    // provably-safe prune (Funnel.pruneCandidates — stage 1 keeps only
+    // the per-user min; stage k keeps rows at or under t1 + (k−1)·gap,
+    // and t1 only decreases under appends, so dropped rows are dead
+    // under every future batch; pruning pruned state is therefore a
+    // legal fold, StreamFunnelSpec pins it per batch). State is a
+    // VERSIONED dir keyed by the streaming batch id — a batch reads
+    // the newest state below its own id and overwrites its own
+    // version, so a checkpoint replay recomputes from the same
+    // predecessor (the q220 idempotence pattern). The in-loop
+    // compaction sits under the gate: the report reads the final
+    // pruned state. Held to q191's DuckDB oracle VERBATIM.
     Q(
       "q210_stream_funnel",
       (s, dir) => {
@@ -737,20 +743,32 @@ object EventQueries {
           f.delete()
         }
         rm(new java.io.File(out))
+        val gap = 7L * 24 * 3600 * 1000000L
+        val stages = Seq("view", "click", "purchase")
         val ev = Tables.df(s, dir, "events")
           .selectExpr("event_id", "user_id",
             s"${Tables.eventsTsMicrosSql(s, dir)} as us", "event_type")
+        def latestBelow(id: Long): Option[String] =
+          Option(new java.io.File(s"$out/state").listFiles()).toSeq.flatten
+            .map(_.getName).filter(_.startsWith("state="))
+            .map(_.stripPrefix("state=").toLong).filter(_ < id)
+            .maxOption.map(k => s"$out/state/state=$k")
         def drain(): Unit = {
           val q = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
             .writeStream
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.where(col("event_type")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val rows = b.where(col("event_type")
                   .isin("view", "click", "purchase"))
                 .select("user_id", "event_type", "us")
-                .write.mode("append").parquet(s"$out/stages")
+              val prev = latestBelow(id)
+                .map(s.read.parquet(_)).getOrElse(rows.limit(0))
+              graft.operators.Funnel.pruneCandidates(
+                  prev.unionByName(rows),
+                  "user_id", "event_type", "us", stages, gap)
+                .write.mode("overwrite").parquet(s"$out/state/state=$id")
             }
             .start()
           if (!q.awaitTermination(300000)) {
@@ -764,16 +782,10 @@ object EventQueries {
         ev.where(col("event_id") % 2 === 1).repartition(2)
           .write.mode("append").parquet(s"$out/in")
         drain()
-        // report over the PRUNED candidate log — the provably-safe
-        // compaction (Funnel.pruneCandidates) that bounds the state a
-        // production deployment would otherwise grow forever; the gate
-        // certifies prune + report == the one-shot funnel
-        val gap = 7L * 24 * 3600 * 1000000L
-        val stages = Seq("view", "click", "purchase")
+        // report over the final in-loop-pruned state — the gate
+        // certifies per-batch prune folds + report == one-shot funnel
         graft.operators.Funnel.report(
-          graft.operators.Funnel.pruneCandidates(
-            s.read.parquet(s"$out/stages"),
-            "user_id", "event_type", "us", stages, gap),
+          s.read.parquet(latestBelow(Long.MaxValue).get),
           "user_id", "event_type", "us", stages, maxGapUs = gap)
       },
       Some("""
@@ -863,6 +875,125 @@ object EventQueries {
           .write.mode("append").parquet(s"$out/in")
         drain()
         Scd2Index.intervals(s, s"$out/store")
+          .select(col("k").as("user_id"), col("island"),
+            col("attr").as("tier"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"), col("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(FLOOR(value / 100.0) AS INT) AS tier
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), islands AS (
+          SELECT user_id, us, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ), runs AS (
+          SELECT user_id, CAST(island AS BIGINT) AS island,
+                 MIN(tier) AS tier,
+                 MIN(us) AS valid_from_us,
+                 COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id, island, tier, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+                 IS NULL AS is_current,
+               n_events
+        FROM runs
+        ORDER BY user_id, island
+      """)),
+
+    // ----------------------------------------------------------------
+    // q222: LATE-DATA SCD2 through the merge-on-read escape hatch —
+    // the GATED version of Scd2Index's documented out-of-order route.
+    // The pipeline is the standard two-tier shape: every batch lands
+    // in a BRONZE MorTable of raw events (O(batch) append, keyed by
+    // event id, exactly-once under replay), and in-order batches ALSO
+    // flow through the SILVER Scd2Index fast path. A LATE batch —
+    // early events arriving after later ones are already indexed —
+    // trips the horizon guard (asserted here: the refusal IS the
+    // routing signal, silently indexing it would stitch against the
+    // wrong neighbors), and is routed to bronze only. The read side
+    // then REPAIRS exactly the affected keys: their full event history
+    // re-windows from the bronze snapshot (the one-shot Scd2 build,
+    // per-key-bounded work), while every untouched key serves from the
+    // maintained index — so late data costs O(affected keys' events),
+    // never a corpus rebuild. The late slice is chosen to CHANGE
+    // intervals (earliest-tier events withheld, so their arrival
+    // re-opens runs; Scd2IndexSpec pins repaired != index-only on an
+    // engineered corpus). Held to q192's DuckDB oracle VERBATIM over
+    // the full corpus.
+    Q(
+      "q222_scd2_late_data",
+      (s, dir) => {
+        import graft.operators.{DeltaStore, MorTable, Scd2, Scd2Index}
+        val root = graft.Q.scratch(s, "q222_scd2late", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").as("k"), col("event_id").as("tie"),
+            usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("attr"))
+        val mid = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long"))
+          .head().getLong(0)
+        // the late slice: a deterministic subset of EARLY events that
+        // arrives AFTER the later half is already indexed
+        val isLate = col("us") <= mid && pmod(col("tie"), lit(7)) === 0
+        val w1 = ev.where(col("us") <= mid && !isLate)
+        val w2 = ev.where(col("us") > mid)
+        val late = ev.where(isLate)
+        val bronze = MorTable(DeltaStore(s"$root/bronze"), Seq("tie"))
+        bronze.upsert(w1, 1)
+        Scd2Index.appendBatch(s, w1, s"$root/silver", 1)
+        bronze.upsert(w2, 2)
+        Scd2Index.appendBatch(s, w2, s"$root/silver", 2)
+        bronze.upsert(late, 3)
+        // the horizon guard FIRES on the late batch — that refusal is
+        // the escape hatch's trigger and sits under this gate
+        val refused =
+          try { Scd2Index.appendBatch(s, late, s"$root/silver", 3); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "q222: the horizon guard must refuse the out-of-order batch")
+        // repair read: affected keys re-window from bronze, the rest
+        // serve from the maintained index
+        val affected = late.select("k").distinct()
+        val raw = bronze.snapshot(s, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tie",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("attr",
+            org.apache.spark.sql.types.IntegerType))))
+        val repaired = Scd2.intervals(
+            raw.join(affected, Seq("k"), "left_semi"),
+            "k", "us", "tie", "attr",
+            fromName = "valid_from_us", toName = "valid_to_us")
+          .select("k", "island", "attr", "valid_from_us", "valid_to_us",
+            "is_current", "n_events")
+        val untouched = Scd2Index.intervals(s, s"$root/silver")
+          .join(affected, Seq("k"), "left_anti")
+          .select("k", "island", "attr", "valid_from_us", "valid_to_us",
+            "is_current", "n_events")
+        untouched.unionByName(repaired)
           .select(col("k").as("user_id"), col("island"),
             col("attr").as("tier"), col("valid_from_us"),
             col("valid_to_us"), col("is_current"), col("n_events"))

@@ -318,14 +318,19 @@ object ProfileQueries {
             .writeStream
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // State keyed by the STREAMING batch id and written with
+              // overwrite: foreachBatch is at-least-once, so a replayed
+              // micro-batch REWRITES its own contribution instead of
+              // double-counting it (the q216/q220 idempotence pattern —
+              // a bare append would inflate n_rows on replay).
               b.select(col("user_id").as("k"))
                 .groupBy("k").agg(count(lit(1)).as("n_rows"))
                 .join(broadcast(parents.withColumn("__p", lit(1))),
                   Seq("k"), "left")
                 .select(col("k"), col("n_rows"),
                   col("__p").isNull.as("orphan"))
-                .write.mode("append").parquet(s"$out/keys")
+                .write.mode("overwrite").parquet(s"$out/keys/batch=$id")
             }
             .start()
           if (!q.awaitTermination(300000)) {

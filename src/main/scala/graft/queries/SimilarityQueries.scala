@@ -1062,8 +1062,15 @@ object SimilarityQueries {
     // the accumulated edge set, with per-batch iteration cost the
     // condensed diameter rather than the full graph's. Merging is
     // order-independent, so there is NO append-order contract (waves
-    // split by a hash of the pair — deliberately arbitrary). State is
-    // the node-grain label table, rewritten per wave. Held to q62's
+    // split by a hash of the pair — deliberately arbitrary).
+    //
+    // STATE IO is as incremental as the compute (operators/CcIndex):
+    // each wave commits ONE DeltaStore delta holding only the rows the
+    // wave moved — members of old components whose label changed plus
+    // brand-new nodes (touched + batch, NEVER all nodes; CcIndexSpec
+    // asserts the bound row-for-row); the read side resolves
+    // latest-wins per node, and a mid-stream COMPACT between waves 1
+    // and 2 puts the fold path itself under the gate. Held to q62's
     // recursive-closure oracle VERBATIM; the fold identity is
     // additionally property-pinned across random splits in
     // ConnectedComponentsPropertySpec.
@@ -1084,13 +1091,90 @@ object SimilarityQueries {
         val waves = (0 until 3).map(w =>
           pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(3)) === w))
         waves.zipWithIndex.foreach { case (w, i) =>
-          val next =
-            if (i == 0) ConnectedComponents.components(w)
-            else ConnectedComponents.maintain(
-              s.read.parquet(s"$root/state=${i - 1}"), w)
-          next.write.parquet(s"$root/state=$i")
+          graft.operators.CcIndex.appendWave(s, w, root, i)
+          if (i == 1) graft.operators.CcIndex.compact(s, root)
         }
-        s.read.parquet(s"$root/state=${waves.length - 1}")
+        graft.operators.CcIndex.labels(s, root)
+          .select(col("id").as("name"), col("comp").as("component"))
+          .orderBy("name")
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        blk AS (
+          SELECT p_name, SPLIT_PART(p_name, ' ', 2) AS blk FROM n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(p_name, ' ', 2)
+                                     ORDER BY p_name) <= 64),
+        p AS (
+          SELECT a.p_name AS x, b.p_name AS y
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+                              AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT id AS name, MIN(r) AS component
+        FROM reach GROUP BY id ORDER BY name
+      """)),
+
+    // ----------------------------------------------------------------
+    // q221: STREAMING connected components — q219's CcIndex fold driven
+    // from a checkpointed stream under the q152 two-wave checkpoint-
+    // resume protocol, closing the last maintenance symmetry: q62's
+    // recursive-closure oracle now gates the SAME dedup labels through
+    // THREE consumers (the q192/q209/q216 move) — one-shot (q62),
+    // batch-incremental (q219), and this stream. Each micro-batch of
+    // near-dup edges folds through CcIndex.appendWave with wave id =
+    // the STREAMING batch id: the prior-state read excludes the
+    // batch's own delta, so a checkpoint replay recomputes
+    // bit-identical rows and REPLACES its delta — exactly-once by
+    // construction (CcIndexSpec pins the replay row-for-row). Edge
+    // waves split by a hash of the pair — merging is order-
+    // independent, so batching needs no contract. The stream is
+    // STARTED TWICE on one checkpoint, putting the resume path itself
+    // under the gate; per-wave commits stay bounded by moved rows
+    // (touched components + batch — the q219 state-IO discipline).
+    Q(
+      "q221_stream_dedup_components",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q221_streamcc", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val names = blockedNames(s, dir)
+        val pairs = names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
+              levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        def drain(): Unit = {
+          val q = s.readStream.schema(pairs.schema)
+            // per-file micro-batches: merging is order-independent, so
+            // (unlike q216's time-split waves) the finest batching is
+            // legal — each drain runs SEVERAL folds under the gate
+            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.CcIndex.appendWave(s, b, s"$out/store", id.toInt)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q221 drain did not finish in 300 s")
+          }
+        }
+        pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(2)) === 0)
+          .repartition(2).write.parquet(s"$out/in")
+        drain()
+        pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(2)) === 1)
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        drain()
+        graft.operators.CcIndex.labels(s, s"$out/store")
           .select(col("id").as("name"), col("comp").as("component"))
           .orderBy("name")
       },

@@ -139,6 +139,45 @@ class AssocPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Triangles.countDelta: additive fold == one-shot under random edge splits") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 53)
+      val n = 28
+      val hub = rnd.nextInt(n).toLong
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.22 || a == hub
+      } yield (a, b)).distinct
+      val df = edges.toDF("u", "v")
+      val oneShot = graft.operators.Triangles.count(df)
+        .select("n_triangles").as[Long].head()
+      // random disjoint 3-way split (countDelta's precondition), folded
+      // in order: every wave counts ONLY its >=1-new-edge triangles;
+      // the split crosses the hub so the (deg, id) orientation DRIFTS
+      // between folds — the case the edge-age classification must
+      // survive
+      val bucket = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.col("u"),
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.lit(seed)),
+        org.apache.spark.sql.functions.lit(3))
+      val waves = (0 until 3).map(w => df.where(bucket === w))
+      var acc = df.limit(0)
+      var total = 0L
+      waves.foreach { w =>
+        total += graft.operators.Triangles.countDelta(acc, w)
+          .as[Long].head()
+        acc = acc.unionByName(w)
+      }
+      assert(total == oneShot, s"seed $seed: folded $total, one-shot $oneShot")
+      // an empty wave contributes zero
+      assert(graft.operators.Triangles.countDelta(df, df.limit(0))
+        .as[Long].head() == 0L)
+    }
+  }
+
   test("Triangles.perNode == brute-force corner counts; clustering formula") {
     import spark.implicits._
     for (seed <- 1 to 3) {

@@ -87,6 +87,33 @@ class Scd2IndexSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("duplicate (k, us) straddling run boundaries: stitch stays deterministic and == one-shot") {
+    // Several same-microsecond events per key whose attrs CHANGE at the
+    // duplicate timestamp, so batch compression emits two fragments of
+    // one key sharing from_us — the case where ordering fragments by
+    // from_us alone is nondeterministic and only the carried run-start
+    // tie makes the stitch/interval windows total.
+    val rows = for {
+      k <- 0L until 5L
+      i <- 0 until 30
+    } yield {
+      val us = (i / 3) * 1000L // triples share one timestamp
+      val rnd = new scala.util.Random(k * 1000 + i)
+      (k, k * 100 + i, us, rnd.nextInt(2))
+    }
+    val ev = rows.toDF("k", "tie", "us", "attr").cache()
+    // two in-order waves, cut BETWEEN duplicate groups (us is the guard
+    // boundary, so a duplicate group can never straddle batches)
+    val r = root("dupus")
+    graft.operators.Scd2Index.appendBatch(spark, ev.where(col("us") <= 4000L), r, 1)
+    graft.operators.Scd2Index.appendBatch(spark, ev.where(col("us") > 4000L), r, 2)
+    assert(maintained(r) == oneShot(ev))
+    // same equality through the compact fold (stitch used as compaction)
+    graft.operators.Scd2Index.compact(spark, r)
+    assert(maintained(r) == oneShot(ev))
+    ev.unpersist()
+  }
+
   test("out-of-order append is refused loudly, not silently corrupted") {
     val ev = corpus(5, nKeys = 3, nPerKey = 10).cache()
     val r = root("ooo")
@@ -97,5 +124,57 @@ class Scd2IndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("out-of-order"))
     ev.unpersist()
+  }
+
+  test("late data through merge-on-read: guard refusal + per-key repair == one-shot, and the late batch is NOT a no-op") {
+    import graft.operators.{DeltaStore, MorTable, Scd2Index}
+    import org.apache.spark.sql.types._
+    // Engineered so the withheld early events CHANGE intervals: key 0's
+    // run at us=1000..3000 is attr 1, but the withheld event (us=2000,
+    // attr 9) SPLITS it — the index alone can never produce that split.
+    val all = Seq(
+      (0L, 1L, 1000L, 1), (0L, 2L, 2000L, 9), (0L, 3L, 3000L, 1),
+      (0L, 4L, 9000L, 2),
+      (1L, 5L, 1500L, 3), (1L, 6L, 8000L, 3)
+    ).toDF("k", "tie", "us", "attr")
+    val late = all.where(col("tie") === 2L) // the mid-run splitter
+    val w1 = all.where(col("us") <= 4000L && col("tie") =!= 2L)
+    val w2 = all.where(col("us") > 4000L)
+    val r = root("latemor")
+    val bronze = MorTable(DeltaStore(s"$r/bronze"), Seq("tie"))
+    bronze.upsert(w1, 1); Scd2Index.appendBatch(spark, w1, s"$r/silver", 1)
+    bronze.upsert(w2, 2); Scd2Index.appendBatch(spark, w2, s"$r/silver", 2)
+    bronze.upsert(late, 3)
+    intercept[IllegalArgumentException] {
+      Scd2Index.appendBatch(spark, late, s"$r/silver", 3)
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tie", LongType), StructField("us", LongType),
+      StructField("attr", IntegerType)))
+    val affected = late.select("k").distinct()
+    val repaired = graft.operators.Scd2.intervals(
+        bronze.snapshot(spark, schema).join(affected, Seq("k"), "left_semi"),
+        "k", "us", "tie", "attr",
+        fromName = "valid_from_us", toName = "valid_to_us")
+      .select("k", "island", "attr", "valid_from_us", "valid_to_us",
+        "is_current", "n_events")
+    val untouched = Scd2Index.intervals(spark, s"$r/silver")
+      .join(affected, Seq("k"), "left_anti")
+      .select("k", "island", "attr", "valid_from_us", "valid_to_us",
+        "is_current", "n_events")
+    val merged = untouched.unionByName(repaired)
+      .as[(Long, Long, Int, Long, Option[Long], Boolean, Long)]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    // merged view == one-shot over ALL events (late included)
+    assert(merged == oneShot(all))
+    // the late batch actually changed intervals: the index alone (in-
+    // order events only) disagrees — key 0 has 2 runs without the
+    // splitter, 4 with it
+    assert(merged != maintained(s"$r/silver"))
+    assert(merged.count(_._1 == 0L) == 4)
+    assert(maintained(s"$r/silver").count(_._1 == 0L) == 2)
+    // untouched keys (key 1) serve from the index bit-identically
+    assert(merged.filter(_._1 == 1L)
+      == maintained(s"$r/silver").filter(_._1 == 1L))
   }
 }

@@ -63,6 +63,20 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(SkewRoute.guardedBuckets(small.limit(1), big, 32, 1.0) < 2)
   }
 
+  test("guardedBuckets: missing stats — unknown right falls back to SMJ, unknown left stays permissive") {
+    val (l, _) = corpus(10)
+    val known = Seq(("hot", 1, 2)).toDF("rk", "rt", "p")
+    // sizeInBytes = 0 reads as "no estimate" (the ≤ 0 sentinel)
+    val unknown = known.where(org.apache.spark.sql.functions.lit(false))
+    assert(unknown.queryExecution.optimizedPlan.stats.sizeInBytes <= 0)
+    // unknown RIGHT: the salt would replicate a side of unknown size —
+    // the guard must refuse (1 = plain SMJ), never trust the request
+    assert(SkewRoute.guardedBuckets(l, unknown, 32, 4.0) == 1)
+    // unknown LEFT with a known right: only the budget ratio is lost;
+    // the permissive answer is the request
+    assert(SkewRoute.guardedBuckets(unknown, known, 32, 4.0) == 32)
+  }
+
   test("asofAutoSkew: salted while affordable, plain SMJ when replication would dominate") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -85,6 +85,40 @@ class StreamFunnelSpec extends AnyFunSuite {
     assert(rep(again) == rep(w1.unionByName(w2)))
   }
 
+  test("in-loop prune folds: state stays bounded under the unpruned log, report == one-shot") {
+    // The q210 deployment shape: EVERY micro-batch folds
+    // prune(state ∪ batch) — not one prune at report time. Legal
+    // because pruned rows are dead under every future append, so
+    // pruning pruned state loses nothing. Asserted per batch: the
+    // folded state never exceeds the unpruned accumulated log, ends
+    // strictly smaller (the compaction actually compacts), and the
+    // final report equals the one-shot funnel.
+    val rnd = new scala.util.Random(31)
+    val types = Seq("view", "click", "purchase", "error")
+    val ev = (1 to 600).map { i =>
+      (rnd.nextInt(15).toLong, types(rnd.nextInt(types.length)),
+        rnd.nextInt(4000).toLong)
+    }.toDF("u", "t", "us")
+    val oneShot = report(ev)
+    val bucket = pmod(col("us") * 7 + col("u"), lit(4))
+    val batches = (0 until 4).map(p =>
+      ev.where(bucket === p && col("t").isin(stages: _*)))
+    var state = ev.limit(0).select("u", "t", "us")
+    var rawCount = 0L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      state = graft.operators.Funnel.pruneCandidates(
+        state.unionByName(b.select("u", "t", "us")),
+        "u", "t", "us", stages, gap).cache()
+      rawCount += b.count()
+      assert(state.count() <= rawCount,
+        s"batch $i: folded state exceeds the unpruned log")
+    }
+    assert(state.count() < rawCount,
+      "the in-loop prune never dropped a row — the bound is vacuous here")
+    assert(report(state) == oneShot,
+      "per-batch prune folds must preserve the one-shot report")
+  }
+
   test("candidate-log state == one-shot funnel under random batch splits") {
     val rnd = new scala.util.Random(77)
     val types = Seq("view", "click", "purchase", "error")
