@@ -115,7 +115,17 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
     // condensed nodes not present in the old labels are brand-new ids
     val fresh = cond.join(labels.select("id"), Seq("id"), "left_anti")
-    remapped.unionByName(fresh.select("id", "comp"))
+    // LINEAGE CUT at the fold boundary: this output is the next fold's
+    // `labels` input, and the plan above references `labels` THREE
+    // times (two condensation joins + the anti-join) — k chained folds
+    // would nest the full history 3^k deep in the LOGICAL plan, and the
+    // plan/explain strings alone OOM the driver long before any data
+    // does (the same reason components() checkpoints every 3 rounds).
+    // The store-backed deployment ([[CcIndex]]) truncates through
+    // parquet instead; this keeps the documented in-memory chaining
+    // usable. (Cluster note: swap for checkpoint() where executor loss
+    // matters — localCheckpoint blocks die with their executor.)
+    remapped.unionByName(fresh.select("id", "comp")).localCheckpoint()
   }
 
   /** Duplicate groups from a near-dup pair list: every id mapped to its
