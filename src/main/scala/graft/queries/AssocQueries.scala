@@ -483,24 +483,43 @@ object AssocQueries {
         val os = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
-        val edges = os.select(col("ok"), col("sk").as("u"))
+        // derive the thresholded edge set ONCE and land it as the
+        // arriving batches — in production the edge waves ARE the
+        // input; re-deriving the pre-threshold counting shuffle per
+        // wave would charge the maintenance fold for test scaffolding
+        os.select(col("ok"), col("sk").as("u"))
           .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
           .where(col("u") < col("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("w"))
           .where(col("w") >= minSupport)
-          .select("u", "v")
-        val waves = (0 until 3).map(w =>
-          edges.where(pmod(hash(col("u"), col("v")), lit(3)) === w))
+          .withColumn("wave", pmod(hash(col("u"), col("v")), lit(3)))
+          .select("u", "v", "wave")
+          .write.partitionBy("wave").parquet(s"$root/in")
+        // explicit schemas: an empty wave leaves a dir with no part
+        // files, where schema inference (not the read) would fail
+        val eSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u",
+            Tables.lineitem(s, dir).schema("l_suppkey").dataType),
+          org.apache.spark.sql.types.StructField("v",
+            Tables.lineitem(s, dir).schema("l_suppkey").dataType)))
+        val landed = s.read
+          .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
+          .parquet(s"$root/in")
         var total = 0L
-        waves.zipWithIndex.foreach { case (w, i) =>
+        (0 until 3).foreach { i =>
+          val w = landed.where(col("wave") === i).select("u", "v")
           val old =
             if (i == 0) w.limit(0)
-            else s.read.parquet(s"$root/edges").select("u", "v")
+            else s.read
+              .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
+              .parquet(s"$root/edges").select("u", "v")
           total += graft.operators.Triangles.countDelta(old, w)
             .head().getLong(0)
           w.write.parquet(s"$root/edges/wave=$i")
         }
-        val acc = s.read.parquet(s"$root/edges").select("u", "v")
+        val acc = s.read
+          .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
+          .parquet(s"$root/edges").select("u", "v")
         val nNodes = acc.select(col("u").as("node"))
           .unionByName(acc.select(col("v").as("node"))).distinct()
           .agg(count(lit(1)).as("n_nodes"))

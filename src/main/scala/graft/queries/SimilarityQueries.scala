@@ -1132,10 +1132,14 @@ object SimilarityQueries {
     // bit-identical rows and REPLACES its delta — exactly-once by
     // construction (CcIndexSpec pins the replay row-for-row). Edge
     // waves split by a hash of the pair — merging is order-
-    // independent, so batching needs no contract. The stream is
-    // STARTED TWICE on one checkpoint, putting the resume path itself
-    // under the gate; per-wave commits stay bounded by moved rows
-    // (touched components + batch — the q219 state-IO discipline).
+    // independent, so batching needs no contract (CcIndexSpec pins
+    // 4-way random splits; here each drain folds its wave as ONE
+    // micro-batch, since every CC fold pays an iterative label-
+    // propagation chain and the multi-fold identity is already
+    // gate-covered by q219's three waves). The stream is STARTED
+    // TWICE on one checkpoint, putting the resume path itself under
+    // the gate; per-wave commits stay bounded by moved rows (touched
+    // components + batch — the q219 state-IO discipline).
     Q(
       "q221_stream_dedup_components",
       (s, dir) => {
@@ -1151,11 +1155,7 @@ object SimilarityQueries {
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
           .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
         def drain(): Unit = {
-          val q = s.readStream.schema(pairs.schema)
-            // per-file micro-batches: merging is order-independent, so
-            // (unlike q216's time-split waves) the finest batching is
-            // legal — each drain runs SEVERAL folds under the gate
-            .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+          val q = s.readStream.schema(pairs.schema).parquet(s"$out/in")
             .writeStream
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
