@@ -548,6 +548,119 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
+    // q225: STREAMING triangle maintenance — q224's countDelta fold
+    // deployed at the ingestion edge under the q152 two-wave
+    // checkpoint-resume protocol, making q203's oracle gate the SAME
+    // count through three consumers (the q62/q219/q221 move): one-shot
+    // (q203), batch-incremental (q224), and this stream. Per
+    // micro-batch the state IO stays O(batch): the batch's edges land
+    // under their own batch id (overwrite — a replay replaces its own
+    // append), and the running total is VERSIONED by batch id,
+    // computed as the newest total below the batch's id plus
+    // countDelta(edges below id, batch) — both reads keyed to FIXED
+    // horizons, so a checkpoint replay recomputes from the same
+    // predecessors and rewrites its versions identically. The
+    // accumulated edge list is never rewritten (the q219 state-IO
+    // discipline applied to the graph tier); node/edge counts
+    // re-aggregate from the appended state at report time.
+    Q(
+      "q225_stream_triangles",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q225_streamtri", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val minSupport = 5L
+        val os = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = os.select(col("ok"), col("sk").as("u"))
+          .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .where(col("w") >= minSupport)
+          .select("u", "v")
+        val skType = Tables.lineitem(s, dir).schema("l_suppkey").dataType
+        val eSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", skType),
+          org.apache.spark.sql.types.StructField("v", skType)))
+        val withBatch =
+          eSchema.add("batch", org.apache.spark.sql.types.IntegerType)
+        def edgesBelow(id: Long) = s.read.schema(withBatch)
+          .parquet(s"$out/edges").where(col("batch") < id).select("u", "v")
+        def latestTotalBelow(id: Long): Long =
+          Option(new java.io.File(s"$out/total").listFiles()).toSeq.flatten
+            .map(_.getName).filter(_.startsWith("state="))
+            .map(_.stripPrefix("state=").toLong).filter(_ < id)
+            .maxOption.map { k =>
+              s.read.parquet(s"$out/total/state=$k").head().getLong(0)
+            }.getOrElse(0L)
+        def drain(): Unit = {
+          val q = s.readStream.schema(eSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val prevEdges =
+                if (new java.io.File(s"$out/edges").isDirectory) edgesBelow(id)
+                else b.limit(0).select("u", "v")
+              val delta = graft.operators.Triangles
+                .countDelta(prevEdges, b).head().getLong(0)
+              val total = latestTotalBelow(id) + delta
+              b.select("u", "v").write.mode("overwrite")
+                .parquet(s"$out/edges/batch=$id")
+              s.createDataFrame(
+                  java.util.List.of(org.apache.spark.sql.Row(total)),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("total",
+                      org.apache.spark.sql.types.LongType))))
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$out/total/state=$id")
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q225 drain did not finish in 300 s")
+          }
+        }
+        edges.where(pmod(hash(col("u"), col("v")), lit(2)) === 0)
+          .repartition(2).write.parquet(s"$out/in")
+        drain()
+        edges.where(pmod(hash(col("u"), col("v")), lit(2)) === 1)
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        drain()
+        val acc = s.read.schema(withBatch).parquet(s"$out/edges")
+          .select("u", "v")
+        val nNodes = acc.select(col("u").as("node"))
+          .unionByName(acc.select(col("v").as("node"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        val nEdges = acc.agg(count(lit(1)).as("n_edges"))
+        nNodes.crossJoin(nEdges)
+          .select(col("n_nodes"), col("n_edges"),
+            lit(latestTotalBelow(Long.MaxValue)).as("n_triangles"))
+      },
+      Some("""
+        WITH os AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        ), e AS (
+          SELECT a.sk AS u, b.sk AS v
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ), nodes AS (
+          SELECT u AS node FROM e UNION SELECT v FROM e
+        )
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*)
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                 AS n_triangles
+      """)),
+
+    // ----------------------------------------------------------------
     // q220: STREAMING skyline maintenance — q214's fold deployed at
     // the ingestion edge under the q152 two-wave checkpoint-resume
     // protocol, making q200's oracle gate the SAME frontier through

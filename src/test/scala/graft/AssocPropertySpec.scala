@@ -139,6 +139,50 @@ class AssocPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Kendall tau-b cell identity == brute-force pair counts on tie-heavy random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 71)
+      // small bounded domains force heavy ties on BOTH margins — the
+      // case the tie-corrected identity exists for
+      val pts = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(5).toLong))
+      // brute force over all n(n-1)/2 pairs
+      var c = 0L; var d = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        val s = (pts(i)._1 - pts(j)._1) * (pts(i)._2 - pts(j)._2)
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      val n = pts.length.toLong
+      val tx = pts.groupBy(_._1).values.map(g => g.size.toLong)
+      val ty = pts.groupBy(_._2).values.map(g => g.size.toLong)
+      val denX = n * (n - 1) - tx.map(t => t * (t - 1)).sum
+      val denY = n * (n - 1) - ty.map(t => t * (t - 1)).sum
+      val want = 2.0 * (c - d) / math.sqrt(denX.toDouble * denY.toDouble)
+      // the q223 cell recipe on the same points
+      val cells = pts.toDF("x", "y").groupBy("x", "y")
+        .agg(count(lit(1)).cast(d18).as("t"))
+      val c1 = cells.select(col("x").as("x1"), col("y").as("y1"), col("t").as("t1"))
+      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"), col("t").as("t2"))
+      def pairSum(cond: org.apache.spark.sql.Column) =
+        c1.join(broadcast(c2), cond).agg(sum(col("t1") * col("t2")))
+          .head().getDecimal(0).longValueExact()
+      val cCells = pairSum(col("x1") < col("x2") && col("y1") < col("y2"))
+      val dCells = pairSum(col("x1") < col("x2") && col("y1") > col("y2"))
+      assert(cCells == c && dCells == d,
+        s"seed $seed: cells (C=$cCells, D=$dCells) vs brute (C=$c, D=$d)")
+      val got = 2.0 * (cCells - dCells) / math.sqrt(denX.toDouble * denY.toDouble)
+      assert(math.abs(got - want) < 1e-12, s"seed $seed: $got vs $want")
+    }
+    // all-tied margin: den = 0 must be the NULL guard, never a NaN
+    val tied = Seq.fill(10)((3L, scala.util.Random.nextInt(4).toLong))
+    val nT = tied.length.toLong
+    val denTied = nT * (nT - 1) -
+      tied.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1)).sum
+    assert(denTied == 0L, "all-tied x margin must zero the denominator")
+  }
+
   test("Triangles.countDelta: additive fold == one-shot under random edge splits") {
     import spark.implicits._
     for (seed <- 1 to 3) {
