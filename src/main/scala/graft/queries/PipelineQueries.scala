@@ -1792,7 +1792,15 @@ object PipelineQueries {
           Option(new java.io.File(s"$out/in").listFiles()).toSeq.flatten
             .filter(f => f.getName.endsWith(".parquet") &&
               f.lastModified() > (b + 1) * 60000L)
-            .foreach(_.setLastModified((b + 1) * 60000L))
+            .foreach { f =>
+              // a silently-failed stamp would revert the drop -> batch-id
+              // mapping to clock-granularity ordering — fail loudly
+              if (!f.setLastModified((b + 1) * 60000L) ||
+                  f.lastModified() != (b + 1) * 60000L)
+                throw new IllegalStateException(
+                  s"q115: cannot pin mtime of $f — batch-id ordering " +
+                    "would be nondeterministic on this filesystem")
+            }
         }
         // TWO drains over four drops — the kill-and-resume shape (the
         // second query run resumes the SAME checkpoint) with the fixed

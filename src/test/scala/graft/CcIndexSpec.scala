@@ -66,7 +66,7 @@ class CcIndexSpec extends AnyFunSuite {
           }
         }
         val deltaRows = spark.read
-          .parquet(s"$r/delta=$i").count()
+          .parquet(s"$r/delta=$i/tbl=lab").count()
         assert(deltaRows == moved,
           s"seed $seed wave $i: delta has $deltaRows rows, moved $moved")
         if (i > 0)
@@ -89,14 +89,14 @@ class CcIndexSpec extends AnyFunSuite {
     graft.operators.CcIndex.appendWave(spark, w0, r, 0)
     graft.operators.CcIndex.appendWave(spark, w1, r, 1)
     val labels1 = sortedLabels(graft.operators.CcIndex.labels(spark, r))
-    val delta1 = spark.read.parquet(s"$r/delta=1")
+    val delta1 = spark.read.parquet(s"$r/delta=1/tbl=lab")
       .select("id", "comp", "wave").as[(String, String, Int)]
       .collect().sortBy(x => (x._1, x._2)).toSeq
     // checkpoint replay of wave 1: prior-state read excludes its own
     // delta, so the recompute is bit-identical and REPLACES the delta
     graft.operators.CcIndex.appendWave(spark, w1, r, 1)
     val labels2 = sortedLabels(graft.operators.CcIndex.labels(spark, r))
-    val delta2 = spark.read.parquet(s"$r/delta=1")
+    val delta2 = spark.read.parquet(s"$r/delta=1/tbl=lab")
       .select("id", "comp", "wave").as[(String, String, Int)]
       .collect().sortBy(x => (x._1, x._2)).toSeq
     assert(labels2 == labels1)
@@ -105,6 +105,51 @@ class CcIndexSpec extends AnyFunSuite {
     assert(labels2 == sortedLabels(
       graft.operators.ConnectedComponents.components(e)))
     e.unpersist()
+  }
+
+  test("per-wave reads prune to a strict bucket subset on a localized batch") {
+    // corpus spread over all 16 id buckets; the second wave touches TWO
+    // nodes — its reads must not scan the full store
+    val big = (0 until 400).map(i => (f"n$i%04d", f"m$i%04d")).toDF("a", "b")
+    val r = root("prune")
+    graft.operators.CcIndex.appendWave(spark, big, r, 0)
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int])]
+    graft.operators.CcIndex.onPrunedRead = (phase, bs) =>
+      events.synchronized { events += ((phase, bs)) }
+    try {
+      val tiny = Seq(("n0007", "n0009")).toDF("a", "b")
+      graft.operators.CcIndex.appendWave(spark, tiny, r, 1)
+    } finally graft.operators.CcIndex.onPrunedRead = (_, _) => ()
+    assert(events.map(_._1).toSet == Set("condense", "c2b", "changed", "fresh"))
+    events.foreach { case (phase, bs) =>
+      assert(bs.size < 16, s"$phase read all 16 buckets: $bs")
+      assert(bs.size <= 4, s"$phase read ${bs.size} buckets for a 2-node batch")
+    }
+    // and the pruned fold still merged the two components correctly
+    val after = sortedLabels(graft.operators.CcIndex.labels(spark, r)).toMap
+    assert(after("n0009") == after("n0007"))
+    assert(after("m0009") == after("n0007"))
+  }
+
+  test("first wave with diameter > 20 folds via star contraction") {
+    // a 120-node chain: label propagation at default maxIter=20 cannot
+    // converge, so the empty-state wave must route through componentsStar
+    val chain = (0 until 119).map(i => (f"c$i%04d", f"c${i + 1}%04d"))
+      .toDF("a", "b")
+    val r = root("chain")
+    graft.operators.CcIndex.appendWave(spark, chain, r, 0)
+    val labs = sortedLabels(graft.operators.CcIndex.labels(spark, r))
+    assert(labs.size == 120)
+    assert(labs.forall(_._2 == "c0000"))
+  }
+
+  test("numeric-typed edge columns are rejected") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    val r = root("typed")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.CcIndex.appendWave(spark, e, r, 0)
+    }
+    assert(ex.getMessage.contains("fixed-width"))
   }
 
   test("empty wave commits an empty delta and moves nothing") {
