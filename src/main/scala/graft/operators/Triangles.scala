@@ -127,6 +127,19 @@ object Triangles {
     val deg = all.select(col("u").as("node"))
       .unionAll(all.select(col("v").as("node")))
       .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    countDeltaWithDeg(all, deg)
+  }
+
+  /** [[countDelta]] with a CALLER-SUPPLIED node order: `deg` is any
+    * (node, deg) table covering every endpoint of `all` with exactly
+    * one row per node. Classification is by EDGE AGE, and orientation
+    * only dedupes wedge generation WITHIN this fold — any per-fold-
+    * consistent (deg, id) order counts each triangle exactly once —
+    * so maintained degree counts ([[TriIndex]]) substitute for the
+    * recomputed aggregate without changing the result; keeping them
+    * real degrees is what preserves the |Δ|·√(2|E|) wedge bound. */
+  private[operators] def countDeltaWithDeg(all: DataFrame,
+                                           deg: DataFrame): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (SkewRoute.rightFitsBroadcast(df)) broadcast(df) else df
     val withDeg = all

@@ -457,19 +457,20 @@ object AssocQueries {
     // q224: INCREMENTAL TRIANGLE maintenance — q203's count kept up to
     // date under APPENDED edges, the maintenance move applied to the
     // graph-statistics tier: each wave counts ONLY triangles with ≥1
-    // new edge (Triangles.countDelta — new-wedge-edge cases closed
-    // against all edges, plus both-old wedges closed by a new edge via
-    // wedge closure against the stored adjacency; degrees re-annotated
-    // per fold, but classification is by EDGE AGE, so the total folds
-    // additively under any orientation drift). Wedge volume per wave
-    // is batch-scaled (|Δ|·√(2|E|)), never the full O(|E|^1.5)
-    // recount. Edge waves split by hash — disjoint by construction
-    // (countDelta's precondition) and order-free (triangle membership
-    // is append-order-independent). State is the edge list itself,
-    // appended O(batch) per wave and never rewritten; node/edge counts
-    // re-aggregate from it at report time. Held to q203's naive
-    // 3-way-self-join oracle VERBATIM; AssocPropertySpec pins the fold
-    // against one-shot counts across random splits.
+    // new edge (Triangles.countDelta — classification is by EDGE AGE,
+    // so the total folds additively under any orientation drift), with
+    // wedge volume per wave batch-scaled (|Δ|·√(2|E|)), never the full
+    // O(|E|^1.5) recount. STATE has a keyed access path
+    // (operators/TriIndex): adjacency bucketed by node + additively-
+    // maintained degrees, so each fold READS only the batch endpoints'
+    // buckets — never the accumulated edge list — and the report
+    // aggregates the dim-sized degree table, not the edges (TriIndex's
+    // Scaladoc carries the incidence argument; TriIndexSpec asserts
+    // the pruned reads and the fold identity across random splits).
+    // Edge waves split by hash — disjoint by construction (countDelta's
+    // precondition) and order-free (triangle membership is
+    // append-order-independent). Held to q203's naive 3-way-self-join
+    // oracle VERBATIM.
     Q(
       "q224_triangle_count_incremental",
       (s, dir) => {
@@ -508,23 +509,9 @@ object AssocQueries {
         var total = 0L
         (0 until 3).foreach { i =>
           val w = landed.where(col("wave") === i).select("u", "v")
-          val old =
-            if (i == 0) w.limit(0)
-            else s.read
-              .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
-              .parquet(s"$root/edges").select("u", "v")
-          total += graft.operators.Triangles.countDelta(old, w)
-            .head().getLong(0)
-          w.write.parquet(s"$root/edges/wave=$i")
+          total += graft.operators.TriIndex.foldWave(s, w, s"$root/store", i)
         }
-        val acc = s.read
-          .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
-          .parquet(s"$root/edges").select("u", "v")
-        val nNodes = acc.select(col("u").as("node"))
-          .unionByName(acc.select(col("v").as("node"))).distinct()
-          .agg(count(lit(1)).as("n_nodes"))
-        val nEdges = acc.agg(count(lit(1)).as("n_edges"))
-        nNodes.crossJoin(nEdges)
+        graft.operators.TriIndex.stats(s, s"$root/store")
           .select(col("n_nodes"), col("n_edges"),
             lit(total).as("n_triangles"))
       },
@@ -548,21 +535,20 @@ object AssocQueries {
       """)),
 
     // ----------------------------------------------------------------
-    // q225: STREAMING triangle maintenance — q224's countDelta fold
+    // q225: STREAMING triangle maintenance — q224's TriIndex fold
     // deployed at the ingestion edge under the q152 two-wave
     // checkpoint-resume protocol, making q203's oracle gate the SAME
     // count through three consumers (the q62/q219/q221 move): one-shot
     // (q203), batch-incremental (q224), and this stream. Per
-    // micro-batch the state IO stays O(batch): the batch's edges land
-    // under their own batch id (overwrite — a replay replaces its own
-    // append), and the running total is VERSIONED by batch id,
-    // computed as the newest total below the batch's id plus
-    // countDelta(edges below id, batch) — both reads keyed to FIXED
-    // horizons, so a checkpoint replay recomputes from the same
-    // predecessors and rewrites its versions identically. The
-    // accumulated edge list is never rewritten (the q219 state-IO
-    // discipline applied to the graph tier); node/edge counts
-    // re-aggregate from the appended state at report time.
+    // micro-batch the state IO is O(batch) on BOTH sides: foldWave
+    // appends only the batch's adjacency/degree rows and reads only
+    // the batch endpoints' buckets (TriIndex), and the running total
+    // is VERSIONED by batch id — newest total below the batch's id
+    // plus the fold's delta, with foldWave's reads excluding the
+    // batch's own delta — so a checkpoint replay recomputes from the
+    // same predecessors and rewrites its versions identically. The
+    // report aggregates the maintained degree table, never the
+    // accumulated edge list.
     Q(
       "q225_stream_triangles",
       (s, dir) => {
@@ -586,10 +572,6 @@ object AssocQueries {
         val eSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("u", skType),
           org.apache.spark.sql.types.StructField("v", skType)))
-        val withBatch =
-          eSchema.add("batch", org.apache.spark.sql.types.IntegerType)
-        def edgesBelow(id: Long) = s.read.schema(withBatch)
-          .parquet(s"$out/edges").where(col("batch") < id).select("u", "v")
         def latestTotalBelow(id: Long): Long =
           Option(new java.io.File(s"$out/total").listFiles()).toSeq.flatten
             .map(_.getName).filter(_.startsWith("state="))
@@ -603,14 +585,9 @@ object AssocQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              val prevEdges =
-                if (new java.io.File(s"$out/edges").isDirectory) edgesBelow(id)
-                else b.limit(0).select("u", "v")
-              val delta = graft.operators.Triangles
-                .countDelta(prevEdges, b).head().getLong(0)
+              val delta = graft.operators.TriIndex
+                .foldWave(s, b, s"$out/store", id.toInt)
               val total = latestTotalBelow(id) + delta
-              b.select("u", "v").write.mode("overwrite")
-                .parquet(s"$out/edges/batch=$id")
               s.createDataFrame(
                   java.util.List.of(org.apache.spark.sql.Row(total)),
                   org.apache.spark.sql.types.StructType(Seq(
@@ -631,13 +608,7 @@ object AssocQueries {
         edges.where(pmod(hash(col("u"), col("v")), lit(2)) === 1)
           .repartition(2).write.mode("append").parquet(s"$out/in")
         drain()
-        val acc = s.read.schema(withBatch).parquet(s"$out/edges")
-          .select("u", "v")
-        val nNodes = acc.select(col("u").as("node"))
-          .unionByName(acc.select(col("v").as("node"))).distinct()
-          .agg(count(lit(1)).as("n_nodes"))
-        val nEdges = acc.agg(count(lit(1)).as("n_edges"))
-        nNodes.crossJoin(nEdges)
+        graft.operators.TriIndex.stats(s, s"$out/store")
           .select(col("n_nodes"), col("n_edges"),
             lit(latestTotalBelow(Long.MaxValue)).as("n_triangles"))
       },
