@@ -1144,77 +1144,7 @@ object AssocQueries {
           when(col("c_low") > 0 && col("c_high") > 0,
             types.map(term).reduce(_ + _)).as("chi2"))
       },
-      Some("""
-        WITH ev AS (
-          SELECT event_type, value >= 50.0 AS hi FROM events
-          WHERE event_type IN ('click','error','purchase','signup','view')
-        ), agg AS (
-          SELECT
-            CAST(SUM(CASE WHEN event_type = 'click' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_click,
-            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS r_click,
-            CAST(SUM(CASE WHEN event_type = 'error' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_error,
-            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS r_error,
-            CAST(SUM(CASE WHEN event_type = 'purchase' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_purchase,
-            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r_purchase,
-            CAST(SUM(CASE WHEN event_type = 'signup' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_signup,
-            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS r_signup,
-            CAST(SUM(CASE WHEN event_type = 'view' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_view,
-            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS r_view,
-            CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS c_low,
-            CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS c_high,
-            COUNT(*) AS n_total
-          FROM ev
-        )
-        SELECT n_total, c_low, c_high,
-          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END) AS k_present,
-          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
-           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END - 1) AS df,
-          CASE WHEN c_low > 0 AND c_high > 0 THEN
-            (CASE WHEN r_click > 0 THEN
-              CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / r_click
-              * CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / c_low / c_high ELSE 0.0 END
-            + CASE WHEN r_error > 0 THEN
-              CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / r_error
-              * CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / c_low / c_high ELSE 0.0 END
-            + CASE WHEN r_purchase > 0 THEN
-              CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / r_purchase
-              * CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / c_low / c_high ELSE 0.0 END
-            + CASE WHEN r_signup > 0 THEN
-              CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / r_signup
-              * CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / c_low / c_high ELSE 0.0 END
-            + CASE WHEN r_view > 0 THEN
-              CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / r_view
-              * CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
-                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
-              / c_low / c_high ELSE 0.0 END)
-          END AS chi2
-        FROM agg
-      """)),
+      Some(chi2OracleSql)),
 
     // ----------------------------------------------------------------
     // q213: MANN-WHITNEY U rank-sum test — do urgent-priority orders
@@ -1554,75 +1484,206 @@ object AssocQueries {
           .select(Q.dec2(col("l_quantity")).cast("long").as("x"),
             (Q.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
           .selectExpr("x", "cents div 100000 AS y")
-        val cells = li.groupBy("x", "y")
-          .agg(count(lit(1)).cast(d18).as("t"))
-        val c1 = cells.select(col("x").as("x1"), col("y").as("y1"),
-          col("t").as("t1"))
-        val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
-          col("t").as("t2"))
-        val conc = c1.join(broadcast(c2),
-            col("x1") < col("x2") && col("y1") < col("y2"))
-          .agg(sum(col("t1") * col("t2")).as("c"))
-        val disc = c1.join(broadcast(c2),
-            col("x1") < col("x2") && col("y1") > col("y2"))
-          .agg(sum(col("t1") * col("t2")).as("d"))
-        val mx = cells.groupBy("x").agg(sum("t").cast(d18).as("tx"))
-          .agg(sum(col("tx") * (col("tx") - 1)).as("t1s"))
-        val my = cells.groupBy("y").agg(sum("t").cast(d18).as("ty"))
-          .agg(sum(col("ty") * (col("ty") - 1)).as("t2s"))
-        val nn = cells.agg(sum("t").cast(d18).as("n"))
-        nn.crossJoin(conc).crossJoin(disc).crossJoin(mx).crossJoin(my)
-          .select(col("n").cast("long").as("n"),
-            col("c").cast("double").as("conc"),
-            col("d").cast("double").as("disc"),
-            (lit(2) * (col("c") - col("d"))).cast("double").as("num"),
-            (col("n") * (col("n") - 1) - col("t1s")).cast("double")
-              .as("den_x"),
-            (col("n") * (col("n") - 1) - col("t2s")).cast("double")
-              .as("den_y"))
-          .select(col("n"), col("conc"), col("disc"), col("num"),
-            col("den_x"), col("den_y"),
-            when(col("den_x") > 0 && col("den_y") > 0,
-              col("num") / sqrt(col("den_x") * col("den_y")))
-              .as("tau_b"))
+        kendallFromCells(li.groupBy("x", "y")
+          .agg(count(lit(1)).cast(d18).as("t")))
       },
-      Some("""
-        WITH li AS (
-          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
-                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   // 100000 AS y
-          FROM lineitem
-        ), cells AS (
-          SELECT x, y, CAST(COUNT(*) AS DECIMAL(18,0)) AS t
-          FROM li GROUP BY 1, 2
-        ), conc AS (
-          SELECT SUM(c1.t * c2.t) AS c
-          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y < c2.y
-        ), disc AS (
-          SELECT SUM(c1.t * c2.t) AS d
-          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y > c2.y
-        ), mx AS (
-          SELECT SUM(tx * (tx - 1)) AS t1s FROM (
-            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS tx FROM cells GROUP BY x)
-        ), my AS (
-          SELECT SUM(ty * (ty - 1)) AS t2s FROM (
-            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS ty FROM cells GROUP BY y)
-        ), nn AS (
-          SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS n FROM cells
-        ), named AS (
-          SELECT CAST(n AS BIGINT) AS n,
-                 CAST(c AS DOUBLE) AS conc,
-                 CAST(d AS DOUBLE) AS disc,
-                 CAST(2 * (c - d) AS DOUBLE) AS num,
-                 CAST(n * (n - 1) - t1s AS DOUBLE) AS den_x,
-                 CAST(n * (n - 1) - t2s AS DOUBLE) AS den_y
-          FROM nn, conc, disc, mx, my
-        )
-        SELECT n, conc, disc, num, den_x, den_y,
-               CASE WHEN den_x > 0 AND den_y > 0
-                 THEN num / SQRT(den_x * den_y) END AS tau_b
-        FROM named
-      """)),
+      Some(kendallOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q226: INCREMENTAL CHI-SQUARE — q211's contingency statistic kept
+    // up to date under appended events, giving the distribution-stat
+    // tier its maintenance consumers: the statistic reduces to a
+    // BOUNDED-DOMAIN (event_type, value-band) cell table whose counts
+    // are PURELY ADDITIVE across batches (operators/StatCellIndex —
+    // per-batch grouped counts, one atomic commit, sum-by-key fold),
+    // so maintained cells equal one-shot cells EXACTLY and q211's
+    // DuckDB oracle gates this deployment VERBATIM through the SAME
+    // exact-decimal arithmetic (chi2FromCells serves both). Three hash
+    // waves over the unique event_id with a mid-stream compact; per
+    // wave the state IO is O(cells) — 10 rows — however big the batch.
+    Q(
+      "q226_chi2_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q226_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val ev = Tables.df(s, dir, "events")
+          .where(col("event_type").isin(chi2Types: _*))
+          .select(col("event_id"), col("event_type"),
+            (col("value") >= 50.0).as("hi"))
+        (0 until 3).foreach { i =>
+          val w = ev.where(pmod(hash(col("event_id")), lit(3)) === i)
+            .select("event_type", "hi")
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            chi2CellSchema)
+          if (i == 1)
+            graft.operators.StatCellIndex.compact(s, root, chi2CellSchema)
+        }
+        chi2FromCells(
+          graft.operators.StatCellIndex.cells(s, root, chi2CellSchema))
+      },
+      Some(chi2OracleSql)),
+
+    // ----------------------------------------------------------------
+    // q227: STREAMING CHI-SQUARE — q226's additive cell fold driven
+    // from a checkpointed stream under the q152 two-wave checkpoint-
+    // resume protocol, closing the three-consumer symmetry for the
+    // contingency statistic (one-shot q211, batch-incremental q226,
+    // this stream — the q62/q219/q221 move). appendBatch performs NO
+    // reads of stored state, so a checkpoint replay rewrites its delta
+    // from the batch alone — the simplest exactly-once contract in the
+    // engine. The stream is started twice on one checkpoint; the
+    // statistic is computed from the folded cells AFTER the drains by
+    // q211's arithmetic unchanged.
+    Q(
+      "q227_stream_chi2",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q227_streamchi2", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.df(s, dir, "events")
+          .where(col("event_type").isin(chi2Types: _*))
+          .select(col("event_id"), col("event_type"),
+            (col("value") >= 50.0).as("hi"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hi",
+            org.apache.spark.sql.types.BooleanType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, chi2CellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q227 drain did not finish in 300 s")
+          }
+        }
+        ev.where(pmod(hash(col("event_id")), lit(2)) === 0)
+          .select("event_type", "hi")
+          .repartition(2).write.parquet(s"$out/in")
+        drain()
+        ev.where(pmod(hash(col("event_id")), lit(2)) === 1)
+          .select("event_type", "hi")
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        drain()
+        chi2FromCells(
+          graft.operators.StatCellIndex.cells(s, s"$out/store",
+            chi2CellSchema))
+      },
+      Some(chi2OracleSql)),
+
+    // ----------------------------------------------------------------
+    // q228: INCREMENTAL KENDALL TAU-B — q223's rank correlation kept
+    // up to date under appended lineitem rows through the same
+    // additive cell-table index: the (x, y) value-pair cells are
+    // dim-sized and sum across batches, so the folded table equals the
+    // one-shot grouped count exactly and q223's oracle gates this
+    // deployment VERBATIM (kendallFromCells serves both — the C/D
+    // cell-pair sums, tie corrections, and the 2x-scaled identity run
+    // unchanged on maintained cells). Waves split by the (orderkey,
+    // linenumber) row key; mid-stream compact between waves.
+    Q(
+      "q228_kendall_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q228_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Q.dec2(col("l_quantity")).cast("long").as("x"),
+            (Q.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .selectExpr("l_orderkey", "l_linenumber", "x",
+            "cents div 100000 AS y")
+        (0 until 3).foreach { i =>
+          val w = li.where(
+              pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
+            .select("x", "y")
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            kendallCellSchema)
+          if (i == 1)
+            graft.operators.StatCellIndex.compact(s, root, kendallCellSchema)
+        }
+        kendallFromCells(
+          graft.operators.StatCellIndex.cells(s, root, kendallCellSchema)
+            .select(col("x"), col("y"), col("c").cast(d18).as("t")))
+      },
+      Some(kendallOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q229: STREAMING KENDALL TAU-B — q228's cell fold at the
+    // ingestion edge under the q152 two-wave checkpoint-resume
+    // protocol: q223's oracle now gates the SAME statistic through
+    // three consumers (one-shot, batch-incremental, stream). Replay
+    // safety is appendBatch's no-read contract; per micro-batch the
+    // state IO is one grouped count to O(cells) rows and one atomic
+    // delta, independent of corpus size.
+    Q(
+      "q229_stream_kendall",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q229_streamkendall", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Q.dec2(col("l_quantity")).cast("long").as("x"),
+            (Q.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .selectExpr("l_orderkey", "l_linenumber", "x",
+            "cents div 100000 AS y")
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("y",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, kendallCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q229 drain did not finish in 300 s")
+          }
+        }
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 0)
+          .select("x", "y")
+          .repartition(2).write.parquet(s"$out/in")
+        drain()
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 1)
+          .select("x", "y")
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        drain()
+        kendallFromCells(
+          graft.operators.StatCellIndex.cells(s, s"$out/store",
+            kendallCellSchema)
+            .select(col("x"), col("y"), col("c").cast(d18).as("t")))
+      },
+      Some(kendallOracleSql)),
 
     // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
@@ -1681,4 +1742,211 @@ object AssocQueries {
         ORDER BY p_partkey
       """))
   )
+
+  // ------------------------------------------------------------------
+  // Shared distribution-statistic machinery: the SAME statistic tail
+  // serves the one-shot queries and their StatCellIndex-maintained
+  // deployments (q211 = q226/q227, q223 = q228/q229), and the oracle
+  // constants make "gated by the one-shot oracle VERBATIM" literal.
+
+  private[queries] val chi2Types =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  private[queries] val chi2CellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("hi",
+      org.apache.spark.sql.types.BooleanType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType)))
+
+  private[queries] val kendallCellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("x",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType)))
+
+  /** q211's k x 2 chi-square from (event_type, hi, c) CELLS — the same
+    * exact-decimal row numerators and fixed left-associated IEEE term
+    * tree as the one-shot query, with counts weighted by the cell's c
+    * instead of 1 per row (identical integers, so identical doubles). */
+  private[queries] def chi2FromCells(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val types = chi2Types
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val aggs = types.flatMap { t =>
+      Seq(
+        sum(when(col("event_type") === t && !col("hi"), col("c"))
+          .otherwise(0L)).as(s"o_lo_$t"),
+        sum(when(col("event_type") === t, col("c")).otherwise(0L))
+          .as(s"r_$t"))
+    } ++ Seq(
+      sum(when(!col("hi"), col("c")).otherwise(0L)).as("c_low"),
+      sum(when(col("hi"), col("c")).otherwise(0L)).as("c_high"),
+      sum(col("c")).as("n_total"))
+    val row = cells.agg(aggs.head, aggs.tail: _*)
+    def d(t: String) =
+      (col(s"o_lo_$t").cast(d18) * col("n_total").cast(d18) -
+        col(s"r_$t").cast(d18) * col("c_low").cast(d18)).cast("double")
+    def term(t: String) = when(col(s"r_$t") > 0,
+      d(t) / col(s"r_$t") * d(t) / col("c_low") / col("c_high"))
+      .otherwise(lit(0.0))
+    val kPresent = types.map(t =>
+      when(col(s"r_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+    row.select(col("n_total"), col("c_low"), col("c_high"),
+      kPresent.as("k_present"), (kPresent - 1).as("df"),
+      when(col("c_low") > 0 && col("c_high") > 0,
+        types.map(term).reduce(_ + _)).as("chi2"))
+  }
+
+  /** q223's tie-corrected Kendall tau-b from (x, y, t) CELLS — C/D as
+    * broadcast nested-loop cell-pair sums (O(1) w.r.t. corpus),
+    * DECIMAL(37,0) products, the 2x-scaled integer identity, all-tied
+    * margins CASE-guarded. Serves the one-shot q223 and the maintained
+    * q228/q229 unchanged. */
+  private[queries] def kendallFromCells(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val c1 = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("t").as("t1"))
+    val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("t").as("t2"))
+    val conc = c1.join(broadcast(c2),
+        col("x1") < col("x2") && col("y1") < col("y2"))
+      .agg(sum(col("t1") * col("t2")).as("c"))
+    val disc = c1.join(broadcast(c2),
+        col("x1") < col("x2") && col("y1") > col("y2"))
+      .agg(sum(col("t1") * col("t2")).as("d"))
+    val mx = cells.groupBy("x").agg(sum("t").cast(d18).as("tx"))
+      .agg(sum(col("tx") * (col("tx") - 1)).as("t1s"))
+    val my = cells.groupBy("y").agg(sum("t").cast(d18).as("ty"))
+      .agg(sum(col("ty") * (col("ty") - 1)).as("t2s"))
+    val nn = cells.agg(sum("t").cast(d18).as("n"))
+    nn.crossJoin(conc).crossJoin(disc).crossJoin(mx).crossJoin(my)
+      .select(col("n").cast("long").as("n"),
+        col("c").cast("double").as("conc"),
+        col("d").cast("double").as("disc"),
+        (lit(2) * (col("c") - col("d"))).cast("double").as("num"),
+        (col("n") * (col("n") - 1) - col("t1s")).cast("double")
+          .as("den_x"),
+        (col("n") * (col("n") - 1) - col("t2s")).cast("double")
+          .as("den_y"))
+      .select(col("n"), col("conc"), col("disc"), col("num"),
+        col("den_x"), col("den_y"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num") / sqrt(col("den_x") * col("den_y")))
+          .as("tau_b"))
+  }
+
+  private[queries] val chi2OracleSql: String = """
+        WITH ev AS (
+          SELECT event_type, value >= 50.0 AS hi FROM events
+          WHERE event_type IN ('click','error','purchase','signup','view')
+        ), agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_click,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS r_click,
+            CAST(SUM(CASE WHEN event_type = 'error' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_error,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS r_error,
+            CAST(SUM(CASE WHEN event_type = 'purchase' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_purchase,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r_purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_signup,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS r_signup,
+            CAST(SUM(CASE WHEN event_type = 'view' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS o_lo_view,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS r_view,
+            CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS c_low,
+            CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS c_high,
+            COUNT(*) AS n_total
+          FROM ev
+        )
+        SELECT n_total, c_low, c_high,
+          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END) AS k_present,
+          (CASE WHEN r_click > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_error > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_purchase > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_signup > 0 THEN 1 ELSE 0 END
+           + CASE WHEN r_view > 0 THEN 1 ELSE 0 END - 1) AS df,
+          CASE WHEN c_low > 0 AND c_high > 0 THEN
+            (CASE WHEN r_click > 0 THEN
+              CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_click
+              * CAST(CAST(o_lo_click AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_click AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_error > 0 THEN
+              CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_error
+              * CAST(CAST(o_lo_error AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_error AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_purchase > 0 THEN
+              CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_purchase
+              * CAST(CAST(o_lo_purchase AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_purchase AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_signup > 0 THEN
+              CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_signup
+              * CAST(CAST(o_lo_signup AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_signup AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END
+            + CASE WHEN r_view > 0 THEN
+              CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / r_view
+              * CAST(CAST(o_lo_view AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(r_view AS DECIMAL(18,0)) * CAST(c_low AS DECIMAL(18,0)) AS DOUBLE)
+              / c_low / c_high ELSE 0.0 END)
+          END AS chi2
+        FROM agg
+      """
+
+  private[queries] val kendallOracleSql: String = """
+        WITH li AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100000 AS y
+          FROM lineitem
+        ), cells AS (
+          SELECT x, y, CAST(COUNT(*) AS DECIMAL(18,0)) AS t
+          FROM li GROUP BY 1, 2
+        ), conc AS (
+          SELECT SUM(c1.t * c2.t) AS c
+          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y < c2.y
+        ), disc AS (
+          SELECT SUM(c1.t * c2.t) AS d
+          FROM cells c1 JOIN cells c2 ON c1.x < c2.x AND c1.y > c2.y
+        ), mx AS (
+          SELECT SUM(tx * (tx - 1)) AS t1s FROM (
+            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS tx FROM cells GROUP BY x)
+        ), my AS (
+          SELECT SUM(ty * (ty - 1)) AS t2s FROM (
+            SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS ty FROM cells GROUP BY y)
+        ), nn AS (
+          SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS n FROM cells
+        ), named AS (
+          SELECT CAST(n AS BIGINT) AS n,
+                 CAST(c AS DOUBLE) AS conc,
+                 CAST(d AS DOUBLE) AS disc,
+                 CAST(2 * (c - d) AS DOUBLE) AS num,
+                 CAST(n * (n - 1) - t1s AS DOUBLE) AS den_x,
+                 CAST(n * (n - 1) - t2s AS DOUBLE) AS den_y
+          FROM nn, conc, disc, mx, my
+        )
+        SELECT n, conc, disc, num, den_x, den_y,
+               CASE WHEN den_x > 0 AND den_y > 0
+                 THEN num / SQRT(den_x * den_y) END AS tau_b
+        FROM named
+      """
 }
