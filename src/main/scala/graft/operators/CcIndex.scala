@@ -225,14 +225,31 @@ object CcIndex {
     * dropping stale pairs, so read pruning stays exact after compact.
     * Only compact waves that are durably past replay (see the replay
     * contract above). */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
+  def compact(spark: SparkSession, root: String, buckets: Int = 16,
+              upTo: Option[Int] = None): Unit = {
     val store = DeltaStore(root, buckets)
     store.compactTables(spark, Seq(
       ("lab", schema, col("id"), (df: DataFrame) => resolve(df)),
       ("c2b", c2bSchema, col("comp"),
         (_: DataFrame) =>
-          resolve(store.read(spark, schema, None, table = Some("lab")))
+          resolve(store.read(spark, schema, None, asOf = upTo,
+            table = Some("lab")))
             .select(col("comp"), store.gb(col("id")).as("idb"))
-            .distinct())))
+            .distinct())),
+      upTo)
+  }
+
+  /** Compaction policy ([[DeltaStore.maybeCompact]] discipline): fold
+    * iff more than `maxDeltas` live deltas sit at or below `upTo`.
+    * Streaming deployments call this at the START of batch k with
+    * `upTo = Some(k - 1)` — everything folded is durably past replay
+    * and a crashed batch's own delta stays live for its replay to
+    * replace (the replay-contract note above, enforced mechanically).
+    * Returns whether it fired. */
+  def maybeCompact(spark: SparkSession, root: String, maxDeltas: Int,
+                   upTo: Option[Int] = None, buckets: Int = 16): Boolean = {
+    val fire = DeltaStore(root, buckets).deltaCount(upTo) > maxDeltas
+    if (fire) compact(spark, root, buckets, upTo)
+    fire
   }
 }

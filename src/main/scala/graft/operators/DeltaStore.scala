@@ -99,8 +99,13 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
 
   /** Live delta count (base excluded) — the read-amplification metric
     * a compaction policy watches: listing cost, fold width, and bloom-
-    * probe count all follow the delta TAIL, not the batch id. */
-  def deltaCount(): Int = liveEntries(None).count(!_._1)
+    * probe count all follow the delta TAIL, not the batch id. With
+    * `upTo`, only deltas at or below that batch id count — the
+    * policy's view at the start of batch k is `upTo = Some(k - 1)`,
+    * the durably-committed tail. */
+  def deltaCount(upTo: Option[Int] = None): Int =
+    liveEntries(None).count { case (isBase, id, _) =>
+      !isBase && upTo.forall(id <= _) }
 
   def heal(): Unit =
     if (manifest) healManifest()
@@ -309,13 +314,37 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * are durably committed: a checkpoint REPLAY of batch j <= K would
     * append `delta=j` on top of a base that already contains it (the
     * replayed bytes are ignored by the covering rule / replaced entry,
-    * but they are dead weight until the next compact). */
+    * but they are dead weight until the next compact) — and for
+    * non-idempotent folds (additive counts, run stitching) a replay
+    * whose prior-state read can no longer EXCLUDE its folded delta
+    * would double-count outright. `upTo` enforces that rule
+    * mechanically: only deltas at or below that batch id fold; later
+    * deltas stay live above the new base (the covering rule keeps
+    * them). */
   def compact(spark: SparkSession, schema: StructType, key: Column,
-              fold: DataFrame => DataFrame): Unit =
-    compactWith(Seq("gbucket"), Seq(key)) { _ =>
-      fold(read(spark, schema, None))
+              fold: DataFrame => DataFrame,
+              upTo: Option[Int] = None): Unit =
+    compactWith(Seq("gbucket"), Seq(key), upTo) { _ =>
+      fold(read(spark, schema, None, asOf = upTo))
         .withColumn("gbucket", gb(key))
     }
+
+  /** Compaction POLICY ([[compact]] gated on the live-delta count):
+    * fold iff more than `maxDeltas` live deltas sit at or below
+    * `upTo`; returns whether it fired. Streaming deployments call this
+    * at the START of batch k with `upTo = Some(k - 1)`: batch k-1's
+    * checkpoint commit precedes batch k (AvailableNow runs batches
+    * serially), so everything folded is durably past replay, while a
+    * CRASHED batch k's own stale delta stays LIVE for the replay to
+    * exclude-and-replace — folding it would double-count its rows
+    * under every non-idempotent merge. */
+  def maybeCompact(spark: SparkSession, schema: StructType, key: Column,
+                   fold: DataFrame => DataFrame, maxDeltas: Int,
+                   upTo: Option[Int] = None): Boolean = {
+    val fire = deltaCount(upTo) > maxDeltas
+    if (fire) compact(spark, schema, key, fold, upTo)
+    fire
+  }
 
   /** Grouped-commit fold of a multi-table store ([[appendTables]]):
     * each (name, schema, key, fold) is folded independently, and all
@@ -323,23 +352,36 @@ final case class DeltaStore(dir: String, buckets: Int = 16,
     * ONE atomic commit — the tables can never be compacted to
     * different batch horizons. */
   def compactTables(spark: SparkSession,
-                    tables: Seq[(String, StructType, Column, DataFrame => DataFrame)]): Unit =
+                    tables: Seq[(String, StructType, Column, DataFrame => DataFrame)],
+                    upTo: Option[Int] = None): Unit =
     // per-table sort keys, masked to their own tbl slice so another
     // table's key column (possibly shared, e.g. vec_id) cannot steal
     // sort precedence inside a slice
     compactWith(Seq("tbl", "gbucket"),
-        tables.map { case (n, _, key, _) => when(col("tbl") === lit(n), key) }) { _ =>
+        tables.map { case (n, _, key, _) => when(col("tbl") === lit(n), key) },
+        upTo) { _ =>
       tables.map { case (name, schema, key, fold) =>
-        fold(read(spark, schema, None, table = Some(name)))
+        fold(read(spark, schema, None, asOf = upTo, table = Some(name)))
           .withColumn("tbl", lit(name))
           .withColumn("gbucket", gb(key))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
-  private def compactWith(partCols: Seq[String], within: Seq[Column])
+  /** [[maybeCompact]] for grouped multi-table stores. */
+  def maybeCompactTables(spark: SparkSession,
+                         tables: Seq[(String, StructType, Column, DataFrame => DataFrame)],
+                         maxDeltas: Int,
+                         upTo: Option[Int] = None): Boolean = {
+    val fire = deltaCount(upTo) > maxDeltas
+    if (fire) compactTables(spark, tables, upTo)
+    fire
+  }
+
+  private def compactWith(partCols: Seq[String], within: Seq[Column],
+                          upTo: Option[Int] = None)
                          (mkFolded: Unit => DataFrame): Unit = {
     heal()
-    val live = liveEntries(None)
+    val live = liveEntries(upTo)
     if (live.nonEmpty) {
       val k = live.map(_._2).max
       val folded = mkFolded(())

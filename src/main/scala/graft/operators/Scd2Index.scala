@@ -147,16 +147,34 @@ object Scd2Index {
     * sidecar fast path stays complete after compaction. Advisory as
     * always: a crash between commit and sidecar degrades the next
     * append to the state-aggregate fallback, never to wrongness. */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit = {
+  def compact(spark: SparkSession, root: String, buckets: Int = 16,
+              upTo: Option[Int] = None): Unit = {
     val store = DeltaStore(root, buckets)
-    store.compact(spark, runSchema, col("k"), stitch)
-    val row = store.read(spark, runSchema, None).agg(max("last_us")).head()
+    store.compact(spark, runSchema, col("k"), stitch, upTo)
+    // the sidecar describes the BASE's own rows: with a fold horizon,
+    // aggregate at that horizon, not over still-live later deltas (an
+    // overstated base horizon would make the guard refuse in-order
+    // batches)
+    val row = store.read(spark, runSchema, None, asOf = upTo)
+      .agg(max("last_us")).head()
     if (!row.isNullAt(0))
       store.live(None).collectFirst { case (true, _, d) => d }.foreach { d =>
         java.nio.file.Files.write(
           new java.io.File(d, horizonSidecar).toPath,
           java.nio.ByteBuffer.allocate(8).putLong(row.getLong(0)).array())
       }
+  }
+
+  /** Compaction policy: fold iff more than `maxDeltas` live deltas sit
+    * at or below `upTo`. Stitching duplicated fragments would inflate
+    * run event counts, so a crashed batch's own uncommitted delta must
+    * NOT fold — streaming deployments call this at the START of batch
+    * k with `upTo = Some(k - 1)`. Returns whether it fired. */
+  def maybeCompact(spark: SparkSession, root: String, maxDeltas: Int,
+                   upTo: Option[Int] = None, buckets: Int = 16): Boolean = {
+    val fire = DeltaStore(root, buckets).deltaCount(upTo) > maxDeltas
+    if (fire) compact(spark, root, buckets, upTo)
+    fire
   }
 
   /** The maintained dimension: stitched runs numbered per key in time

@@ -70,10 +70,25 @@ object StatCellIndex {
 
   /** Fold live deltas into one base with the same sum-by-key. */
   def compact(spark: SparkSession, root: String, schema: StructType,
-              buckets: Int = 16): Unit = {
+              buckets: Int = 16, upTo: Option[Int] = None): Unit = {
     val keys = keyCols(schema)
     DeltaStore(root, buckets).compact(spark, schema,
       struct(keys.map(col): _*),
-      df => df.groupBy(keys.map(col): _*).agg(sum("c").as("c")))
+      df => df.groupBy(keys.map(col): _*).agg(sum("c").as("c")),
+      upTo)
+  }
+
+  /** Compaction policy: fold iff more than `maxDeltas` live deltas sit
+    * at or below `upTo`. The cell fold is ADDITIVE — folding a crashed
+    * batch's own uncommitted delta would double-count it on replay —
+    * so streaming deployments call this at the START of batch k with
+    * `upTo = Some(k - 1)`, the durably-committed tail. Returns whether
+    * it fired. */
+  def maybeCompact(spark: SparkSession, root: String, schema: StructType,
+                   maxDeltas: Int, upTo: Option[Int] = None,
+                   buckets: Int = 16): Boolean = {
+    val fire = DeltaStore(root, buckets).deltaCount(upTo) > maxDeltas
+    if (fire) compact(spark, root, schema, buckets, upTo)
+    fire
   }
 }

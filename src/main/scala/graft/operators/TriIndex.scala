@@ -133,9 +133,24 @@ object TriIndex {
 
   /** Fold deltas into one base: adjacency rows are immutable (identity
     * fold); degrees sum by node. One atomic grouped commit. */
-  def compact(spark: SparkSession, root: String, buckets: Int = 16): Unit =
+  def compact(spark: SparkSession, root: String, buckets: Int = 16,
+              upTo: Option[Int] = None): Unit =
     DeltaStore(root, buckets).compactTables(spark, Seq(
       ("adj", adjSchema, col("node"), (df: DataFrame) => df),
       ("deg", degSchema, col("node"),
-        (df: DataFrame) => df.groupBy("node").agg(sum("d").as("d")))))
+        (df: DataFrame) => df.groupBy("node").agg(sum("d").as("d")))),
+      upTo)
+
+  /** Compaction policy: fold iff more than `maxDeltas` live deltas sit
+    * at or below `upTo` (streaming calls this at the START of batch k
+    * with `upTo = Some(k - 1)` — the degree fold is ADDITIVE, so
+    * folding a crashed batch's own delta would double-count it on
+    * replay; the horizon keeps it live to be excluded-and-replaced).
+    * Returns whether it fired. */
+  def maybeCompact(spark: SparkSession, root: String, maxDeltas: Int,
+                   upTo: Option[Int] = None, buckets: Int = 16): Boolean = {
+    val fire = DeltaStore(root, buckets).deltaCount(upTo) > maxDeltas
+    if (fire) compact(spark, root, buckets, upTo)
+    fire
+  }
 }

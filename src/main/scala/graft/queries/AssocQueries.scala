@@ -509,6 +509,9 @@ object AssocQueries {
         var total = 0L
         (0 until 3).foreach { i =>
           val w = landed.where(col("wave") === i).select("u", "v")
+          // policy-driven mid-stream compact: fires once, before wave 2
+          graft.operators.TriIndex.maybeCompact(s, s"$root/store",
+            maxDeltas = 1, upTo = Some(i - 1))
           total += graft.operators.TriIndex.foldWave(s, w, s"$root/store", i)
         }
         graft.operators.TriIndex.stats(s, s"$root/store")
@@ -585,6 +588,15 @@ object AssocQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // auto-compaction policy at batch start (threshold 0 —
+              // fires under this two-batch gate): only the durably-
+              // committed tail folds; the degree fold is additive, so
+              // the batch's own delta must stay live for replay
+              graft.operators.TriIndex.maybeCompact(s, s"$out/store",
+                maxDeltas = 0, upTo = Some(id.toInt - 1))
+              require(graft.operators.DeltaStore(s"$out/store")
+                .deltaCount(Some(id.toInt - 1)) == 0,
+                "q225: compaction policy left committed deltas live")
               val delta = graft.operators.TriIndex
                 .foldWave(s, b, s"$out/store", id.toInt)
               val total = latestTotalBelow(id) + delta
@@ -644,8 +656,13 @@ object AssocQueries {
     // reads the newest state BELOW its own id, so a checkpoint replay
     // recomputes from the same predecessor and overwrites its own
     // version — deterministic under the replay contract. The stream
-    // is started twice on one checkpoint; the report reads the final
-    // version.
+    // is started THREE times on one checkpoint (three waves, so the
+    // version-GC policy below has a superseded version to collect);
+    // the report reads the final version. AUTO-GC policy (the
+    // snapshot-state analog of delta auto-compaction): at batch start,
+    // versions below the batch's replay predecessor can never be read
+    // again — neither by this batch nor by a replay of it — and are
+    // deleted, bounding live state at two versions.
     Q(
       "q220_stream_skyline",
       (s, dir) => {
@@ -668,6 +685,21 @@ object AssocQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // version-GC policy: everything below the replay
+              // predecessor is unreachable — delete, then assert the
+              // bound (predecessor + at most this batch's own stale
+              // version from a crashed attempt)
+              latestBelow(id).foreach { keep =>
+                Option(new java.io.File(s"$out/sky").listFiles())
+                  .toSeq.flatten
+                  .filter(f => f.getName.startsWith("state=") &&
+                    f.getName.stripPrefix("state=").toLong <
+                      keep.stripPrefix(s"$out/sky/state=").toLong)
+                  .foreach(rm)
+                require(Option(new java.io.File(s"$out/sky").listFiles())
+                  .toSeq.flatten.count(_.getName.startsWith("state=")) <= 2,
+                  "q220: version GC did not bound live state")
+              }
               val prev = latestBelow(id)
                 .map(s.read.parquet(_)).getOrElse(b.limit(0))
               graft.operators.Skyline
@@ -680,10 +712,13 @@ object AssocQueries {
             throw new IllegalStateException("q220 drain did not finish in 300 s")
           }
         }
-        parts.where(col("p_partkey") % 2 === 0).repartition(2)
+        parts.where(col("p_partkey") % 3 === 0).repartition(2)
           .write.parquet(s"$out/in")
         drain()
-        parts.where(col("p_partkey") % 2 === 1).repartition(2)
+        parts.where(col("p_partkey") % 3 === 1).repartition(2)
+          .write.mode("append").parquet(s"$out/in")
+        drain()
+        parts.where(col("p_partkey") % 3 === 2).repartition(2)
           .write.mode("append").parquet(s"$out/in")
         drain()
         s.read.parquet(latestBelow(Long.MaxValue).get)
@@ -1517,10 +1552,11 @@ object AssocQueries {
         (0 until 3).foreach { i =>
           val w = ev.where(pmod(hash(col("event_id")), lit(3)) === i)
             .select("event_type", "hi")
+          // policy-driven mid-stream compact: fires once, before wave 2
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            chi2CellSchema, maxDeltas = 1, upTo = Some(i - 1))
           graft.operators.StatCellIndex.appendBatch(s, w, root, i,
             chi2CellSchema)
-          if (i == 1)
-            graft.operators.StatCellIndex.compact(s, root, chi2CellSchema)
         }
         chi2FromCells(
           graft.operators.StatCellIndex.cells(s, root, chi2CellSchema))
@@ -1562,6 +1598,10 @@ object AssocQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // auto-compaction policy at batch start: the cell fold is
+              // additive, so only the durably-committed tail may fold
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                chi2CellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
               graft.operators.StatCellIndex.appendBatch(s, b,
                 s"$out/store", id.toInt, chi2CellSchema)
             }
@@ -1615,10 +1655,11 @@ object AssocQueries {
           val w = li.where(
               pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
             .select("x", "y")
+          // policy-driven mid-stream compact: fires once, before wave 2
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            kendallCellSchema, maxDeltas = 1, upTo = Some(i - 1))
           graft.operators.StatCellIndex.appendBatch(s, w, root, i,
             kendallCellSchema)
-          if (i == 1)
-            graft.operators.StatCellIndex.compact(s, root, kendallCellSchema)
         }
         kendallFromCells(
           graft.operators.StatCellIndex.cells(s, root, kendallCellSchema)
@@ -1661,6 +1702,9 @@ object AssocQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // auto-compaction policy at batch start (q227 discipline)
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                kendallCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
               graft.operators.StatCellIndex.appendBatch(s, b,
                 s"$out/store", id.toInt, kendallCellSchema)
             }

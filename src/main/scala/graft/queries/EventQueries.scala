@@ -861,6 +861,17 @@ object EventQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // auto-compaction POLICY at batch start: fold the
+              // durably-committed delta tail (never the batch's own
+              // delta — a replayed batch must still exclude-and-replace
+              // it), threshold 0 so the policy fires under this gate;
+              // the postcondition is asserted, the firing itself is
+              // pinned in AutoCompactSpec
+              Scd2Index.maybeCompact(s, s"$out/store", maxDeltas = 0,
+                upTo = Some(id.toInt - 1))
+              require(graft.operators.DeltaStore(s"$out/store")
+                .deltaCount(Some(id.toInt - 1)) == 0,
+                "q216: compaction policy left committed deltas live")
               Scd2Index.appendBatch(s, b, s"$out/store", id.toInt)
             }
             .start()

@@ -1069,8 +1069,10 @@ object SimilarityQueries {
     // wave moved — members of old components whose label changed plus
     // brand-new nodes (touched + batch, NEVER all nodes; CcIndexSpec
     // asserts the bound row-for-row); the read side resolves
-    // latest-wins per node, and a mid-stream COMPACT between waves 1
-    // and 2 puts the fold path itself under the gate. Held to q62's
+    // latest-wins per node, and a POLICY-driven mid-stream COMPACT
+    // (CcIndex.maybeCompact, threshold 1 — fires once, before wave 2,
+    // folding only the committed tail) puts the fold path itself under
+    // the gate. Held to q62's
     // recursive-closure oracle VERBATIM; the fold identity is
     // additionally property-pinned across random splits in
     // ConnectedComponentsPropertySpec.
@@ -1091,8 +1093,12 @@ object SimilarityQueries {
         val waves = (0 until 3).map(w =>
           pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(3)) === w))
         waves.zipWithIndex.foreach { case (w, i) =>
+          // POLICY-driven compaction (not a hand-placed call): fold the
+          // committed tail when it exceeds one live delta — fires once
+          // here, before wave 2
+          graft.operators.CcIndex.maybeCompact(s, root, maxDeltas = 1,
+            upTo = Some(i - 1))
           graft.operators.CcIndex.appendWave(s, w, root, i)
-          if (i == 1) graft.operators.CcIndex.compact(s, root)
         }
         graft.operators.CcIndex.labels(s, root)
           .select(col("id").as("name"), col("comp").as("component"))
@@ -1160,6 +1166,15 @@ object SimilarityQueries {
             .option("checkpointLocation", s"$out/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // auto-compaction policy at batch start (threshold 0 so
+              // it fires under this two-batch gate): folds only the
+              // durably-committed tail — the batch's own delta stays
+              // live for the bit-identical replay contract
+              graft.operators.CcIndex.maybeCompact(s, s"$out/store",
+                maxDeltas = 0, upTo = Some(id.toInt - 1))
+              require(graft.operators.DeltaStore(s"$out/store")
+                .deltaCount(Some(id.toInt - 1)) == 0,
+                "q221: compaction policy left committed deltas live")
               graft.operators.CcIndex.appendWave(s, b, s"$out/store", id.toInt)
             }
             .start()
