@@ -14,12 +14,19 @@ import org.apache.spark.sql.types._
   * events close the previously-open interval and open new ones without
   * the corpus ever being re-windowed.
   *
-  * State: one [[DeltaStore]] table of RUN FRAGMENTS
-  * `(k, attr, from_us, last_us, n_events, tie)` — a batch's
-  * gaps-and-islands output, carrying each run's last event time and
-  * the tiebreak of its FIRST event (the (from_us, tie) sort key that
-  * keeps stitching deterministic under duplicate timestamps). The
-  * stitch fold (merge adjacent equal-attr fragments per key) is
+  * State: one grouped [[DeltaStore]] holding two tables —
+  *
+  *   - `runs`: RUN FRAGMENTS `(k, attr, from_us, last_us, n_events,
+  *     tie, bid)` — a batch's gaps-and-islands output, carrying each
+  *     run's last event time, the tiebreak of its FIRST event (the
+  *     (from_us, tie) sort key that keeps stitching deterministic
+  *     under duplicate timestamps), and the WRITER's batch id `bid`
+  *     (the supersession clock for [[backfill]]);
+  *   - `reb`: REBUILD RECORDS `(k, b)` — key k's fragments from
+  *     batches before b are superseded (dim-sized: one row per
+  *     repaired key per repair).
+  *
+  * The stitch fold (merge adjacent equal-attr fragments per key) is
   * associative over time-ordered fragments and idempotent, so it
   * serves as both the read-side merge and the [[compact]] fold, and
   * the maintained output equals the one-shot [[Scd2.intervals]] build
@@ -38,9 +45,18 @@ import org.apache.spark.sql.types._
   * EXCLUDES the batch's own delta so a checkpoint replay of an
   * already-committed batch passes and replaces its delta
   * bit-identically). Arbitrarily-late data needs the MorTable
-  * merge-on-read path instead. Scd2IndexSpec pins maintained ==
-  * one-shot across random time-split batches, the mid-stream compact,
-  * and the out-of-order refusal.
+  * merge-on-read path (q222) — and once repaired, [[backfill]]
+  * re-admits the affected keys so later reads serve INDEX-ONLY:
+  * it re-windows each affected key's FULL history (which the repair
+  * already assembled), commits the fragments with `bid` = the
+  * catch-up batch plus one `reb` row per key in ONE atomic grouped
+  * delta, and the read side drops the superseded older fragments per
+  * key. The horizon guard is satisfied by construction (full per-key
+  * history replaces everything for that key), later in-order appends
+  * stitch on top of the rebuilt runs, and untouched keys never see
+  * the repair. Scd2IndexSpec pins maintained == one-shot across
+  * random time-split batches, the mid-stream compact, the
+  * out-of-order refusal, and the backfill round trip.
   */
 object Scd2Index {
 
@@ -56,12 +72,18 @@ object Scd2Index {
   private val runSchema = StructType(Seq(
     StructField("k", LongType), StructField("attr", IntegerType),
     StructField("from_us", LongType), StructField("last_us", LongType),
-    StructField("n_events", LongType), StructField("tie", LongType)))
+    StructField("n_events", LongType), StructField("tie", LongType),
+    StructField("bid", LongType)))
+
+  private val rebSchema = StructType(Seq(
+    StructField("k", LongType), StructField("b", LongType)))
 
   private val horizonSidecar = "scd2_horizon"
 
   /** Merge adjacent equal-attr fragments per key — the stitch fold.
-    * Input and output both carry [[runSchema]]'s columns. */
+    * Input and output both carry [[runSchema]]'s columns; the merged
+    * row keeps the NEWEST writer id, so a compacted row is never
+    * re-superseded by a rebuild record it already absorbed. */
   private def stitch(frags: DataFrame): DataFrame = {
     val byKey = Window.partitionBy("k").orderBy("from_us", "tie")
     frags
@@ -73,15 +95,34 @@ object Scd2Index {
       .groupBy(col("k"), col("island"))
       .agg(min("attr").as("attr"), min("from_us").as("from_us"),
         max("last_us").as("last_us"), sum("n_events").as("n_events"),
-        min_by(col("tie"), struct(col("from_us"), col("tie"))).as("tie"))
-      .select("k", "attr", "from_us", "last_us", "n_events", "tie")
+        min_by(col("tie"), struct(col("from_us"), col("tie"))).as("tie"),
+        max("bid").as("bid"))
+      .select("k", "attr", "from_us", "last_us", "n_events", "tie", "bid")
+  }
+
+  /** The live fragments with supersession applied: a key's fragments
+    * written before its newest rebuild record are dropped (the
+    * [[backfill]] contract). The `reb` table is dim-sized, so the
+    * filter is one broadcast-joinable aggregate. */
+  private def liveRuns(spark: SparkSession, store: DeltaStore,
+                       asOf: Option[Int] = None): DataFrame = {
+    val runs = store.read(spark, runSchema, None, asOf = asOf,
+      table = Some("runs"))
+    val reb = store.read(spark, rebSchema, None, asOf = asOf,
+        table = Some("reb"))
+      .groupBy("k").agg(max("b").as("rb"))
+    runs.join(reb, Seq("k"), "left")
+      .where(col("rb").isNull || col("bid") >= col("rb"))
+      .drop("rb")
   }
 
   /** Stored horizon (max event time across all live state, excluding
     * `ownBatch`'s delta): the fast path folds the per-delta horizon
     * sidecars (advisory — written after each commit); any live dir
     * without one (a base, or a crash between commit and sidecar)
-    * falls back to one aggregate over the run-grain state. */
+    * falls back to one aggregate over the run-grain state. Superseded
+    * fragments need no filtering here: a rebuild covers its keys'
+    * full history, so their max last_us never exceeds the live one. */
   private def horizon(spark: SparkSession, store: DeltaStore,
                       ownBatch: Int): Option[Long] = {
     val live = store.live(None)
@@ -95,18 +136,37 @@ object Scd2Index {
       }
       if (fromSidecars.forall(_.isDefined)) Some(fromSidecars.flatten.max)
       else {
-        val row = store.readEntries(spark, runSchema, live, None)
+        val row = store.readEntries(spark, runSchema,
+          live.map { case (b, id, d) =>
+            (b, id, new java.io.File(d, "tbl=runs")) }, None)
           .agg(max("last_us")).head()
         if (row.isNullAt(0)) None else Some(row.getLong(0))
       }
     }
   }
 
-  /** Compress one batch (columns: key `k` LONG, time `us` LONG, unique
-    * tiebreak `tie`, attribute `attr` INT) to its run fragments and
-    * append them as the delta for `batchId` — one atomic commit, no
-    * window ever spans stored state. Refuses a batch that starts at or
-    * before the stored horizon (see the class doc). */
+  /** Compress `batch` (columns: key `k` LONG, time `us` LONG, unique
+    * tiebreak `tie`, attribute `attr` INT) to its run fragments. */
+  private def fragments(batch: DataFrame, batchId: Int): DataFrame = {
+    val byKey = Window.partitionBy("k").orderBy("us", "tie")
+    batch.select(col("k"), col("tie"), col("us"), col("attr"))
+      .withColumn("chg",
+        when(lag("attr", 1).over(byKey).isNull ||
+          lag("attr", 1).over(byKey) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("island", sum("chg").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min("attr").as("attr"), min("us").as("from_us"),
+        max("us").as("last_us"), count(lit(1)).cast(LongType).as("n_events"),
+        min_by(col("tie"), struct(col("us"), col("tie"))).as("tie"))
+      .select("k", "attr", "from_us", "last_us", "n_events", "tie")
+      .withColumn("bid", lit(batchId.toLong))
+  }
+
+  /** Compress one batch to its run fragments and append them as the
+    * delta for `batchId` — one atomic commit, no window ever spans
+    * stored state. Refuses a batch that starts at or before the stored
+    * horizon (see the class doc). */
   def appendBatch(spark: SparkSession, batch: DataFrame, root: String,
                   batchId: Int, buckets: Int = 16): Unit = {
     val store = DeltaStore(root, buckets)
@@ -121,41 +181,68 @@ object Scd2Index {
             "neighbors; route late data through the merge-on-read path")
       }
     }
-    val byKey = Window.partitionBy("k").orderBy("us", "tie")
-    val frags = batch.select(col("k"), col("tie"), col("us"), col("attr"))
-      .withColumn("chg",
-        when(lag("attr", 1).over(byKey).isNull ||
-          lag("attr", 1).over(byKey) =!= col("attr"), 1L).otherwise(0L))
-      .withColumn("island", sum("chg").over(
-        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("k"), col("island"))
-      .agg(min("attr").as("attr"), min("us").as("from_us"),
-        max("us").as("last_us"), count(lit(1)).cast(LongType).as("n_events"),
-        min_by(col("tie"), struct(col("us"), col("tie"))).as("tie"))
-      .select("k", "attr", "from_us", "last_us", "n_events", "tie")
+    val frags = fragments(batch, batchId)
+      .withColumn("tbl", lit("runs"))
       .withColumn("gbucket", store.gb(col("k")))
-    store.append(frags, batchId, within = Seq(col("k"), col("from_us")))
+    store.appendTables(frags, batchId, within = Seq(col("k"), col("from_us")))
     if (!isEmpty)
       store.writeSidecar(batchId, horizonSidecar,
         java.nio.ByteBuffer.allocate(8).putLong(bounds.getLong(1)).array())
   }
 
-  /** Fold the fragment deltas into one stitched base (atomic commit);
-    * the read path is unchanged — stitching is idempotent. The fresh
-    * base gets its own horizon sidecar (one aggregate, here at
-    * compact time rather than on every later append), so the guard's
-    * sidecar fast path stays complete after compaction. Advisory as
-    * always: a crash between commit and sidecar degrades the next
-    * append to the state-aggregate fallback, never to wrongness. */
+  /** Re-admit repaired keys to the fast path (the q222→q230 move):
+    * `history` is the affected keys' FULL event history (same columns
+    * as [[appendBatch]] — the merge-on-read repair already assembled
+    * it), re-windowed here exactly like the one-shot build and
+    * committed as ONE atomic grouped catch-up delta: the rebuilt
+    * fragments (bid = `batchId`) plus one `reb` supersession row per
+    * key. No horizon guard — a full per-key rebuild replaces
+    * everything for that key by construction. Reads after this serve
+    * index-only; later in-order appends stitch on top. O(affected
+    * keys' events), never a corpus rebuild. */
+  def backfill(spark: SparkSession, history: DataFrame, root: String,
+               batchId: Int, buckets: Int = 16): Unit = {
+    val store = DeltaStore(root, buckets)
+    store.heal()
+    val bounds = history.agg(min("us"), max("us")).head()
+    val frags = fragments(history, batchId)
+      .withColumn("tbl", lit("runs"))
+      .withColumn("gbucket", store.gb(col("k")))
+    val reb = history.select("k").distinct()
+      .withColumn("b", lit(batchId.toLong))
+      .withColumn("tbl", lit("reb"))
+      .withColumn("gbucket", store.gb(col("k")))
+    store.appendTables(frags.unionByName(reb, allowMissingColumns = true),
+      batchId, within = Seq(col("k"), col("from_us")))
+    if (!bounds.isNullAt(0))
+      store.writeSidecar(batchId, horizonSidecar,
+        java.nio.ByteBuffer.allocate(8).putLong(bounds.getLong(1)).array())
+  }
+
+  /** Fold the fragment deltas into one stitched base (atomic grouped
+    * commit): supersession is applied FIRST (so the base carries only
+    * live fragments), rebuild records keep their newest row per key.
+    * The fresh base gets its own horizon sidecar (one aggregate, here
+    * at compact time rather than on every later append), so the
+    * guard's sidecar fast path stays complete after compaction.
+    * Advisory as always: a crash between commit and sidecar degrades
+    * the next append to the state-aggregate fallback, never to
+    * wrongness. */
   def compact(spark: SparkSession, root: String, buckets: Int = 16,
               upTo: Option[Int] = None): Unit = {
     val store = DeltaStore(root, buckets)
-    store.compact(spark, runSchema, col("k"), stitch, upTo)
+    store.compactTables(spark, Seq(
+      ("runs", runSchema, col("k"),
+        (_: DataFrame) => stitch(liveRuns(spark, store, upTo))),
+      ("reb", rebSchema, col("k"),
+        (df: DataFrame) => df.groupBy("k").agg(max("b").as("b")))),
+      upTo)
     // the sidecar describes the BASE's own rows: with a fold horizon,
     // aggregate at that horizon, not over still-live later deltas (an
     // overstated base horizon would make the guard refuse in-order
     // batches)
-    val row = store.read(spark, runSchema, None, asOf = upTo)
+    val row = store.read(spark, runSchema, None, asOf = upTo,
+        table = Some("runs"))
       .agg(max("last_us")).head()
     if (!row.isNullAt(0))
       store.live(None).collectFirst { case (true, _, d) => d }.foreach { d =>
@@ -180,11 +267,11 @@ object Scd2Index {
   /** The maintained dimension: stitched runs numbered per key in time
     * order, half-open validity closed by the next run's start —
     * identical, row for row, to [[Scd2.intervals]] over the union of
-    * all appended batches (under the append-order contract). */
+    * all appended batches (under the append-order contract, with
+    * [[backfill]]-superseded fragments dropped first). */
   def intervals(spark: SparkSession, root: String,
                 buckets: Int = 16): DataFrame = {
-    val runs = stitch(
-      DeltaStore(root, buckets).read(spark, runSchema, None))
+    val runs = stitch(liveRuns(spark, DeltaStore(root, buckets)))
     val byKey = Window.partitionBy("k")
     runs
       .withColumn("island",

@@ -1010,7 +1010,95 @@ object EventQueries {
             col("valid_to_us"), col("is_current"), col("n_events"))
           .orderBy("user_id", "island")
       },
-      Some("""
+      Some(scd2OracleSql)),
+
+    // ----------------------------------------------------------------
+    // q230: SCD2 repair BACKFILL — closes q222's operational gap:
+    // there, every read after a late batch re-pays the per-key repair.
+    // Here the repair's output is RE-ADMITTED to the silver index
+    // (Scd2Index.backfill): the affected keys' full history — which
+    // the merge-on-read repair already assembled from bronze —
+    // re-windows once and lands as ONE atomic catch-up delta (rebuilt
+    // fragments + per-key supersession records), the horizon guard
+    // satisfied by construction since a full per-key rebuild replaces
+    // everything for that key. After the backfill the pipeline is back
+    // on the fast path END TO END, and this entry proves both halves
+    // under the gate: (1) a LATER in-order batch appends through the
+    // normal guarded path on top of the rebuilt runs — for repaired
+    // and untouched keys alike — and (2) the final read serves
+    // INDEX-ONLY (no bronze re-window, no union with a repair leg),
+    // still matching q192's oracle VERBATIM over the full corpus.
+    // Cost stays O(affected keys' events) for the repair+backfill and
+    // O(batch) for everything after — never a corpus rebuild.
+    Q(
+      "q230_scd2_backfill",
+      (s, dir) => {
+        import graft.operators.{DeltaStore, MorTable, Scd2Index}
+        val root = graft.Q.scratch(s, "q230_scd2bf", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").as("k"), col("event_id").as("tie"),
+            usCol.as("us"),
+            floor(col("value") / lit(100.0)).cast("int").as("attr"))
+        val b = ev.agg(
+            ((min(col("us")) * 2 + max(col("us"))) / lit(3L)).cast("long"),
+            ((min(col("us")) + max(col("us")) * 2) / lit(3L)).cast("long"))
+          .head()
+        val (mid, hi) = (b.getLong(0), b.getLong(1))
+        // the late slice: a deterministic subset of EARLY events that
+        // arrives AFTER the middle third is already indexed
+        val isLate = col("us") <= mid && pmod(col("tie"), lit(7)) === 0
+        val w1 = ev.where(col("us") <= mid && !isLate)
+        val w2 = ev.where(col("us") > mid && col("us") <= hi)
+        val w3 = ev.where(col("us") > hi)
+        val late = ev.where(isLate)
+        val bronze = MorTable(DeltaStore(s"$root/bronze"), Seq("tie"))
+        bronze.upsert(w1, 1)
+        Scd2Index.appendBatch(s, w1, s"$root/silver", 1)
+        bronze.upsert(w2, 2)
+        Scd2Index.appendBatch(s, w2, s"$root/silver", 2)
+        bronze.upsert(late, 3)
+        val refused =
+          try { Scd2Index.appendBatch(s, late, s"$root/silver", 3); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "q230: the horizon guard must refuse the out-of-order batch")
+        // repair: the affected keys' full history from bronze...
+        val affected = late.select("k").distinct()
+        val raw = bronze.snapshot(s, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tie",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("attr",
+            org.apache.spark.sql.types.IntegerType))))
+        val history = raw.join(affected, Seq("k"), "left_semi")
+        // ...BACKFILLED into the index as one catch-up delta
+        Scd2Index.backfill(s, history, s"$root/silver", 4)
+        // the fast path is live again: a later in-order batch appends
+        // through the guard, stitching onto rebuilt and untouched keys
+        bronze.upsert(w3, 5)
+        Scd2Index.appendBatch(s, w3, s"$root/silver", 5)
+        // index-only read — no repair leg, no bronze access
+        Scd2Index.intervals(s, s"$root/silver")
+          .select(col("k").as("user_id"), col("island"),
+            col("attr").as("tier"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"), col("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some(scd2OracleSql))
+  )
+
+  /** q192's SCD2 oracle — shared verbatim by the one-shot-equivalent
+    * deployments q222 (merge-on-read repair) and q230 (repair +
+    * backfill), making "held to q192's oracle VERBATIM" literal. */
+  private[queries] val scd2OracleSql: String = """
         WITH ev AS (
           SELECT user_id, event_id,
                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -1043,6 +1131,5 @@ object EventQueries {
                n_events
         FROM runs
         ORDER BY user_id, island
-      """))
-  )
+      """
 }

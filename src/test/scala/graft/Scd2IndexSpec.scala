@@ -177,4 +177,47 @@ class Scd2IndexSpec extends AnyFunSuite {
     assert(merged.filter(_._1 == 1L)
       == maintained(s"$r/silver").filter(_._1 == 1L))
   }
+
+  test("backfill re-admits repaired keys: index-only reads match one-shot, later appends stitch on top") {
+    import graft.operators.{DeltaStore, MorTable, Scd2Index}
+    import org.apache.spark.sql.types._
+    // key 0: withheld mid-run splitter (us=2000 attr 9); key 1 untouched
+    val all = Seq(
+      (0L, 1L, 1000L, 1), (0L, 2L, 2000L, 9), (0L, 3L, 3000L, 1),
+      (0L, 4L, 9000L, 2), (0L, 7L, 12000L, 2), (0L, 8L, 15000L, 5),
+      (1L, 5L, 1500L, 3), (1L, 6L, 8000L, 3), (1L, 9L, 14000L, 4)
+    ).toDF("k", "tie", "us", "attr")
+    val late = all.where(col("tie") === 2L)
+    val w1 = all.where(col("us") <= 4000L && col("tie") =!= 2L)
+    val w2 = all.where(col("us") > 4000L && col("us") <= 10000L)
+    val w3 = all.where(col("us") > 10000L)
+    val r = root("backfill")
+    val bronze = MorTable(DeltaStore(s"$r/bronze"), Seq("tie"))
+    bronze.upsert(w1, 1); Scd2Index.appendBatch(spark, w1, s"$r/silver", 1)
+    bronze.upsert(w2, 2); Scd2Index.appendBatch(spark, w2, s"$r/silver", 2)
+    bronze.upsert(late, 3)
+    intercept[IllegalArgumentException] {
+      Scd2Index.appendBatch(spark, late, s"$r/silver", 3)
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tie", LongType), StructField("us", LongType),
+      StructField("attr", IntegerType)))
+    val history = bronze.snapshot(spark, schema)
+      .join(late.select("k").distinct(), Seq("k"), "left_semi")
+    Scd2Index.backfill(spark, history, s"$r/silver", 4)
+    // index-only read now equals one-shot over everything so far
+    assert(maintained(s"$r/silver")
+      == oneShot(all.where(col("us") <= 10000L)))
+    // a replayed backfill is idempotent (no-read contract)
+    Scd2Index.backfill(spark, history, s"$r/silver", 4)
+    assert(maintained(s"$r/silver")
+      == oneShot(all.where(col("us") <= 10000L)))
+    // the fast path is live again: a later in-order batch passes the
+    // guard and stitches onto rebuilt (k=0) and untouched (k=1) keys
+    Scd2Index.appendBatch(spark, w3, s"$r/silver", 5)
+    assert(maintained(s"$r/silver") == oneShot(all))
+    // a compact folds superseded fragments away; reads unchanged
+    Scd2Index.compact(spark, s"$r/silver")
+    assert(maintained(s"$r/silver") == oneShot(all))
+  }
 }
