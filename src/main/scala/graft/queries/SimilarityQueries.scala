@@ -1086,10 +1086,15 @@ object SimilarityQueries {
         }
         rm(new java.io.File(root))
         val names = blockedNames(s, dir)
+        // land the pair derivation ONCE: each wave's fold evaluates its
+        // edge frame several times (bucket collects + condense joins),
+        // and without the cut every evaluation re-runs the levenshtein
+        // blocking join — in production the edge waves ARE the input
         val pairs = names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
           .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+          .localCheckpoint()
         val waves = (0 until 3).map(w =>
           pairs.where(pmod(hash(col("name_a"), col("name_b")), lit(3)) === w))
         waves.zipWithIndex.foreach { case (w, i) =>
@@ -1156,10 +1161,12 @@ object SimilarityQueries {
         }
         rm(new java.io.File(out))
         val names = blockedNames(s, dir)
+        // derived once, landed once (two wave writes filter it)
         val pairs = names.as("a").join(names.as("b"),
             col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name") &&
               levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
           .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+          .localCheckpoint()
         def drain(): Unit = {
           val q = s.readStream.schema(pairs.schema).parquet(s"$out/in")
             .writeStream
