@@ -80,11 +80,14 @@ import org.apache.spark.sql.types._
   *
   * The EMPTY-STATE wave (first wave, or a replay of it) is the whole
   * graph, whose diameter is unbounded — label propagation's
-  * diameter-rounds contract does not apply, so it folds through
+  * diameter-rounds contract does not apply. It still runs label
+  * propagation FIRST (near-dup clusters are tight — diameter rounds,
+  * each two keyed joins), but on non-convergence falls back to
   * [[ConnectedComponents.componentsStar]] (O(log² n) rounds on any
   * graph, same min-label output — q63 gates it on the identical
-  * oracle). Later waves fold the CONDENSED graph (batch + touched
-  * component labels, diameter ~small) through the cheaper
+  * oracle) instead of aborting: the committed labels are final either
+  * way, never truncated. Later waves fold the CONDENSED graph (batch
+  * + touched component labels, diameter ~small) through
   * [[ConnectedComponents.components]], which THROWS on
   * non-convergence rather than committing truncated labels.
   *
@@ -141,9 +144,17 @@ object CcIndex {
       .filterNot { case (isBase, id, _) => !isBase && id == waveId }
     val delta =
       if (priorEntries.isEmpty) {
-        // empty-state wave: the raw batch IS the graph; its diameter is
-        // unbounded, so use star contraction (O(log² n) on any graph)
-        ConnectedComponents.componentsStar(e).select("id", "comp")
+        // empty-state wave: the raw batch IS the graph, whose diameter
+        // is unbounded — label propagation first (near-dup clusters are
+        // tight: diameter rounds, each two keyed joins), star
+        // contraction as the any-diameter fallback (O(log² n) rounds)
+        // instead of aborting; either way the committed labels are
+        // final, never truncated
+        try ConnectedComponents.components(e, maxIter).select("id", "comp")
+        catch {
+          case _: IllegalStateException =>
+            ConnectedComponents.componentsStar(e).select("id", "comp")
+        }
       } else {
         def readLab(phase: String, touched: Seq[Int]): DataFrame = {
           onPrunedRead(phase, touched)

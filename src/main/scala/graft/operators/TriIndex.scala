@@ -75,23 +75,28 @@ object TriIndex {
       .unionAll(e.select(col("v").as("node"))).distinct()
     // old edges with ≥1 endpoint in the batch — the only ones a delta
     // triangle can use: pruned to the batch endpoints' buckets, exact
-    // via the mirror rows
+    // via the mirror rows. Materialized ONCE: the degree-bucket probe
+    // and the wedge fold both consume it, and re-evaluating would
+    // re-read the pruned store per consumer.
     val tb = store.touched(batchNodes, col("node"))
     onPrunedRead("adj", tb)
     val incident = store.read(spark, adjSchema, Some(tb),
         table = Some("adj"), excludeDelta = Some(waveId))
       .join(batchNodes, Seq("node"), "left_semi")
+      .localCheckpoint()
     val oldEdges = incident
       .select(least(col("node"), col("nbr")).as("u"),
         greatest(col("node"), col("nbr")).as("v"))
       .distinct()
-    // maintained degrees for exactly the nodes this fold orients:
-    // additive sum over the touched buckets plus the batch's own
-    // contribution (a node's rows all share its bucket — exact)
-    val needNodes = incident.select(col("node"))
-      .unionAll(incident.select(col("nbr").as("node")))
-      .unionAll(batchNodes).distinct()
-    val td = store.touched(needNodes, col("node"))
+    // maintained degrees for the nodes this fold orients: the fold's
+    // endpoints are the batch's (buckets tb) plus the incident rows'
+    // far ends — one bucket probe over the materialized frame; extra
+    // same-bucket nodes are harmless (every consumer joins inner on
+    // edge endpoints). Additive sum over those buckets plus the
+    // batch's own contribution (a node's rows all share its bucket —
+    // exact).
+    val td = (tb ++ store.touched(
+      incident.select(col("nbr").as("node")), col("node"))).distinct.sorted
     onPrunedRead("deg", td)
     val batchDeg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -100,9 +105,11 @@ object TriIndex {
         table = Some("deg"), excludeDelta = Some(waveId))
       .groupBy("node").agg(sum("d").as("sd"))
       .join(batchDeg, Seq("node"), "full_outer")
-      .join(needNodes, Seq("node"), "left_semi")
       .select(col("node"),
         (coalesce(col("sd"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("deg"))
+      // materialized: the orientation consumes it twice, and real row
+      // stats let the broadcast router see its true (node-grain) size
+      .localCheckpoint()
     val all = oldEdges.withColumn("is_new", lit(false))
       .unionByName(e.withColumn("is_new", lit(true)))
     val delta = Triangles.countDeltaWithDeg(all, deg).head().getLong(0)
