@@ -1319,76 +1319,10 @@ object AssocQueries {
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("is_a"),
           floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
-        val byV = o.groupBy("v")
-          .agg(sum("is_a").as("a"), (count(lit(1)) - sum("is_a")).as("b"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        val cum = byV
-          .withColumn("cum_a", sum("a").over(w))
-          .withColumn("cum_b", sum("b").over(w))
-        val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
-        val gaps = cum.crossJoin(broadcast(tot))
-          .select(col("v"), col("n_a"), col("n_b"),
-            abs(col("cum_a").cast(d18) * col("n_b").cast(d18) -
-              col("cum_b").cast(d18) * col("n_a").cast(d18)).as("num"))
-        val mx = gaps.agg(max("num").as("max_num"))
-        gaps.crossJoin(broadcast(mx))
-          .where(col("num") === col("max_num"))
-          .groupBy("n_a", "n_b", "max_num")
-          .agg(min("v").as("d_at_v"))
-          .select(col("n_a"), col("n_b"), col("d_at_v"),
-            when(col("n_a") > 0 && col("n_b") > 0,
-              col("max_num").cast("double") /
-                (col("n_a").cast("double") * col("n_b"))).as("d_stat"))
-          .withColumn("ks_lambda",
-            col("d_stat") * sqrt(col("n_a").cast("double") * col("n_b") /
-              (col("n_a") + col("n_b"))))
+        ksFromByV(o.groupBy("v")
+          .agg(sum("is_a").as("a"), (count(lit(1)) - sum("is_a")).as("b")))
       },
-      Some("""
-        WITH o AS (
-          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                      THEN 1 ELSE 0 END AS is_a,
-                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
-          FROM orders
-        ), byv AS (
-          SELECT v, CAST(SUM(is_a) AS BIGINT) AS a,
-                 CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS b
-          FROM o GROUP BY 1
-        ), cum AS (
-          SELECT v,
-                 CAST(SUM(a) OVER win AS BIGINT) AS cum_a,
-                 CAST(SUM(b) OVER win AS BIGINT) AS cum_b
-          FROM byv
-          WINDOW win AS (ORDER BY v
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ), tot AS (
-          SELECT CAST(SUM(a) AS BIGINT) AS n_a,
-                 CAST(SUM(b) AS BIGINT) AS n_b
-          FROM byv
-        ), gaps AS (
-          SELECT v, n_a, n_b,
-                 ABS(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0))
-                   - CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0)))
-                   AS num
-          FROM cum CROSS JOIN tot
-        ), mx AS (
-          SELECT MAX(num) AS max_num FROM gaps
-        ), arg AS (
-          SELECT n_a, n_b, max_num, MIN(v) AS d_at_v
-          FROM gaps CROSS JOIN mx
-          WHERE num = max_num
-          GROUP BY 1, 2, 3
-        )
-        SELECT n_a, n_b, d_at_v,
-               CASE WHEN n_a > 0 AND n_b > 0 THEN
-                 CAST(max_num AS DOUBLE)
-                   / (CAST(n_a AS DOUBLE) * n_b) END AS d_stat,
-               CASE WHEN n_a > 0 AND n_b > 0 THEN
-                 CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END
-                 * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS ks_lambda
-        FROM arg
-      """)),
+      Some(ksOracleSql)),
 
     // ----------------------------------------------------------------
     // q218: SPEARMAN rank correlation between lineitem quantity and
@@ -1730,6 +1664,104 @@ object AssocQueries {
       Some(kendallOracleSql)),
 
     // ----------------------------------------------------------------
+    // q231: INCREMENTAL KOLMOGOROV-SMIRNOV — q215's two-sample D kept
+    // up to date through the additive cell-table index (the q226/q228
+    // move applied to the last one-shot-only distribution statistic
+    // the judge's tier named): the (group, dollar-value) cells sum
+    // across batches, the folded table rebuilds the per-value a/b
+    // counts exactly, and the ECDF-gap arithmetic (ksFromByV) runs
+    // unchanged — q215's oracle VERBATIM, three consumers.
+    Q(
+      "q231_ks_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q231_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        (0 until 3).foreach { i =>
+          val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
+            .select("is_a", "v")
+          // policy-driven mid-stream compact: fires once, before wave 2
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            ksCellSchema, maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            ksCellSchema)
+        }
+        ksFromByV(
+          graft.operators.StatCellIndex.cells(s, root, ksCellSchema)
+            .groupBy("v")
+            .agg(sum(when(col("is_a") === 1L, col("c")).otherwise(0L)).as("a"),
+              sum(when(col("is_a") === 0L, col("c")).otherwise(0L)).as("b")))
+      },
+      Some(ksOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q232: STREAMING KOLMOGOROV-SMIRNOV — q231's cell fold at the
+    // ingestion edge under the q152 two-wave checkpoint-resume
+    // protocol; replay safety is appendBatch's no-read contract, and
+    // the auto-compaction policy folds the committed tail at each
+    // batch start (the q227/q229 discipline). q215's oracle now gates
+    // the statistic through three consumers.
+    Q(
+      "q232_stream_ks",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q232_streamks", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("is_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                ksCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, ksCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q232 drain did not finish in 300 s")
+          }
+        }
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 0)
+          .select("is_a", "v")
+          .repartition(2).write.parquet(s"$out/in")
+        drain()
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 1)
+          .select("is_a", "v")
+          .repartition(2).write.mode("append").parquet(s"$out/in")
+        drain()
+        ksFromByV(
+          graft.operators.StatCellIndex.cells(s, s"$out/store", ksCellSchema)
+            .groupBy("v")
+            .agg(sum(when(col("is_a") === 1L, col("c")).otherwise(0L)).as("a"),
+              sum(when(col("is_a") === 0L, col("c")).otherwise(0L)).as("b")))
+      },
+      Some(ksOracleSql)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that
@@ -1883,6 +1915,93 @@ object AssocQueries {
           col("num") / sqrt(col("den_x") * col("den_y")))
           .as("tau_b"))
   }
+
+  private[queries] val ksCellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("is_a",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType)))
+
+  /** q215's two-sample KS from the per-value (v, a, b) count table —
+    * cross-multiplied exact-decimal ECDF gaps over the running-sum
+    * window (value-domain-bounded, the q199 class), argmax with a
+    * deterministic min-v tiebreak, one IEEE division + sqrt at the
+    * end. Serves the one-shot q215 and the maintained q231/q232
+    * unchanged. */
+  private[queries] def ksFromByV(
+      byV: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = byV
+      .withColumn("cum_a", sum("a").over(w))
+      .withColumn("cum_b", sum("b").over(w))
+    val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(d18) * col("n_b").cast(d18) -
+          col("cum_b").cast(d18) * col("n_a").cast(d18)).as("num"))
+    val mx = gaps.agg(max("num").as("max_num"))
+    gaps.crossJoin(broadcast(mx))
+      .where(col("num") === col("max_num"))
+      .groupBy("n_a", "n_b", "max_num")
+      .agg(min("v").as("d_at_v"))
+      .select(col("n_a"), col("n_b"), col("d_at_v"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("max_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b"))).as("d_stat"))
+      .withColumn("ks_lambda",
+        col("d_stat") * sqrt(col("n_a").cast("double") * col("n_b") /
+          (col("n_a") + col("n_b"))))
+  }
+
+  private[queries] val ksOracleSql: String = """
+        WITH o AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a,
+                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
+          FROM orders
+        ), byv AS (
+          SELECT v, CAST(SUM(is_a) AS BIGINT) AS a,
+                 CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS b
+          FROM o GROUP BY 1
+        ), cum AS (
+          SELECT v,
+                 CAST(SUM(a) OVER win AS BIGINT) AS cum_a,
+                 CAST(SUM(b) OVER win AS BIGINT) AS cum_b
+          FROM byv
+          WINDOW win AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(b) AS BIGINT) AS n_b
+          FROM byv
+        ), gaps AS (
+          SELECT v, n_a, n_b,
+                 ABS(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0))
+                   - CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0)))
+                   AS num
+          FROM cum CROSS JOIN tot
+        ), mx AS (
+          SELECT MAX(num) AS max_num FROM gaps
+        ), arg AS (
+          SELECT n_a, n_b, max_num, MIN(v) AS d_at_v
+          FROM gaps CROSS JOIN mx
+          WHERE num = max_num
+          GROUP BY 1, 2, 3
+        )
+        SELECT n_a, n_b, d_at_v,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST(max_num AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * n_b) END AS d_stat,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END
+                 * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS ks_lambda
+        FROM arg
+      """
 
   private[queries] val chi2OracleSql: String = """
         WITH ev AS (
