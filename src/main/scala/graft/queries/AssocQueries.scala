@@ -1208,88 +1208,14 @@ object AssocQueries {
     Q(
       "q213_mann_whitney_u",
       (s, dir) => {
-        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
-        val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
         val o = Tables.orders(s, dir).select(
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("is_a"),
           floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
-        val byV = o.groupBy("v")
-          .agg(sum("is_a").as("cnt_a"), count(lit(1)).as("t"))
-        val cum = byV.withColumn("cum",
-          coalesce(sum("t").over(org.apache.spark.sql.expressions.Window
-            .orderBy("v")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, -1)), lit(0L)))
-        val agg = cum.agg(
-          sum("cnt_a").as("n_a"),
-          sum("t").as("n"),
-          sum(col("cnt_a").cast(d18) *
-            (col("cum") * 2 + col("t") + 1).cast(d18)).as("s2_a"),
-          sum(col("t").cast(d12) * col("t").cast(d12) * col("t").cast(d12) -
-            col("t").cast(d12)).as("tie"))
-        agg.select(
-            col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"),
-            col("s2_a"), col("tie"))
-          .select(col("n_a"), col("n_b"), col("n"),
-            ((col("s2_a").cast("double") -
-              col("n_a").cast("double") * (col("n_a") + 1)) / 2.0).as("u_a"),
-            (col("n_a").cast("double") * col("n_b") / 2.0).as("mean_u"),
-            col("tie").cast("double").as("tie_term"),
-            when(col("n_a") > 0 && col("n_b") > 0,
-              sqrt(col("n_a").cast("double") * col("n_b") / 12.0 *
-                ((col("n") + 1) - col("tie").cast("double") /
-                  (col("n").cast("double") * (col("n") - 1)))))
-              .as("sigma_u"))
-          .select(col("n_a"), col("n_b"), col("n"), col("u_a"),
-            col("mean_u"), col("tie_term"), col("sigma_u"),
-            when(col("sigma_u") > 0,
-              (col("u_a") - col("mean_u")) / col("sigma_u")).as("z_score"))
+        mwuFromByV(o.groupBy("v")
+          .agg(sum("is_a").as("cnt_a"), count(lit(1)).as("t")))
       },
-      Some("""
-        WITH o AS (
-          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                      THEN 1 ELSE 0 END AS is_a,
-                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
-          FROM orders
-        ), byv AS (
-          SELECT v, CAST(SUM(is_a) AS BIGINT) AS cnt_a, COUNT(*) AS t
-          FROM o GROUP BY 1
-        ), cumt AS (
-          SELECT v, cnt_a, t,
-                 CAST(COALESCE(SUM(t) OVER (ORDER BY v
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS cum
-          FROM byv
-        ), agg AS (
-          SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
-                 CAST(SUM(t) AS BIGINT) AS n,
-                 SUM(CAST(cnt_a AS DECIMAL(18,0)) *
-                     CAST(cum * 2 + t + 1 AS DECIMAL(18,0))) AS s2_a,
-                 SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
-                     * CAST(t AS DECIMAL(12,0))
-                     - CAST(t AS DECIMAL(12,0))) AS tie
-          FROM cumt
-        ), named AS (
-          SELECT n_a, n - n_a AS n_b, n, s2_a, tie FROM agg
-        ), stats AS (
-          SELECT n_a, n_b, n,
-                 (CAST(s2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0
-                   AS u_a,
-                 CAST(n_a AS DOUBLE) * n_b / 2.0 AS mean_u,
-                 CAST(tie AS DOUBLE) AS tie_term,
-                 CASE WHEN n_a > 0 AND n_b > 0 THEN
-                   SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0 *
-                     ((n + 1) - CAST(tie AS DOUBLE) /
-                       (CAST(n AS DOUBLE) * (n - 1))))
-                 END AS sigma_u
-          FROM named
-        )
-        SELECT n_a, n_b, n, u_a, mean_u, tie_term, sigma_u,
-               CASE WHEN sigma_u > 0
-                 THEN (u_a - mean_u) / sigma_u END AS z_score
-        FROM stats
-      """)),
+      Some(mwuOracleSql)),
 
     // ----------------------------------------------------------------
     // q215: KOLMOGOROV-SMIRNOV two-sample D — the distribution-shape
@@ -1314,7 +1240,6 @@ object AssocQueries {
     Q(
       "q215_ks_two_sample",
       (s, dir) => {
-        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
         val o = Tables.orders(s, dir).select(
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("is_a"),
@@ -1381,48 +1306,7 @@ object AssocQueries {
               col("num") / sqrt(col("den_x") * col("den_y")))
               .as("rho_spearman"))
       },
-      Some("""
-        WITH li AS (
-          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
-                 CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS y
-          FROM lineitem
-        ), rx AS (
-          SELECT v AS x, CAST(cum * 2 + t + 1 AS BIGINT) AS r_x FROM (
-            SELECT x AS v, COUNT(*) AS t,
-                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS BIGINT) AS cum
-            FROM li GROUP BY x)
-        ), ry AS (
-          SELECT v AS y, CAST(cum * 2 + t + 1 AS BIGINT) AS r_y FROM (
-            SELECT y AS v, COUNT(*) AS t,
-                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS BIGINT) AS cum
-            FROM li GROUP BY y)
-        ), agg AS (
-          SELECT COUNT(*) AS n,
-                 SUM(CAST(r_x AS DECIMAL(19,0))) AS sx,
-                 SUM(CAST(r_y AS DECIMAL(19,0))) AS sy,
-                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_x AS DECIMAL(19,0))) AS sxx,
-                 SUM(CAST(r_y AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS syy,
-                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS sxy
-          FROM li JOIN rx USING (x) JOIN ry USING (y)
-        ), named AS (
-          SELECT n,
-                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
-                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
-          FROM agg
-        )
-        SELECT n, num, den_x, den_y,
-               CASE WHEN den_x > 0 AND den_y > 0
-                 THEN num / SQRT(den_x * den_y) END AS rho_spearman
-        FROM named
-      """)),
+      Some(spearmanOracleSql)),
 
     // ----------------------------------------------------------------
     // q223: KENDALL TAU-B — completes the rank-correlation family
@@ -1762,6 +1646,184 @@ object AssocQueries {
       Some(ksOracleSql)),
 
     // ----------------------------------------------------------------
+    // q233/q234: INCREMENTAL + STREAMING MANN-WHITNEY U — q213's
+    // rank-sum test maintained through the SAME cell table as KS (the
+    // (group, dollar-value) counts serve both statistics: one
+    // maintained state, many reports — the warehouse shape). The
+    // folded cells rebuild (v, cnt_a, t) exactly and the midrank/tie
+    // arithmetic (mwuFromByV) runs unchanged — q213's oracle VERBATIM,
+    // three consumers. With q226-q232 this makes the ENTIRE
+    // distribution-statistics tier (chi-square, MWU, KS, Spearman,
+    // Kendall) three-consumer.
+    Q(
+      "q233_mwu_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q233_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        (0 until 3).foreach { i =>
+          val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
+            .select("is_a", "v")
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            ksCellSchema, maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            ksCellSchema)
+        }
+        mwuFromByV(
+          graft.operators.StatCellIndex.cells(s, root, ksCellSchema)
+            .groupBy("v")
+            .agg(sum(when(col("is_a") === 1L, col("c")).otherwise(0L))
+              .as("cnt_a"), sum("c").as("t")))
+      },
+      Some(mwuOracleSql)),
+
+    Q(
+      "q234_stream_mwu",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q234_streammwu", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("is_a"),
+          floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("is_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                ksCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, ksCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q234 drain did not finish in 300 s")
+          }
+        }
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 0)
+          .select("is_a", "v")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 1)
+          .select("is_a", "v")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        mwuFromByV(
+          graft.operators.StatCellIndex.cells(s, s"$out/store", ksCellSchema)
+            .groupBy("v")
+            .agg(sum(when(col("is_a") === 1L, col("c")).otherwise(0L))
+              .as("cnt_a"), sum("c").as("t")))
+      },
+      Some(mwuOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q235/q236: INCREMENTAL + STREAMING SPEARMAN — q218's rank
+    // correlation through the (x, y) cell table (quantity ×
+    // whole-dollar price: value-domain-bounded, the q215 class). The
+    // maintained tail computes midranks from per-value cell sums and
+    // WEIGHTS each product by the cell's count — every sum is the same
+    // exact integer the one-shot row-grain aggregation produces (rank
+    // products in DECIMAL(12,0)³ = 38 digits, the q213 tie-term
+    // pattern), so the final correctly-rounded doubles are identical
+    // and q218's oracle gates all three consumers VERBATIM.
+    Q(
+      "q235_spearman_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q235_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          Q.dec2(col("l_quantity")).cast("long").as("x"),
+          floor(Q.dec2(col("l_extendedprice"))).cast("long").as("y"))
+        (0 until 3).foreach { i =>
+          val w = li.where(
+              pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
+            .select("x", "y")
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            kendallCellSchema, maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            kendallCellSchema)
+        }
+        spearmanFromCells(
+          graft.operators.StatCellIndex.cells(s, root, kendallCellSchema))
+      },
+      Some(spearmanOracleSql)),
+
+    Q(
+      "q236_stream_spearman",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q236_streamsp", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          Q.dec2(col("l_quantity")).cast("long").as("x"),
+          floor(Q.dec2(col("l_extendedprice"))).cast("long").as("y"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("y",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                kendallCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, kendallCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q236 drain did not finish in 300 s")
+          }
+        }
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 0)
+          .select("x", "y")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 1)
+          .select("x", "y")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        spearmanFromCells(
+          graft.operators.StatCellIndex.cells(s, s"$out/store",
+            kendallCellSchema))
+      },
+      Some(spearmanOracleSql)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that
@@ -2001,6 +2063,177 @@ object AssocQueries {
                  CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END
                  * SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS ks_lambda
         FROM arg
+      """
+
+  /** q213's tie-corrected Mann-Whitney U from the per-value
+    * (v, cnt_a, t) count table — midranks via the exclusive running
+    * sum (value-domain-bounded window), the rank-sum and DECIMAL(12,0)³
+    * tie term as exact aggregates, fixed-order IEEE finale. Serves the
+    * one-shot q213 and the maintained q233/q234 unchanged. */
+  private[queries] def mwuFromByV(
+      byV: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val cum = byV.withColumn("cum",
+      coalesce(sum("t").over(org.apache.spark.sql.expressions.Window
+        .orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+    val agg = cum.agg(
+      sum("cnt_a").as("n_a"),
+      sum("t").as("n"),
+      sum(col("cnt_a").cast(d18) *
+        (col("cum") * 2 + col("t") + 1).cast(d18)).as("s2_a"),
+      sum(col("t").cast(d12) * col("t").cast(d12) * col("t").cast(d12) -
+        col("t").cast(d12)).as("tie"))
+    agg.select(
+        col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"),
+        col("s2_a"), col("tie"))
+      .select(col("n_a"), col("n_b"), col("n"),
+        ((col("s2_a").cast("double") -
+          col("n_a").cast("double") * (col("n_a") + 1)) / 2.0).as("u_a"),
+        (col("n_a").cast("double") * col("n_b") / 2.0).as("mean_u"),
+        col("tie").cast("double").as("tie_term"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(col("n_a").cast("double") * col("n_b") / 12.0 *
+            ((col("n") + 1) - col("tie").cast("double") /
+              (col("n").cast("double") * (col("n") - 1)))))
+          .as("sigma_u"))
+      .select(col("n_a"), col("n_b"), col("n"), col("u_a"),
+        col("mean_u"), col("tie_term"), col("sigma_u"),
+        when(col("sigma_u") > 0,
+          (col("u_a") - col("mean_u")) / col("sigma_u")).as("z_score"))
+  }
+
+  /** q218's Spearman rho from (x, y, c) CELLS: midranks from per-value
+    * cell sums, every rank sum/product WEIGHTED by the cell's count —
+    * the same exact integers the one-shot row-grain aggregation
+    * produces (products in DECIMAL(12,0)³ = 38 digits), so the final
+    * correctly-rounded doubles match the oracle bit-for-bit. */
+  private[queries] def spearmanFromCells(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    def ranks(name: String) = cells.groupBy(col(name).as("v"))
+      .agg(sum("c").as("t"))
+      .withColumn("cum",
+        coalesce(sum("t").over(org.apache.spark.sql.expressions.Window
+          .orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("v").as(name), (col("cum") * 2 + col("t") + 1).as(s"r_$name"))
+    val ranked = cells
+      .join(broadcast(ranks("x")), Seq("x"))
+      .join(broadcast(ranks("y")), Seq("y"))
+    val agg = ranked.agg(
+      sum(col("c")).as("n"),
+      sum(col("r_x").cast(d19) * col("c").cast(d19)).as("sx"),
+      sum(col("r_y").cast(d19) * col("c").cast(d19)).as("sy"),
+      sum(col("r_x").cast(d12) * col("r_x").cast(d12) * col("c").cast(d12))
+        .as("sxx"),
+      sum(col("r_y").cast(d12) * col("r_y").cast(d12) * col("c").cast(d12))
+        .as("syy"),
+      sum(col("r_x").cast(d12) * col("r_y").cast(d12) * col("c").cast(d12))
+        .as("sxy"))
+    agg.select(col("n"),
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")).as("den_x"),
+        (col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")).as("den_y"))
+      .select(col("n"), col("num"), col("den_x"), col("den_y"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num") / sqrt(col("den_x") * col("den_y")))
+          .as("rho_spearman"))
+  }
+
+  private[queries] val mwuOracleSql: String = """
+        WITH o AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS is_a,
+                 CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v
+          FROM orders
+        ), byv AS (
+          SELECT v, CAST(SUM(is_a) AS BIGINT) AS cnt_a, COUNT(*) AS t
+          FROM o GROUP BY 1
+        ), cumt AS (
+          SELECT v, cnt_a, t,
+                 CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum
+          FROM byv
+        ), agg AS (
+          SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(t) AS BIGINT) AS n,
+                 SUM(CAST(cnt_a AS DECIMAL(18,0)) *
+                     CAST(cum * 2 + t + 1 AS DECIMAL(18,0))) AS s2_a,
+                 SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                     * CAST(t AS DECIMAL(12,0))
+                     - CAST(t AS DECIMAL(12,0))) AS tie
+          FROM cumt
+        ), named AS (
+          SELECT n_a, n - n_a AS n_b, n, s2_a, tie FROM agg
+        ), stats AS (
+          SELECT n_a, n_b, n,
+                 (CAST(s2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0
+                   AS u_a,
+                 CAST(n_a AS DOUBLE) * n_b / 2.0 AS mean_u,
+                 CAST(tie AS DOUBLE) AS tie_term,
+                 CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                     ((n + 1) - CAST(tie AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * (n - 1))))
+                 END AS sigma_u
+          FROM named
+        )
+        SELECT n_a, n_b, n, u_a, mean_u, tie_term, sigma_u,
+               CASE WHEN sigma_u > 0
+                 THEN (u_a - mean_u) / sigma_u END AS z_score
+        FROM stats
+      """
+
+  private[queries] val spearmanOracleSql: String = """
+        WITH li AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+                 CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS y
+          FROM lineitem
+        ), rx AS (
+          SELECT v AS x, CAST(cum * 2 + t + 1 AS BIGINT) AS r_x FROM (
+            SELECT x AS v, COUNT(*) AS t,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum
+            FROM li GROUP BY x)
+        ), ry AS (
+          SELECT v AS y, CAST(cum * 2 + t + 1 AS BIGINT) AS r_y FROM (
+            SELECT y AS v, COUNT(*) AS t,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum
+            FROM li GROUP BY y)
+        ), agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(r_x AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST(r_y AS DECIMAL(19,0))) AS sy,
+                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(r_y AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(r_x AS DECIMAL(19,0)) * CAST(r_y AS DECIMAL(19,0))) AS sxy
+          FROM li JOIN rx USING (x) JOIN ry USING (y)
+        ), named AS (
+          SELECT n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+          FROM agg
+        )
+        SELECT n, num, den_x, den_y,
+               CASE WHEN den_x > 0 AND den_y > 0
+                 THEN num / SQRT(den_x * den_y) END AS rho_spearman
+        FROM named
       """
 
   private[queries] val chi2OracleSql: String = """
