@@ -1431,11 +1431,11 @@ object AssocQueries {
         }
         ev.where(pmod(hash(col("event_id")), lit(2)) === 0)
           .select("event_type", "hi")
-          .repartition(2).write.parquet(s"$out/in")
+          .repartition(8).write.parquet(s"$out/in")
         drain()
         ev.where(pmod(hash(col("event_id")), lit(2)) === 1)
           .select("event_type", "hi")
-          .repartition(2).write.mode("append").parquet(s"$out/in")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
         drain()
         chi2FromCells(
           graft.operators.StatCellIndex.cells(s, s"$out/store",
@@ -1534,11 +1534,11 @@ object AssocQueries {
         }
         li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 0)
           .select("x", "y")
-          .repartition(2).write.parquet(s"$out/in")
+          .repartition(8).write.parquet(s"$out/in")
         drain()
         li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 1)
           .select("x", "y")
-          .repartition(2).write.mode("append").parquet(s"$out/in")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
         drain()
         kendallFromCells(
           graft.operators.StatCellIndex.cells(s, s"$out/store",
@@ -1631,11 +1631,11 @@ object AssocQueries {
         }
         o.where(pmod(hash(col("o_orderkey")), lit(2)) === 0)
           .select("is_a", "v")
-          .repartition(2).write.parquet(s"$out/in")
+          .repartition(8).write.parquet(s"$out/in")
         drain()
         o.where(pmod(hash(col("o_orderkey")), lit(2)) === 1)
           .select("is_a", "v")
-          .repartition(2).write.mode("append").parquet(s"$out/in")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
         drain()
         ksFromByV(
           graft.operators.StatCellIndex.cells(s, s"$out/store", ksCellSchema)
