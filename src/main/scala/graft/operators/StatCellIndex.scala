@@ -91,4 +91,71 @@ object StatCellIndex {
     if (fire) compact(spark, root, schema, buckets, upTo)
     fire
   }
+
+  // ------------------------------------------------------------------
+  // ADDITIVE MOMENT variant: the same per-batch one-grouped-aggregate /
+  // one-atomic-delta / no-stored-state-reads protocol, but the state's
+  // non-key columns (`valueCols`) are exact additive SUMS (LONG counts
+  // or cents, DECIMAL moment sums) rather than the single count `c`.
+  // Sums of sums equal the one-shot sums exactly, so the maintained
+  // table feeds the one-shot statistic tails unchanged — the recipe
+  // behind the decision statistics whose sufficient state is sums:
+  // revenue concentration's per-customer cents, the correlation
+  // matrix's moment row, the A/B readout's per-arm tallies. Each value
+  // column's batch sum is cast back to its DECLARED schema type, so
+  // the fold's width discipline is the schema's (document the ceiling
+  // where the query does).
+
+  private def sumTo(schema: StructType, valueCols: Seq[String]) =
+    valueCols.map(v => sum(col(v)).cast(schema(v).dataType).as(v))
+
+  /** Sum one batch's rows into per-key moment sums and append as the
+    * delta for `batchId` — one grouped aggregate, one atomic commit,
+    * no reads of stored state. `batch` carries the key columns plus
+    * row-grain addends for each value column (`lit(1L)` for a count). */
+  def appendAgg(spark: SparkSession, batch: DataFrame, root: String,
+                batchId: Int, schema: StructType, valueCols: Seq[String],
+                buckets: Int = 16): Unit = {
+    val keys = schema.fieldNames.toSeq.filterNot(valueCols.contains)
+    val store = DeltaStore(root, buckets)
+    store.heal()
+    val folded = batch
+      .groupBy(keys.map(col): _*)
+      .agg(sumTo(schema, valueCols).head, sumTo(schema, valueCols).tail: _*)
+      .withColumn("gbucket", store.gb(struct(keys.map(col): _*)))
+    store.append(folded, batchId, within = keys.map(col))
+  }
+
+  /** The maintained moment table: keys plus each value column summed
+    * over live state — identical to the one-shot grouped sums. */
+  def table(spark: SparkSession, root: String, schema: StructType,
+            valueCols: Seq[String], buckets: Int = 16): DataFrame = {
+    val keys = schema.fieldNames.toSeq.filterNot(valueCols.contains)
+    DeltaStore(root, buckets).read(spark, schema, None)
+      .groupBy(keys.map(col): _*)
+      .agg(sumTo(schema, valueCols).head, sumTo(schema, valueCols).tail: _*)
+  }
+
+  /** Fold live deltas into one base with the same per-key sums. */
+  def compactAgg(spark: SparkSession, root: String, schema: StructType,
+                 valueCols: Seq[String], buckets: Int = 16,
+                 upTo: Option[Int] = None): Unit = {
+    val keys = schema.fieldNames.toSeq.filterNot(valueCols.contains)
+    DeltaStore(root, buckets).compact(spark, schema,
+      struct(keys.map(col): _*),
+      df => df.groupBy(keys.map(col): _*)
+        .agg(sumTo(schema, valueCols).head, sumTo(schema, valueCols).tail: _*),
+      upTo)
+  }
+
+  /** [[maybeCompact]] for the moment variant — same durability-horizon
+    * contract (`upTo` = the durably-committed tail). */
+  def maybeCompactAgg(spark: SparkSession, root: String, schema: StructType,
+                      valueCols: Seq[String], maxDeltas: Int,
+                      upTo: Option[Int] = None,
+                      buckets: Int = 16): Boolean = {
+    val fire = DeltaStore(root, buckets).deltaCount(upTo) > maxDeltas
+    if (fire) compactAgg(spark, root, schema, valueCols, buckets, upTo)
+    fire
+  }
 }

@@ -877,74 +877,13 @@ object AssocQueries {
     // expressions spelled identically in the oracle.
     Q(
       "q205_revenue_concentration",
-      (s, dir) => {
-        val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
-        val rev = Tables.orders(s, dir)
+      (s, dir) => concentrationFromRev(
+        Tables.orders(s, dir)
           .groupBy("o_custkey")
           .agg(sum(Q.dec2(col("o_totalprice"))).as("rev"))
           .select(col("o_custkey").as("ck"),
-            (col("rev") * 100).cast("long").as("rev_c"))
-        val parted = rev
-          .repartitionByRange(
-            s.conf.get("spark.sql.shuffle.partitions").toInt,
-            col("rev_c"), col("ck"))
-          .sortWithinPartitions("rev_c", "ck")
-          .withColumn("mid", monotonically_increasing_id())
-          .withColumn("pid", shiftright(col("mid"), 33))
-          .withColumn("lpos", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-        val cnts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        val offsets = cnts
-          .withColumn("offset",
-            coalesce(sum(col("cnt")).over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "offset")
-        val nRow = cnts.agg(sum("cnt").as("n"))
-        parted.join(broadcast(offsets), Seq("pid"))
-          .select(col("rev_c"), (col("offset") + col("lpos") + 1L).as("i"))
-          .crossJoin(broadcast(nRow))
-          .agg(
-            count(lit(1)).as("n_cust"),
-            sum("rev_c").as("s_c"),
-            sum(col("i").cast(d18) * col("rev_c").cast(d18)).as("a"),
-            sum(when(col("i") > col("n") - expr("n div 10"), col("rev_c"))
-              .otherwise(0L)).as("t_c"))
-          .select(col("n_cust"),
-            (col("s_c").cast("double") / lit(100.0)).as("total_rev"),
-            (lit(2.0) * col("a").cast("double") /
-              (col("n_cust").cast("double") * col("s_c").cast("double")) -
-              (col("n_cust") + 1).cast("double") / col("n_cust").cast("double"))
-              .as("gini"),
-            (col("t_c").cast("double") / col("s_c")).as("top_decile_share"))
-      },
-      Some("""
-        WITH rev AS (
-          SELECT o_custkey AS ck,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-                   AS rev_c
-          FROM orders GROUP BY 1
-        ), ranked AS (
-          SELECT ck, rev_c,
-                 CAST(ROW_NUMBER() OVER (ORDER BY rev_c, ck) AS BIGINT) AS i
-          FROM rev
-        ), nn AS (
-          SELECT COUNT(*) AS n FROM rev
-        ), agg AS (
-          SELECT COUNT(*) AS n_cust,
-                 CAST(SUM(rev_c) AS BIGINT) AS s_c,
-                 SUM(CAST(i AS DECIMAL(18,0)) * CAST(rev_c AS DECIMAL(18,0)))
-                   AS a,
-                 CAST(SUM(CASE WHEN i > n - n // 10 THEN rev_c ELSE 0 END)
-                   AS BIGINT) AS t_c
-          FROM ranked CROSS JOIN nn
-        )
-        SELECT n_cust,
-               CAST(s_c AS DOUBLE) / 100.0 AS total_rev,
-               2.0 * CAST(a AS DOUBLE)
-                 / (CAST(n_cust AS DOUBLE) * CAST(s_c AS DOUBLE))
-                 - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE) AS gini,
-               CAST(t_c AS DOUBLE) / s_c AS top_decile_share
-        FROM agg
-      """)),
+            (col("rev") * 100).cast("long").as("rev_c"))),
+      Some(concentrationOracleSql)),
 
     // ----------------------------------------------------------------
     // q206: A/B TEST two-proportion z — users deterministically
@@ -964,84 +903,13 @@ object AssocQueries {
     // both engines, so every intermediate is bit-equal.
     Q(
       "q206_ab_test",
-      (s, dir) => {
-        val u = Tables.df(s, dir, "events")
+      (s, dir) => abTestFromUsers(
+        Tables.df(s, dir, "events")
           .select(col("user_id"), col("event_type"))
           .groupBy("user_id")
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("n_purch"))
-          .select(col("user_id"),
-            when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
-          .withColumn("arm", expr("user_id % 2"))
-        val counts = u.agg(
-          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
-          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
-            .as("conv_control"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"),
-          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
-            .as("conv_treatment"))
-        val withP = counts.select(
-          col("n_control"), col("conv_control"),
-          col("n_treatment"), col("conv_treatment"),
-          when(col("n_control") > 0,
-            col("conv_control").cast("double") / col("n_control"))
-            .as("p_control"),
-          when(col("n_treatment") > 0,
-            col("conv_treatment").cast("double") / col("n_treatment"))
-            .as("p_treatment"),
-          ((col("conv_control") + col("conv_treatment")).cast("double") /
-            (col("n_control") + col("n_treatment"))).as("p_pooled"))
-        withP.select(col("n_control"), col("conv_control"),
-          col("n_treatment"), col("conv_treatment"),
-          col("p_control"), col("p_treatment"), col("p_pooled"),
-          when(col("p_pooled") > 0 && col("p_pooled") < 1 &&
-            col("n_control") > 0 && col("n_treatment") > 0,
-            (col("p_treatment") - col("p_control")) /
-              sqrt(col("p_pooled") * (lit(1.0) - col("p_pooled")) *
-                (lit(1.0) / col("n_treatment") + lit(1.0) / col("n_control"))))
-            .as("z_score"))
-      },
-      Some("""
-        WITH u AS (
-          SELECT user_id,
-                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                                    THEN 1 ELSE 0 END) >= 14
-                      THEN 1 ELSE 0 END AS conv,
-                 user_id % 2 AS arm
-          FROM events GROUP BY user_id
-        ), counts AS (
-          SELECT
-            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_control,
-            CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
-              AS conv_control,
-            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_treatment,
-            CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
-              AS conv_treatment
-          FROM u
-        ), withp AS (
-          SELECT n_control, conv_control, n_treatment, conv_treatment,
-                 CASE WHEN n_control > 0
-                   THEN CAST(conv_control AS DOUBLE) / n_control END
-                   AS p_control,
-                 CASE WHEN n_treatment > 0
-                   THEN CAST(conv_treatment AS DOUBLE) / n_treatment END
-                   AS p_treatment,
-                 CAST(conv_control + conv_treatment AS DOUBLE)
-                   / (n_control + n_treatment) AS p_pooled
-          FROM counts
-        )
-        SELECT n_control, conv_control, n_treatment, conv_treatment,
-               p_control, p_treatment, p_pooled,
-               CASE WHEN p_pooled > 0 AND p_pooled < 1
-                     AND n_control > 0 AND n_treatment > 0 THEN
-                 (p_treatment - p_control)
-                 / SQRT(p_pooled * (1.0 - p_pooled)
-                        * (1.0 / n_treatment + 1.0 / n_control))
-               END AS z_score
-        FROM withp
-      """)),
+            .as("n_purch"))),
+      Some(abOracleSql)),
 
     // ----------------------------------------------------------------
     // q207: BENFORD first-digit audit of order totals — the
@@ -1059,68 +927,13 @@ object AssocQueries {
     // total broadcasts back. Shares/deviations are single IEEE ops.
     Q(
       "q207_benford_digits",
-      (s, dir) => {
-        val digit = substring(
-          (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
-          1, 1).cast("int")
-        val byDigit = Tables.orders(s, dir)
-          .select(digit.as("digit"))
-          .groupBy("digit").agg(count(lit(1)).as("n"))
-        val tot = byDigit.agg(sum("n").as("n_total"))
-        val benfordP = Seq(
-          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
-          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
-          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
-          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
-          9 -> 0.04575749056067514)
-          .foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
-            when(col("digit") === d, lit(p)).otherwise(acc)
-          }
-        byDigit.crossJoin(broadcast(tot))
-          .select(col("digit"), col("n"),
-            (col("n").cast("double") / col("n_total")).as("share"),
-            benfordP.as("benford_p"))
-          .withColumn("abs_dev", abs(col("share") - col("benford_p")))
-          .orderBy("digit")
-      },
-      Some("""
-        WITH d AS (
-          SELECT CAST(SUBSTR(CAST(
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   AS VARCHAR), 1, 1) AS INT) AS digit
-          FROM orders
-        ), byd AS (
-          SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
-        ), tot AS (
-          SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM byd
-        )
-        SELECT digit, n,
-               CAST(n AS DOUBLE) / n_total AS share,
-               CASE digit
-                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
-                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
-                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
-                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
-                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
-                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
-                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
-                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
-                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
-               END AS benford_p,
-               ABS(CAST(n AS DOUBLE) / n_total - CASE digit
-                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
-                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
-                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
-                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
-                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
-                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
-                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
-                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
-                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
-               END) AS abs_dev
-        FROM byd CROSS JOIN tot
-        ORDER BY digit
-      """)),
+      (s, dir) => benfordFromCounts(
+        Tables.orders(s, dir)
+          .select(substring(
+            (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
+            1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))),
+      Some(benfordOracleSql)),
 
     // ----------------------------------------------------------------
     // q211: CHI-SQUARE k×2 CONTINGENCY test — independence of
@@ -1824,6 +1637,264 @@ object AssocQueries {
       Some(spearmanOracleSql)),
 
     // ----------------------------------------------------------------
+    // q237/q238: INCREMENTAL + STREAMING BENFORD — q207's first-digit
+    // audit through a 9-cell digit count table, the smallest additive
+    // state in the engine. The fraud screen this serves runs on a
+    // LEDGER — an append-only stream is its native shape; per batch
+    // the fold is one grouped count to ≤9 rows, one atomic delta.
+    // q207's oracle gates all three consumers VERBATIM.
+    Q(
+      "q237_benford_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q237_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          substring(
+            (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
+            1, 1).cast("int").as("digit"))
+        (0 until 3).foreach { i =>
+          val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
+            .select("digit")
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            benfordCellSchema, maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            benfordCellSchema)
+        }
+        benfordFromCounts(
+          graft.operators.StatCellIndex.cells(s, root, benfordCellSchema)
+            .select(col("digit"), col("c").as("n")))
+      },
+      Some(benfordOracleSql)),
+
+    Q(
+      "q238_stream_benford",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q238_streambenford", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          substring(
+            (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
+            1, 1).cast("int").as("digit"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("digit",
+            org.apache.spark.sql.types.IntegerType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                benfordCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, benfordCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q238 drain did not finish in 300 s")
+          }
+        }
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 0)
+          .select("digit")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 1)
+          .select("digit")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        benfordFromCounts(
+          graft.operators.StatCellIndex.cells(s, s"$out/store",
+            benfordCellSchema)
+            .select(col("digit"), col("c").as("n")))
+      },
+      Some(benfordOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q239/q240: INCREMENTAL + STREAMING A/B READOUT — q206's
+    // two-proportion z maintained through (user_id, is_purchase) event
+    // counts. The per-user conversion flag is a THRESHOLD (≥ 14
+    // purchases), so it cannot be folded directly — but the purchase
+    // tallies under it are purely additive, and the user-grain
+    // re-derivation from folded tallies is dim-sized (one grouped sum
+    // over the user table, which the one-shot pays on the raw corpus).
+    // The experiment readout every growth team refreshes daily thus
+    // costs O(batch) per day instead of a corpus recount. q206's
+    // oracle VERBATIM, three consumers.
+    Q(
+      "q239_ab_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q239_cells", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val ev = Tables.df(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+        (0 until 3).foreach { i =>
+          val w = ev.where(pmod(hash(col("event_id")), lit(3)) === i)
+            .select("user_id", "is_p")
+          graft.operators.StatCellIndex.maybeCompact(s, root,
+            abCellSchema, maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendBatch(s, w, root, i,
+            abCellSchema)
+        }
+        abTestFromUsers(
+          graft.operators.StatCellIndex.cells(s, root, abCellSchema)
+            .groupBy("user_id")
+            .agg(sum(when(col("is_p") === 1L, col("c")).otherwise(0L))
+              .as("n_purch")))
+      },
+      Some(abOracleSql)),
+
+    Q(
+      "q240_stream_ab",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q240_streamab", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val ev = Tables.df(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("is_p",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompact(s, s"$out/store",
+                abCellSchema, maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendBatch(s, b,
+                s"$out/store", id.toInt, abCellSchema)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q240 drain did not finish in 300 s")
+          }
+        }
+        ev.where(pmod(hash(col("event_id")), lit(2)) === 0)
+          .select("user_id", "is_p")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        ev.where(pmod(hash(col("event_id")), lit(2)) === 1)
+          .select("user_id", "is_p")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        abTestFromUsers(
+          graft.operators.StatCellIndex.cells(s, s"$out/store", abCellSchema)
+            .groupBy("user_id")
+            .agg(sum(when(col("is_p") === 1L, col("c")).otherwise(0L))
+              .as("n_purch")))
+      },
+      Some(abOracleSql)),
+
+    // ----------------------------------------------------------------
+    // q241/q242: INCREMENTAL + STREAMING REVENUE CONCENTRATION —
+    // q205's Gini + top-decile share through the first MOMENT table
+    // (StatCellIndex.appendAgg): per-customer revenue CENTS are
+    // additive LONG sums, so the maintained (ck, rev_c) table equals
+    // the one-shot customer-grain aggregate exactly, and the ranking /
+    // Lorenz tail (concentrationFromRev) runs unchanged on it. The
+    // ranking is the only non-additive step, and it is customer-grain
+    // — dim-sized relative to the order corpus. q205's oracle
+    // VERBATIM, three consumers.
+    Q(
+      "q241_concentration_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q241_moments", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey").as("ck"),
+          (Q.dec2(col("o_totalprice")) * 100).cast("long").as("rev_c"))
+        (0 until 3).foreach { i =>
+          val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
+            .select("ck", "rev_c")
+          graft.operators.StatCellIndex.maybeCompactAgg(s, root,
+            revMomentSchema, Seq("rev_c"), maxDeltas = 1, upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendAgg(s, w, root, i,
+            revMomentSchema, Seq("rev_c"))
+        }
+        concentrationFromRev(
+          graft.operators.StatCellIndex.table(s, root, revMomentSchema,
+            Seq("rev_c")))
+      },
+      Some(concentrationOracleSql)),
+
+    Q(
+      "q242_stream_concentration",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q242_streamconc", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey").as("ck"),
+          (Q.dec2(col("o_totalprice")) * 100).cast("long").as("rev_c"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ck",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rev_c",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompactAgg(s, s"$out/store",
+                revMomentSchema, Seq("rev_c"), maxDeltas = 0,
+                upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendAgg(s, b,
+                s"$out/store", id.toInt, revMomentSchema, Seq("rev_c"))
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q242 drain did not finish in 300 s")
+          }
+        }
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 0)
+          .select("ck", "rev_c")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        o.where(pmod(hash(col("o_orderkey")), lit(2)) === 1)
+          .select("ck", "rev_c")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        concentrationFromRev(
+          graft.operators.StatCellIndex.table(s, s"$out/store",
+            revMomentSchema, Seq("rev_c")))
+      },
+      Some(concentrationOracleSql)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that
@@ -2234,6 +2305,248 @@ object AssocQueries {
                CASE WHEN den_x > 0 AND den_y > 0
                  THEN num / SQRT(den_x * den_y) END AS rho_spearman
         FROM named
+      """
+
+  // ------------------------------------------------------------------
+  // Decision-stat family tails — q205/q206/q207's report arithmetic,
+  // shared verbatim by the one-shot queries and the maintained
+  // deployments (q241/q242, q239/q240, q237/q238) so "gated by the
+  // one-shot oracle VERBATIM" is literal for the whole family.
+
+  private[queries] val benfordCellSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("digit",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+
+  private[queries] val abCellSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_p",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+
+  private[queries] val revMomentSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ck",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rev_c",
+        org.apache.spark.sql.types.LongType)))
+
+  /** q207's Benford report from the (digit, n) count table: shares and
+    * deviations are single IEEE ops on the exact counts. */
+  private[queries] def benfordFromCounts(
+      byDigit: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = byDigit.agg(sum("n").as("n_total"))
+    val benfordP = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+      .foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("share"),
+        benfordP.as("benford_p"))
+      .withColumn("abs_dev", abs(col("share") - col("benford_p")))
+      .orderBy("digit")
+  }
+
+  /** q206's two-proportion z from the (user_id, n_purch) user table —
+    * threshold conversion flag, parity arms, one 4-way conditional
+    * count, CASE-guarded z. The user grain is where additivity stops
+    * (the flag is a threshold), so maintained deployments re-derive
+    * only this dim-sized step. */
+  private[queries] def abTestFromUsers(
+      users: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val u = users
+      .select(col("user_id"),
+        when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", expr("user_id % 2"))
+    val counts = u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+        .as("conv_control"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+        .as("conv_treatment"))
+    val withP = counts.select(
+      col("n_control"), col("conv_control"),
+      col("n_treatment"), col("conv_treatment"),
+      when(col("n_control") > 0,
+        col("conv_control").cast("double") / col("n_control"))
+        .as("p_control"),
+      when(col("n_treatment") > 0,
+        col("conv_treatment").cast("double") / col("n_treatment"))
+        .as("p_treatment"),
+      ((col("conv_control") + col("conv_treatment")).cast("double") /
+        (col("n_control") + col("n_treatment"))).as("p_pooled"))
+    withP.select(col("n_control"), col("conv_control"),
+      col("n_treatment"), col("conv_treatment"),
+      col("p_control"), col("p_treatment"), col("p_pooled"),
+      when(col("p_pooled") > 0 && col("p_pooled") < 1 &&
+        col("n_control") > 0 && col("n_treatment") > 0,
+        (col("p_treatment") - col("p_control")) /
+          sqrt(col("p_pooled") * (lit(1.0) - col("p_pooled")) *
+            (lit(1.0) / col("n_treatment") + lit(1.0) / col("n_control"))))
+        .as("z_score"))
+  }
+
+  /** q205's Gini + top-decile tail from the (ck, rev_c) customer-grain
+    * cents table: distributed dense ranking (range repartition +
+    * per-partition offsets — no single-partition global window), exact
+    * decimal Lorenz sum, IEEE finale. */
+  private[queries] def concentrationFromRev(
+      rev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val parted = rev
+      .repartitionByRange(
+        rev.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("rev_c"), col("ck"))
+      .sortWithinPartitions("rev_c", "ck")
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33))
+      .withColumn("lpos", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+    val cnts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = cnts
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val nRow = cnts.agg(sum("cnt").as("n"))
+    parted.join(broadcast(offsets), Seq("pid"))
+      .select(col("rev_c"), (col("offset") + col("lpos") + 1L).as("i"))
+      .crossJoin(broadcast(nRow))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum("rev_c").as("s_c"),
+        sum(col("i").cast(d18) * col("rev_c").cast(d18)).as("a"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("rev_c"))
+          .otherwise(0L)).as("t_c"))
+      .select(col("n_cust"),
+        (col("s_c").cast("double") / lit(100.0)).as("total_rev"),
+        (lit(2.0) * col("a").cast("double") /
+          (col("n_cust").cast("double") * col("s_c").cast("double")) -
+          (col("n_cust") + 1).cast("double") / col("n_cust").cast("double"))
+          .as("gini"),
+        (col("t_c").cast("double") / col("s_c")).as("top_decile_share"))
+  }
+
+  private[queries] val benfordOracleSql: String = """
+        WITH d AS (
+          SELECT CAST(SUBSTR(CAST(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders
+        ), byd AS (
+          SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM byd
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / n_total AS share,
+               CASE digit
+                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+               END AS benford_p,
+               ABS(CAST(n AS DOUBLE) / n_total - CASE digit
+                 WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+                 WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+                 WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+                 WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+                 WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+                 WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+                 WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+                 WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+                 WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+               END) AS abs_dev
+        FROM byd CROSS JOIN tot
+        ORDER BY digit
+      """
+
+  private[queries] val abOracleSql: String = """
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS conv,
+                 user_id % 2 AS arm
+          FROM events GROUP BY user_id
+        ), counts AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_control,
+            CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_control,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_treatment,
+            CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_treatment
+          FROM u
+        ), withp AS (
+          SELECT n_control, conv_control, n_treatment, conv_treatment,
+                 CASE WHEN n_control > 0
+                   THEN CAST(conv_control AS DOUBLE) / n_control END
+                   AS p_control,
+                 CASE WHEN n_treatment > 0
+                   THEN CAST(conv_treatment AS DOUBLE) / n_treatment END
+                   AS p_treatment,
+                 CAST(conv_control + conv_treatment AS DOUBLE)
+                   / (n_control + n_treatment) AS p_pooled
+          FROM counts
+        )
+        SELECT n_control, conv_control, n_treatment, conv_treatment,
+               p_control, p_treatment, p_pooled,
+               CASE WHEN p_pooled > 0 AND p_pooled < 1
+                     AND n_control > 0 AND n_treatment > 0 THEN
+                 (p_treatment - p_control)
+                 / SQRT(p_pooled * (1.0 - p_pooled)
+                        * (1.0 / n_treatment + 1.0 / n_control))
+               END AS z_score
+        FROM withp
+      """
+
+  private[queries] val concentrationOracleSql: String = """
+        WITH rev AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev_c
+          FROM orders GROUP BY 1
+        ), ranked AS (
+          SELECT ck, rev_c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rev_c, ck) AS BIGINT) AS i
+          FROM rev
+        ), nn AS (
+          SELECT COUNT(*) AS n FROM rev
+        ), agg AS (
+          SELECT COUNT(*) AS n_cust,
+                 CAST(SUM(rev_c) AS BIGINT) AS s_c,
+                 SUM(CAST(i AS DECIMAL(18,0)) * CAST(rev_c AS DECIMAL(18,0)))
+                   AS a,
+                 CAST(SUM(CASE WHEN i > n - n // 10 THEN rev_c ELSE 0 END)
+                   AS BIGINT) AS t_c
+          FROM ranked CROSS JOIN nn
+        )
+        SELECT n_cust,
+               CAST(s_c AS DOUBLE) / 100.0 AS total_rev,
+               2.0 * CAST(a AS DOUBLE)
+                 / (CAST(n_cust AS DOUBLE) * CAST(s_c AS DOUBLE))
+                 - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE) AS gini,
+               CAST(t_c AS DOUBLE) / s_c AS top_decile_share
+        FROM agg
       """
 
   private[queries] val chi2OracleSql: String = """

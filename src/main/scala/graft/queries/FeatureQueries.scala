@@ -1075,45 +1075,91 @@ object FeatureQueries {
     // the corpus.
     Q(
       "q208_correlation_matrix",
-      (s, dir) => {
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val d18 = org.apache.spark.sql.types.DecimalType(18, 2)
-        def dc(c: String) = col(c).cast(d18)
-        val aggs =
-          Seq(count(lit(1)).as("n")) ++
-            cols.map(c => sum(dc(c)).as(s"s_$c")) ++
-            cols.map(c => sum(dc(c) * dc(c)).as(s"ss_$c")) ++
-            (for {
-              i <- cols.indices; j <- (i + 1) until cols.length
-            } yield sum(dc(cols(i)) * dc(cols(j)))
-              .as(s"sp_${cols(i)}_${cols(j)}"))
-        val row = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
-        // width discipline (DuckDB caps multiply at combined width 38):
-        // n(10,0) × Σxy(28,4) = 38; Σx(19,2) × Σy(19,2) = 38 — exact to
-        // ~1e12 rows at these magnitudes, the documented ceiling
-        val d10 = org.apache.spark.sql.types.DecimalType(10, 0)
-        val d19 = org.apache.spark.sql.types.DecimalType(19, 2)
-        val d28 = org.apache.spark.sql.types.DecimalType(28, 4)
-        def den(c: String) =
-          col("n").cast(d10) * col(s"ss_$c").cast(d28) -
-            col(s"s_$c").cast(d19) * col(s"s_$c").cast(d19)
-        def pairStruct(a: String, b: String) = {
-          val num = col("n").cast(d10) * col(s"sp_${a}_$b").cast(d28) -
-            col(s"s_$a").cast(d19) * col(s"s_$b").cast(d19)
-          struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
-            when(den(a) > 0 && den(b) > 0,
-              num.cast("double") /
-                (sqrt(den(a).cast("double")) * sqrt(den(b).cast("double"))))
-              .as("r"))
-        }
-        val pairs = for {
-          i <- cols.indices; j <- (i + 1) until cols.length
-        } yield pairStruct(cols(i), cols(j))
-        row.select(explode(array(pairs: _*)).as("p"))
-          .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.r"))
-          .orderBy("col_a", "col_b")
-      },
-      Some {
+      (s, dir) => corrFromMoments(
+        Tables.lineitem(s, dir).agg(corrMomentAggs.head,
+          corrMomentAggs.tail: _*)),
+      Some(corrOracleSql))
+  ) ++ corrMaintained.toVector
+
+  // ------------------------------------------------------------------
+  // q208's moment machinery, shared verbatim with the maintained
+  // deployments (q243/q244): the sufficient statistics are ONE row of
+  // exact decimal sums (n, Σx, Σx², Σxy per pair) — purely additive,
+  // so StatCellIndex.appendAgg folds them across batches into exactly
+  // the one-shot sums and the report arithmetic runs unchanged.
+
+  private[queries] val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private[queries] def corrRowExprs: Seq[Column] = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 2)
+    def dc(c: String) = col(c).cast(d18)
+    Seq(lit(1).as("k"), lit(1L).as("n")) ++
+      corrCols.map(c => dc(c).as(s"s_$c")) ++
+      corrCols.map(c => (dc(c) * dc(c)).as(s"ss_$c")) ++
+      (for {
+        i <- corrCols.indices; j <- (i + 1) until corrCols.length
+      } yield (dc(corrCols(i)) * dc(corrCols(j)))
+        .as(s"sp_${corrCols(i)}_${corrCols(j)}"))
+  }
+
+  private[queries] def corrMomentAggs: Seq[Column] = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 2)
+    def dc(c: String) = col(c).cast(d18)
+    Seq(count(lit(1)).as("n")) ++
+      corrCols.map(c => sum(dc(c)).as(s"s_$c")) ++
+      corrCols.map(c => sum(dc(c) * dc(c)).as(s"ss_$c")) ++
+      (for {
+        i <- corrCols.indices; j <- (i + 1) until corrCols.length
+      } yield sum(dc(corrCols(i)) * dc(corrCols(j)))
+        .as(s"sp_${corrCols(i)}_${corrCols(j)}"))
+  }
+
+  private[queries] val corrMomentSchema = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(StructField("k", IntegerType), StructField("n", LongType)) ++
+        corrCols.map(c => StructField(s"s_$c", DecimalType(28, 2))) ++
+        corrCols.map(c => StructField(s"ss_$c", DecimalType(38, 4))) ++
+        (for {
+          i <- corrCols.indices; j <- (i + 1) until corrCols.length
+        } yield StructField(s"sp_${corrCols(i)}_${corrCols(j)}",
+          DecimalType(38, 4))))
+  }
+
+  private[queries] val corrValueCols: Seq[String] =
+    corrMomentSchema.fieldNames.toSeq.filter(_ != "k")
+
+  /** q208's Pearson matrix from the single moment row — the width
+    * discipline (DuckDB caps multiply at combined width 38): n(10,0) ×
+    * Σxy(28,4) = 38; Σx(19,2) × Σy(19,2) = 38 — exact to ~1e12 rows at
+    * these magnitudes, the documented ceiling. */
+  private[queries] def corrFromMoments(row: DataFrame): DataFrame = {
+    val cols = corrCols
+    val d10 = org.apache.spark.sql.types.DecimalType(10, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 2)
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 4)
+    def den(c: String) =
+      col("n").cast(d10) * col(s"ss_$c").cast(d28) -
+        col(s"s_$c").cast(d19) * col(s"s_$c").cast(d19)
+    def pairStruct(a: String, b: String) = {
+      val num = col("n").cast(d10) * col(s"sp_${a}_$b").cast(d28) -
+        col(s"s_$a").cast(d19) * col(s"s_$b").cast(d19)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        when(den(a) > 0 && den(b) > 0,
+          num.cast("double") /
+            (sqrt(den(a).cast("double")) * sqrt(den(b).cast("double"))))
+          .as("r"))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield pairStruct(cols(i), cols(j))
+    row.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private[queries] val corrOracleSql: String = {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val sums =
           (Seq("COUNT(*) AS n") ++
@@ -1146,6 +1192,92 @@ $selects
         )
         ORDER BY col_a, col_b
       """
-      })
+  }
+
+  /** q243/q244: the maintained correlation matrix — see [[corrFromMoments]]. */
+  private[queries] def corrMaintained: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // q243/q244: INCREMENTAL + STREAMING CORRELATION MATRIX — q208's
+    // Pearson pairs through a ONE-ROW moment table (the smallest
+    // possible maintained state: n, Σx, Σx², Σxy per pair, all exact
+    // decimal). StatCellIndex.appendAgg sums the batch's row-grain
+    // addends in one map-combined aggregate; folded sums equal the
+    // one-shot sums exactly, so the report arithmetic and q208's
+    // oracle gate all three consumers VERBATIM.
+    Q(
+      "q243_corr_incremental",
+      (s, dir) => {
+        val root = Q.scratch(s, "q243_moments", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val li = Tables.lineitem(s, dir)
+        (0 until 3).foreach { i =>
+          val w = li.where(
+              pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
+            .select(corrRowExprs: _*)
+          graft.operators.StatCellIndex.maybeCompactAgg(s, root,
+            corrMomentSchema, corrValueCols, maxDeltas = 1,
+            upTo = Some(i - 1))
+          graft.operators.StatCellIndex.appendAgg(s, w, root, i,
+            corrMomentSchema, corrValueCols)
+        }
+        corrFromMoments(
+          graft.operators.StatCellIndex.table(s, root, corrMomentSchema,
+            corrValueCols).drop("k"))
+      },
+      Some(corrOracleSql)),
+
+    Q(
+      "q244_stream_corr",
+      (s, dir) => {
+        val out = Q.scratch(s, "q244_streamcorr", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val li = Tables.lineitem(s, dir)
+        // the stream carries RAW measure rows (the production shape —
+        // and 4 narrow doubles, not 15 wide decimal addends, so the
+        // landing IO is the fact table's own width); the index computes
+        // the moment addends inside the micro-batch
+        val inSchema = org.apache.spark.sql.types.StructType(
+          corrCols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.DoubleType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.StatCellIndex.maybeCompactAgg(s, s"$out/store",
+                corrMomentSchema, corrValueCols, maxDeltas = 0,
+                upTo = Some(id.toInt - 1))
+              graft.operators.StatCellIndex.appendAgg(s,
+                b.select(corrRowExprs: _*),
+                s"$out/store", id.toInt, corrMomentSchema, corrValueCols)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q244 drain did not finish in 300 s")
+          }
+        }
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 0)
+          .select(corrCols.map(col): _*)
+          .repartition(32).write.parquet(s"$out/in")
+        drain()
+        li.where(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(2)) === 1)
+          .select(corrCols.map(col): _*)
+          .repartition(32).write.mode("append").parquet(s"$out/in")
+        drain()
+        corrFromMoments(
+          graft.operators.StatCellIndex.table(s, s"$out/store",
+            corrMomentSchema, corrValueCols).drop("k"))
+      },
+      Some(corrOracleSql))
   )
 }

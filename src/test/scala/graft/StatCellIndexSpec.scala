@@ -67,4 +67,44 @@ class StatCellIndexSpec extends AnyFunSuite {
     assert(sortedCells(graft.operators.StatCellIndex.cells(spark, r, schema))
       == Seq((1L, 2L, 2L), (3L, 4L, 1L)))
   }
+
+  // ---- additive MOMENT variant (appendAgg/table/compactAgg) ----
+
+  private val momentSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("n", LongType),
+    StructField("s", DecimalType(28, 2))))
+
+  private def sortedMoments(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("n"), col("s").cast("string"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("maintained moment sums == one-shot grouped sums across splits + compact + replay") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = (0 until 5000)
+        .map(_ => (rnd.nextInt(9).toLong,
+          BigDecimal(rnd.nextInt(100000)) / 100))
+        .toDF("k", "v")
+        .select(col("k"), lit(1L).as("n"),
+          col("v").cast(DecimalType(18, 2)).as("s")).cache()
+      val oneShot = sortedMoments(rows.groupBy("k")
+        .agg(sum("n").as("n"), sum("s").cast(DecimalType(28, 2)).as("s")))
+      val r = root(s"mom$seed")
+      def wave(i: Int) = rows.where(pmod(hash(col("k"), col("s")), lit(4)) === i)
+      (0 until 4).foreach { i =>
+        graft.operators.StatCellIndex.appendAgg(spark, wave(i), r, i,
+          momentSchema, Seq("n", "s"))
+        if (i == 1) graft.operators.StatCellIndex.compactAgg(spark, r,
+          momentSchema, Seq("n", "s"))
+      }
+      // replay: appendAgg reads nothing — the delta rewrites identically
+      graft.operators.StatCellIndex.appendAgg(spark, wave(3), r, 3,
+        momentSchema, Seq("n", "s"))
+      assert(sortedMoments(graft.operators.StatCellIndex
+        .table(spark, r, momentSchema, Seq("n", "s"))) == oneShot,
+        s"seed $seed")
+      rows.unpersist()
+    }
+  }
 }
