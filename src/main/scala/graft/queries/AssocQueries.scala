@@ -51,49 +51,15 @@ object AssocQueries {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
           .distinct()
-        val brandN = ob.groupBy("brand").agg(count(lit(1)).as("n"))
-        val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
         val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
           .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
           .where(col("brand_a") < col("brand_b"))
           .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
-        pairs
-          .join(broadcast(brandN.select(col("brand").as("brand_a"),
-            col("n").as("n_a"))), Seq("brand_a"))
-          .join(broadcast(brandN.select(col("brand").as("brand_b"),
-            col("n").as("n_b"))), Seq("brand_b"))
-          .crossJoin(broadcast(nOrders))
-          .select(col("brand_a"), col("brand_b"), col("n_ab"),
-            col("n_a"), col("n_b"), col("n_orders"),
-            (col("n_ab").cast("double") / col("n_orders")).as("support"),
-            (col("n_ab").cast("double") / col("n_a")).as("confidence"),
-            (col("n_ab").cast("double") * col("n_orders") /
-              (col("n_a") * col("n_b"))).as("lift"))
-          .orderBy("brand_a", "brand_b")
+        basketReport(pairs,
+          ob.groupBy("brand").agg(count(lit(1)).as("n")),
+          ob.agg(countDistinct("ok").as("n_orders")))
       },
-      Some("""
-        WITH ob AS (
-          SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
-          FROM lineitem JOIN part ON l_partkey = p_partkey
-        ), bn AS (
-          SELECT brand, COUNT(*) AS n FROM ob GROUP BY 1
-        ), no AS (
-          SELECT COUNT(DISTINCT ok) AS n_orders FROM ob
-        ), pr AS (
-          SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
-          FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
-          GROUP BY 1, 2
-        )
-        SELECT brand_a, brand_b, n_ab, x.n AS n_a, y.n AS n_b, n_orders,
-               CAST(n_ab AS DOUBLE) / n_orders AS support,
-               CAST(n_ab AS DOUBLE) / x.n AS confidence,
-               CAST(n_ab AS DOUBLE) * n_orders / (x.n * y.n) AS lift
-        FROM pr
-        CROSS JOIN no
-        JOIN bn x ON pr.brand_a = x.brand
-        JOIN bn y ON pr.brand_b = y.brand
-        ORDER BY brand_a, brand_b
-      """)),
+      Some(basketOracleSql)),
 
     // ----------------------------------------------------------------
     // q199: PEAK CONCURRENCY, sweep line over sessions — per day, the
@@ -1895,6 +1861,100 @@ object AssocQueries {
       Some(concentrationOracleSql)),
 
     // ----------------------------------------------------------------
+    // q245/q246: INCREMENTAL + STREAMING MARKET BASKET — q198's
+    // association rules through operators/BasketIndex. The DISTINCT at
+    // order grain blocks a plain additive fold (an order's lines
+    // straddle batches; re-purchased brands must not recount), so the
+    // index keeps the MEMBERSHIP set bucketed by order key, derives
+    // each wave's truly-new memberships with one bucket-pruned
+    // anti-join, and counts the pair instances the wave COMPLETES
+    // (fresh x stored + fresh x fresh — disjoint and exact). Pair /
+    // brand / order counts are then additive. q198's oracle VERBATIM,
+    // three consumers.
+    Q(
+      "q245_basket_incremental",
+      (s, dir) => {
+        val root = graft.Q.scratch(s, "q245_basket", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(root))
+        val lines = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .join(
+            broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("p_brand").as("brand"))
+        (0 until 3).foreach { i =>
+          val w = lines.where(pmod(hash(col("ok"), col("ln")), lit(3)) === i)
+            .select("ok", "brand")
+          graft.operators.BasketIndex.maybeCompact(s, root, maxDeltas = 1,
+            upTo = Some(i - 1))
+          graft.operators.BasketIndex.appendWave(s, w, root, i)
+        }
+        basketReport(
+          graft.operators.BasketIndex.pairs(s, root),
+          graft.operators.BasketIndex.brands(s, root),
+          graft.operators.BasketIndex.orderCount(s, root))
+      },
+      Some(basketOracleSql)),
+
+    Q(
+      "q246_stream_basket",
+      (s, dir) => {
+        val out = graft.Q.scratch(s, "q246_streambasket", dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(out))
+        val lines = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .join(
+            broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("p_brand").as("brand"))
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ok",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("brand",
+            org.apache.spark.sql.types.StringType)))
+        def drain(): Unit = {
+          val q = s.readStream.schema(inSchema).parquet(s"$out/in")
+            .writeStream
+            .option("checkpointLocation", s"$out/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.operators.BasketIndex.maybeCompact(s, s"$out/store",
+                maxDeltas = 0, upTo = Some(id.toInt - 1))
+              graft.operators.BasketIndex.appendWave(s, b,
+                s"$out/store", id.toInt)
+            }
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("q246 drain did not finish in 300 s")
+          }
+        }
+        lines.where(pmod(hash(col("ok"), col("ln")), lit(2)) === 0)
+          .select("ok", "brand")
+          .repartition(8).write.parquet(s"$out/in")
+        drain()
+        lines.where(pmod(hash(col("ok"), col("ln")), lit(2)) === 1)
+          .select("ok", "brand")
+          .repartition(8).write.mode("append").parquet(s"$out/in")
+        drain()
+        basketReport(
+          graft.operators.BasketIndex.pairs(s, s"$out/store"),
+          graft.operators.BasketIndex.brands(s, s"$out/store"),
+          graft.operators.BasketIndex.orderCount(s, s"$out/store"))
+      },
+      Some(basketOracleSql)),
+
+    // ----------------------------------------------------------------
     // q214: INCREMENTAL SKYLINE maintenance — q200's Pareto frontier
     // kept up to date under APPENDED parts, the q209/q181 maintenance
     // discipline applied to a non-additive report. The identity that
@@ -2437,6 +2497,52 @@ object AssocQueries {
           .as("gini"),
         (col("t_c").cast("double") / col("s_c")).as("top_decile_share"))
   }
+
+  /** q198's support/confidence/lift report from (brand_a, brand_b,
+    * n_ab) pair counts + per-brand order counts + the distinct-order
+    * count — shared verbatim by the one-shot query and the maintained
+    * q245/q246. */
+  private[queries] def basketReport(
+      pairs: org.apache.spark.sql.DataFrame,
+      brandN: org.apache.spark.sql.DataFrame,
+      nOrders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs
+      .join(broadcast(brandN.select(col("brand").as("brand_a"),
+        col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(brandN.select(col("brand").as("brand_b"),
+        col("n").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_orders"),
+        (col("n_ab").cast("double") / col("n_orders")).as("support"),
+        (col("n_ab").cast("double") / col("n_a")).as("confidence"),
+        (col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy("brand_a", "brand_b")
+
+  private[queries] val basketOracleSql: String = """
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), bn AS (
+          SELECT brand, COUNT(*) AS n FROM ob GROUP BY 1
+        ), no AS (
+          SELECT COUNT(DISTINCT ok) AS n_orders FROM ob
+        ), pr AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+          GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_ab, x.n AS n_a, y.n AS n_b, n_orders,
+               CAST(n_ab AS DOUBLE) / n_orders AS support,
+               CAST(n_ab AS DOUBLE) / x.n AS confidence,
+               CAST(n_ab AS DOUBLE) * n_orders / (x.n * y.n) AS lift
+        FROM pr
+        CROSS JOIN no
+        JOIN bn x ON pr.brand_a = x.brand
+        JOIN bn y ON pr.brand_b = y.brand
+        ORDER BY brand_a, brand_b
+      """
 
   private[queries] val benfordOracleSql: String = """
         WITH d AS (
