@@ -22,6 +22,22 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // (spark.sql.adaptive.coalescePartitions.parallelismFirst stays at
+      // its default TRUE: an A/B panel of the 12 heaviest maintenance
+      // queries showed `false` serializing CPU-dense small-byte stages —
+      // q219's levenshtein blocking join regressed 7.7→9.1 s — and the
+      // driver's low-core scaling run would lose its parallelism signal.)
+      // DeltaStore/MorTable reads enumerate each live gbucket dir as an
+      // explicit scan path; past 32 paths Spark launches a distributed
+      // LISTING JOB per read (measured in the q224 profile: 20-48-task
+      // listing jobs inside every maintenance fold). The store's dirs
+      // each hold ~1 file, and driver-side listing of a local/HDFS-style
+      // FS is microseconds per dir — raise the parallel-listing cutoff
+      // so metadata stays a driver step, as every manifest-based table
+      // format does. (An object-store deployment with thousands of live
+      // prefixes per read would lower it again — that is what the knob
+      // is for.)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 

@@ -71,8 +71,12 @@ object TriIndex {
     store.heal()
     val e = newEdges.toDF("u", "v")
       .select(col("u").cast(LongType).as("u"), col("v").cast(LongType).as("v"))
+    // NOT distinct-ed: both consumers tolerate duplicates — touched()
+    // runs its own distinct over the bucket ids, and the left-semi join
+    // below dedupes by construction — so the exchange + aggregate a
+    // distinct would cost here (once per fold) buys nothing
     val batchNodes = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node"))).distinct()
+      .unionAll(e.select(col("v").as("node")))
     // old edges with ≥1 endpoint in the batch — the only ones a delta
     // triangle can use: pruned to the batch endpoints' buckets, exact
     // via the mirror rows. Materialized ONCE: the degree-bucket probe

@@ -531,12 +531,17 @@ object AssocQueries {
         val os = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
+        // derived ONCE, landed twice (the q221 "derived once" move): both
+        // wave writes filter this frame, and without the cut each write
+        // re-ran the distinct + self-join + threshold aggregate — the
+        // query's single heaviest chain — from scratch
         val edges = os.select(col("ok"), col("sk").as("u"))
           .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
           .where(col("u") < col("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("w"))
           .where(col("w") >= minSupport)
           .select("u", "v")
+          .localCheckpoint()
         val skType = Tables.lineitem(s, dir).schema("l_suppkey").dataType
         val eSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("u", skType),
@@ -1880,6 +1885,9 @@ object AssocQueries {
           f.delete()
         }
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): all three wave filters consume
+        // this frame; without the cut every wave re-ran the lineitem
+        // scan + brand broadcast join
         val lines = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_linenumber", "l_partkey")
           .join(
@@ -1887,6 +1895,7 @@ object AssocQueries {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
             col("p_brand").as("brand"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = lines.where(pmod(hash(col("ok"), col("ln")), lit(3)) === i)
             .select("ok", "brand")
@@ -1910,6 +1919,8 @@ object AssocQueries {
           f.delete()
         }
         rm(new java.io.File(out))
+        // derived ONCE (the q221 move): both wave writes filter this
+        // frame instead of re-running the scan + brand join
         val lines = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_linenumber", "l_partkey")
           .join(
@@ -1917,6 +1928,7 @@ object AssocQueries {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
             col("p_brand").as("brand"))
+          .localCheckpoint()
         val inSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("ok",
             org.apache.spark.sql.types.LongType),

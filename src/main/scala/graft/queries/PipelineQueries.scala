@@ -557,18 +557,25 @@ object PipelineQueries {
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        // ONE grouped pass over orders, cached (the q112 move): the year
+        // filter is a function of the group key (fetch_date), so
+        // filtering the grouped frame is exactly the per-window groupBy
+        // — 4 full scans + aggregate shuffles become 1
+        val base = orders
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
         // pipelined replay: batch K's rollup recompute + commit runs
         // concurrently with batch K+1's table upsert (rollup commits
         // stay in batch order) — the serial path is the table chain
         var roll: scala.concurrent.Future[Unit] = scala.concurrent.Future.unit
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
-          val batch = orders
-            .where(year(col("o_orderdate")).between(y0, y1))
-            .groupBy(
-              col("o_custkey").cast("string").as("coin_id"),
-              col("o_orderdate").as("fetch_date"))
-            .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-              + lit(0.01) * lit(b)).as("price_usd"))
+          val batch = base
+            .where(year(col("fetch_date")).between(y0, y1))
+            .select(col("coin_id"), col("fetch_date"),
+              (col("p") + lit(0.01) * lit(b)).as("price_usd"))
           roll = graft.streaming.IncrementalRollup.mergeBatchBucketedPipelined(
             s, batch, s"$out/table", s"$out/rollup",
             tableBucket = year(col("fetch_date")),
@@ -576,6 +583,7 @@ object PipelineQueries {
         }
         scala.concurrent.Await.result(roll,
           scala.concurrent.duration.Duration.Inf)
+        base.unpersist(false)
         s.read.parquet(s"$out/rollup")
           .select(col("coin_id"), col("year"), col("month"),
             col("min_price_usd"), col("max_price_usd"))
@@ -1058,17 +1066,22 @@ object PipelineQueries {
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
+        // ONE grouped pass over orders, cached (the q112/q85 move) —
+        // the per-window groupBy is the grouped frame filtered by year
+        val base = orders
+          .groupBy(
+            col("o_custkey").cast("string").as("coin_id"),
+            col("o_orderdate").as("fetch_date"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
         // same rollup-off-the-serial-path pipelining as q85 — the
         // protocol swap must not change the overlap structure either
         var roll: scala.concurrent.Future[Unit] = scala.concurrent.Future.unit
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
-          val batch = orders
-            .where(year(col("o_orderdate")).between(y0, y1))
-            .groupBy(
-              col("o_custkey").cast("string").as("coin_id"),
-              col("o_orderdate").as("fetch_date"))
-            .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-              + lit(0.01) * lit(b)).as("price_usd"))
+          val batch = base
+            .where(year(col("fetch_date")).between(y0, y1))
+            .select(col("coin_id"), col("fetch_date"),
+              (col("p") + lit(0.01) * lit(b)).as("price_usd"))
           roll = graft.streaming.IncrementalRollup.mergeBatchBucketedPipelined(
             s, batch, s"$out/table", s"$out/rollup",
             tableBucket = year(col("fetch_date")),
@@ -1077,6 +1090,7 @@ object PipelineQueries {
         }
         scala.concurrent.Await.result(roll,
           scala.concurrent.duration.Duration.Inf)
+        base.unpersist(false)
         graft.streaming.ManifestTable.readBucketed(s, s"$out/rollup", null)
           .select(col("coin_id"), col("year"), col("month"),
             col("min_price_usd"), col("max_price_usd"))
