@@ -1,31 +1,30 @@
 package graft
 
-/** Dev tool: `runMain graft.Explain <queryName> [sfDir]` — prints the
-  * formatted physical plan and two timed noop-sink runs (cold + warm). */
+/** Dev tool: `runMain graft.Explain <sfDir> <outDir> <query> [query...]`
+  * — runs each registry query and writes the FORMATTED physical plan of
+  * its returned frame to `<outDir>/<query>.txt` (plans/r18 evidence
+  * files). For orchestration queries (maintenance folds, streams) the
+  * returned frame is the report read; the body's job structure is
+  * covered by [[Profile]], so the two tools together are the
+  * measure-first record guide §1 asks for. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val nRuns = if (args.length > 2) args(2).toInt else 2
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
     val spark = Sessions.local()
-    val fn = SparkEntry.queries(name)
-    val df = fn(spark, sfDir)
-    df.explain("formatted")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"/tmp/graft_plan_$name.txt"),
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    catch { case _: Throwable => () }
-    val lines = (1 to nRuns).map { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val msg = f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s"
-      println(msg)
-      msg
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val df = fn(spark, sfDir)
+      // materialize once so AQE's final plan exists, then render it
+      df.write.format("noop").mode("overwrite").save()
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$name.txt"), s)
+      println(s"[explain] wrote $outDir/$name.txt (${s.length} chars)")
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_explain_last.txt"), lines.mkString("\n"))
-    catch { case _: Throwable => () }
     spark.stop()
   }
 }

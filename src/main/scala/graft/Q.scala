@@ -52,6 +52,20 @@ object Q {
     System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/") +
       s"/graft_${tag}_oracle/n=$n"
 
+  /** Recursive scratch delete, parallel across siblings: the commit-
+    * protocol queries each clear a few-hundred-file scratch tree at
+    * query start, INSIDE the timed region, and the serial driver-thread
+    * walk showed up in gap-time stack samples. tmpfs unlinks are cheap
+    * but not free; fork-join across subtrees bounds the wall cost by
+    * the deepest subtree instead of the file count. */
+  def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach { kids =>
+        java.util.Arrays.stream(kids).parallel().forEach(k => rmrf(k))
+      }
+    f.delete()
+  }
+
   val Dec: DecimalType = DecimalType(18, 2)
   def dec2(c: Column): Column = c.cast(Dec)
   /** Exact sum of a 2-decimal double column, emitted as double. */

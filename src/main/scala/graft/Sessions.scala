@@ -38,6 +38,15 @@ object Sessions {
       // prefixes per read would lower it again — that is what the knob
       // is for.)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // Plan-description strings are generated for EVERY execution and
+      // re-generated on every AQE stage update (SparkListenerSQL*
+      // events fire with spark.ui.enabled=false too). Gap-profiling the
+      // maintenance folds showed generateTreeString / StringConcat /
+      // SparkPlanInfo high in the no-job-running driver samples — pure
+      // observability metadata for plans with hundreds of operators.
+      // Cap the string length: diagnostics keep the plan HEAD, the
+      // driver stops burning time rendering megabyte plan tails.
+      .config("spark.sql.maxPlanStringLength", "8192")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -46,6 +55,12 @@ object Sessions {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the maxPlanStringLength cap above fires routinely by design; the
+    // per-truncation WARN would spam every bench/verify log
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.util.StringUtils",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     spark
   }
 }

@@ -568,8 +568,5 @@ object DeltaStore {
     DeltaStore(dir, buckets,
       manifest = new java.io.File(dir, "_current").exists())
 
-  private[operators] def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
-  }
+  private[operators] def delete(f: java.io.File): Unit = { graft.Q.rmrf(f) }
 }

@@ -56,6 +56,14 @@ object EmbIndex {
   def heal(root: String, buckets: Int = 16, manifest: Boolean = false): Unit =
     DeltaStore(root, buckets, manifest).heal()
 
+  // The sign-key expressions inline a 64-weight literal dot product per
+  // plane (~3,600 leaf nodes per band) — parsing those strings costs
+  // tens of ms per call and every ingest batch re-parsed both. The
+  // parsed (unresolved, immutable) Columns are pure functions of the
+  // width, so memoize them. This caches a PLAN fragment, never data.
+  private val keyCols =
+    new scala.collection.concurrent.TrieMap[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column)]
+
   /** Ingest one batch of vectors (`vec_id` long, `embedding`
     * array<float>) into the index at `root`, returning the batch's
     * near-dup pairs against everything indexed so far:
@@ -74,12 +82,23 @@ object EmbIndex {
       .withColumn("n2", DotProductF.dot(col("embedding"), col("embedding")))
       .persist()
     try {
+      val (kloC, khiC) = keyCols.getOrElseUpdate(w,
+        (expr(SimilarityQueries.signKeyLowExpr(w)),
+          expr(SimilarityQueries.signKeyHighExpr(w))))
+      // localCheckpoint: the two sign-key trees total ~7,000 expression
+      // nodes, and without the cut they ride inside EVERY downstream
+      // plan of the batch (occupancy join, candidate join, verify,
+      // grouped commit) — each analysis/optimization/AQE pass re-walks
+      // them on the driver. Materializing the batch-sized keyed frame
+      // once removes them from all downstream plan traversals; the keys
+      // were computed exactly once either way.
       val keysB = emb
-        .withColumn("klo", expr(SimilarityQueries.signKeyLowExpr(w)))
-        .withColumn("khi", expr(SimilarityQueries.signKeyHighExpr(w)))
+        .withColumn("klo", kloC)
+        .withColumn("khi", khiC)
         .select(col("vec_id"),
           expr("stack(2, 0, klo, 1, khi) as (band, bkey)"))
         .withColumn("batch", lit(batchId))
+        .localCheckpoint()
       val priorKeys = store.read(spark, keysSchema, None,
         table = Some("keys"), excludeDelta = Some(batchId)).persist()
       try {

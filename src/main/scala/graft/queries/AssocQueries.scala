@@ -441,43 +441,33 @@ object AssocQueries {
       "q224_triangle_count_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q224_triidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val minSupport = 5L
         val os = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
-        // derive the thresholded edge set ONCE and land it as the
-        // arriving batches — in production the edge waves ARE the
-        // input; re-deriving the pre-threshold counting shuffle per
-        // wave would charge the maintenance fold for test scaffolding
-        os.select(col("ok"), col("sk").as("u"))
+        // derive the thresholded edge set ONCE (the q221/q245 move —
+        // in production the edge waves ARE the input, so the
+        // pre-threshold counting shuffle is test scaffolding, charged
+        // once): each wave filters this materialized frame; the
+        // parquet landing round-trip this replaces (write partitioned
+        // by wave + schema'd re-read) was one extra write job plus a
+        // scan chain per fold for bytes nothing else read
+        val edges = os.select(col("ok"), col("sk").as("u"))
           .join(os.select(col("ok"), col("sk").as("v")), Seq("ok"))
           .where(col("u") < col("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("w"))
           .where(col("w") >= minSupport)
           .withColumn("wave", pmod(hash(col("u"), col("v")), lit(3)))
           .select("u", "v", "wave")
-          .write.partitionBy("wave").parquet(s"$root/in")
-        // explicit schemas: an empty wave leaves a dir with no part
-        // files, where schema inference (not the read) would fail
-        val eSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("u",
-            Tables.lineitem(s, dir).schema("l_suppkey").dataType),
-          org.apache.spark.sql.types.StructField("v",
-            Tables.lineitem(s, dir).schema("l_suppkey").dataType)))
-        val landed = s.read
-          .schema(eSchema.add("wave", org.apache.spark.sql.types.IntegerType))
-          .parquet(s"$root/in")
+          .localCheckpoint()
         // (no mid-stream compact here: the fold-through-compact path is
         // exercised by q225's policy and TriIndexSpec; an identity
         // rewrite of the whole adjacency would only re-pay state IO)
         var total = 0L
         (0 until 3).foreach { i =>
-          val w = landed.where(col("wave") === i).select("u", "v")
+          val w = edges.where(col("wave") === i).select("u", "v")
           total += graft.operators.TriIndex.foldWave(s, w, s"$root/store", i)
         }
         graft.operators.TriIndex.stats(s, s"$root/store")
@@ -522,10 +512,7 @@ object AssocQueries {
       "q225_stream_triangles",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q225_streamtri", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val minSupport = 5L
         val os = Tables.lineitem(s, dir)
@@ -638,10 +625,7 @@ object AssocQueries {
       "q220_stream_skyline",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q220_streamsky", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val parts = Tables.part(s, dir)
           .select("p_partkey", "p_retailprice", "p_size")
@@ -1142,10 +1126,7 @@ object AssocQueries {
       "q226_chi2_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q226_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val ev = Tables.df(s, dir, "events")
           .where(col("event_type").isin(chi2Types: _*))
@@ -1180,10 +1161,7 @@ object AssocQueries {
       "q227_stream_chi2",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q227_streamchi2", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.df(s, dir, "events")
           .where(col("event_type").isin(chi2Types: _*))
@@ -1241,10 +1219,7 @@ object AssocQueries {
       "q228_kendall_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q228_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
         val li = Tables.lineitem(s, dir)
@@ -1281,10 +1256,7 @@ object AssocQueries {
       "q229_stream_kendall",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q229_streamkendall", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
         val li = Tables.lineitem(s, dir)
@@ -1343,10 +1315,7 @@ object AssocQueries {
       "q231_ks_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q231_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1381,10 +1350,7 @@ object AssocQueries {
       "q232_stream_ks",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q232_streamks", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1443,10 +1409,7 @@ object AssocQueries {
       "q233_mwu_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q233_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1473,10 +1436,7 @@ object AssocQueries {
       "q234_stream_mwu",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q234_streammwu", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1535,10 +1495,7 @@ object AssocQueries {
       "q235_spearman_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q235_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val li = Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_linenumber"),
@@ -1562,10 +1519,7 @@ object AssocQueries {
       "q236_stream_spearman",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q236_streamsp", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val li = Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_linenumber"),
@@ -1618,10 +1572,7 @@ object AssocQueries {
       "q237_benford_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q237_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1646,10 +1597,7 @@ object AssocQueries {
       "q238_stream_benford",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q238_streambenford", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
@@ -1706,10 +1654,7 @@ object AssocQueries {
       "q239_ab_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q239_cells", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val ev = Tables.df(s, dir, "events").select(
           col("event_id"), col("user_id"),
@@ -1734,10 +1679,7 @@ object AssocQueries {
       "q240_stream_ab",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q240_streamab", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.df(s, dir, "events").select(
           col("event_id"), col("user_id"),
@@ -1794,10 +1736,7 @@ object AssocQueries {
       "q241_concentration_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q241_moments", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey").as("ck"),
@@ -1820,10 +1759,7 @@ object AssocQueries {
       "q242_stream_concentration",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q242_streamconc", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey").as("ck"),
@@ -1880,10 +1816,7 @@ object AssocQueries {
       "q245_basket_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q245_basket", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         // derived ONCE (the q221 move): all three wave filters consume
         // this frame; without the cut every wave re-ran the lineitem
@@ -1914,10 +1847,7 @@ object AssocQueries {
       "q246_stream_basket",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q246_streambasket", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         // derived ONCE (the q221 move): both wave writes filter this
         // frame instead of re-running the scan + brand join
@@ -1988,10 +1918,7 @@ object AssocQueries {
       "q214_skyline_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q214_skyidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val parts = Tables.part(s, dir)
           .select("p_partkey", "p_retailprice", "p_size")

@@ -321,10 +321,7 @@ object EventQueries {
       (s, dir) => {
         import graft.operators.Scd2Index
         val root = graft.Q.scratch(s, "q209_scd2idx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
@@ -738,10 +735,7 @@ object EventQueries {
       "q210_stream_funnel",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q210_streamfunnel", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val gap = 7L * 24 * 3600 * 1000000L
         val stages = Seq("view", "click", "purchase")
@@ -843,10 +837,7 @@ object EventQueries {
       (s, dir) => {
         import graft.operators.Scd2Index
         val out = graft.Q.scratch(s, "q216_streamscd2", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
@@ -951,10 +942,7 @@ object EventQueries {
       (s, dir) => {
         import graft.operators.{DeltaStore, MorTable, Scd2, Scd2Index}
         val root = graft.Q.scratch(s, "q222_scd2late", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
@@ -1035,10 +1023,7 @@ object EventQueries {
       (s, dir) => {
         import graft.operators.{DeltaStore, MorTable, Scd2Index}
         val root = graft.Q.scratch(s, "q230_scd2bf", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),

@@ -254,10 +254,7 @@ object ExtraQueries {
       "q121_stream_asof_enrich",
       (s, dir) => {
         val out = Q.scratch(s, "q121_streamasof", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
         ev.repartition(4).write.parquet(s"$out/in")
@@ -372,10 +369,7 @@ object ExtraQueries {
       "q187_stream_asof_salted",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q187_streamasof", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
         val winner = org.apache.spark.sql.expressions.Window
@@ -1348,10 +1342,7 @@ object ExtraQueries {
       (s, dir) => {
         import graft.functions.DotProductF
         val out = Q.scratch(s, "q114_ivflists", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val cLit = SimilarityQueries.adaptiveWidthLit(
           SimilarityQueries.embCount(s, dir), 64)
@@ -1500,10 +1491,7 @@ object ExtraQueries {
         import org.apache.spark.sql.expressions.Window
         import graft.operators.SketchIndex
         val out = Q.scratch(s, "q181_sketchidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir)
         (0 to 3).foreach { k =>
@@ -1533,10 +1521,7 @@ object ExtraQueries {
         import org.apache.spark.sql.expressions.Window
         import graft.operators.SketchIndex
         val out = Q.scratch(s, "q183_streamsketch", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir)
         val in = ev.select("event_id", "event_type", "user_id", "value")

@@ -1208,10 +1208,7 @@ $selects
       "q243_corr_incremental",
       (s, dir) => {
         val root = Q.scratch(s, "q243_moments", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val li = Tables.lineitem(s, dir)
         (0 until 3).foreach { i =>
@@ -1234,10 +1231,7 @@ $selects
       "q244_stream_corr",
       (s, dir) => {
         val out = Q.scratch(s, "q244_streamcorr", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val li = Tables.lineitem(s, dir)
         // the stream carries RAW measure rows (the production shape —

@@ -456,10 +456,7 @@ object JoinQueries {
       (s, dir) => {
         import graft.operators.BandJoin
         val out = graft.Q.scratch(s, "q152_streamband", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val W = 86400000000L // 24 h in micros
         val ev = Tables.df(s, dir, "events")
@@ -530,10 +527,7 @@ object JoinQueries {
       (s, dir) => {
         import graft.operators.BandJoin
         val out = graft.Q.scratch(s, "q161_streamband", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val W = 86400000000L // 24 h in micros
         val ev = Tables.df(s, dir, "events")
@@ -605,10 +599,7 @@ object JoinQueries {
           // a fresh JVM starts a fresh in-memory metastore, but the
           // warehouse dir persists across runs — clear it or the
           // CREATE refuses (the BucketedJoinSpec lesson)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
+          def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
           rm(new java.io.File(s"spark-warehouse/$n"))
         }
         Tables.orders(s, dir)

@@ -550,10 +550,7 @@ object PipelineQueries {
       "q85_incremental_rollup_replay",
       (s, dir) => {
         val out = scratch(s, "q85_rollup", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
@@ -890,10 +887,7 @@ object PipelineQueries {
       "q96_jsonl_roundtrip",
       (s, dir) => {
         val out = scratch(s, "q96_jsonl", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         Tables.documents(s, dir)
           .write.mode("overwrite").option("compression", "gzip").json(out)
@@ -940,10 +934,7 @@ object PipelineQueries {
       "q97_bloom_indexed_lookup",
       (s, dir) => {
         val out = scratch(s, "q97_bloomidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         graft.operators.BloomIndex.write(
           Tables.documents(s, dir), layoutCol = "source", keyCol = "doc_id",
@@ -1011,10 +1002,7 @@ object PipelineQueries {
       "q91_orc_roundtrip",
       (s, dir) => {
         val out = scratch(s, "q91_orc", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         Tables.lineitem(s, dir)
           .select("l_returnflag", "l_linestatus", "l_quantity",
@@ -1059,10 +1047,7 @@ object PipelineQueries {
       "q92_manifest_rollup_replay",
       (s, dir) => {
         val out = scratch(s, "q92_manifest", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
@@ -1140,10 +1125,7 @@ object PipelineQueries {
       "q100_index_intersection_scan",
       (s, dir) => {
         val out = scratch(s, "q100_idx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val data = Tables.lineitem(s, dir).selectExpr(
           "l_partkey % 256 as px", "l_suppkey % 256 as sx",
@@ -1194,20 +1176,24 @@ object PipelineQueries {
       "q105_mor_rollup_replay",
       (s, dir) => {
         val out = scratch(s, "q105_mor", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
-        def mkBatch(y0: Int, y1: Int, b: Int) = orders
-          .where(year(col("o_orderdate")).between(y0, y1))
+        // ONE grouped pass over orders, cached (the q85/q92 move): the
+        // year filter is a function of the group key, so filtering the
+        // grouped frame IS the per-window groupBy — 4 scan+aggregate
+        // shuffles become 1 per replay
+        val base = orders
           .groupBy(
             col("o_custkey").cast("string").as("coin_id"),
             col("o_orderdate").as("fetch_date"))
-          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-            + lit(0.01) * lit(b)).as("price_usd"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
+        def mkBatch(y0: Int, y1: Int, b: Int) = base
+          .where(year(col("fetch_date")).between(y0, y1))
+          .select(col("coin_id"), col("fetch_date"),
+            (col("p") + lit(0.01) * lit(b)).as("price_usd"))
         val schema = mkBatch(1995, 1996, 0).schema
         val mor = graft.operators.MorTable(
           graft.operators.DeltaStore(s"$out/table", 16),
@@ -1216,6 +1202,7 @@ object PipelineQueries {
           mor.upsert(mkBatch(y0, y1, b), b)
           if (b == 1) mor.compact(s, schema)
         }
+        base.unpersist(false)
         mor.snapshot(s, schema)
           .groupBy(
             col("coin_id"),
@@ -1271,20 +1258,24 @@ object PipelineQueries {
       "q106_mor_delete_time_travel",
       (s, dir) => {
         val out = scratch(s, "q106_mor", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
-        def mkBatch(y0: Int, y1: Int, b: Int) = orders
-          .where(year(col("o_orderdate")).between(y0, y1))
+        // ONE grouped pass over orders, cached (the q85/q92 move); the
+        // 1997 delete key set below is ALSO a slice of the grouped
+        // frame — its keys are exactly the group keys, so the
+        // scan+distinct it ran is the same frame filtered
+        val base = orders
           .groupBy(
             col("o_custkey").cast("string").as("coin_id"),
             col("o_orderdate").as("fetch_date"))
-          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-            + lit(0.01) * lit(b)).as("price_usd"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
+        def mkBatch(y0: Int, y1: Int, b: Int) = base
+          .where(year(col("fetch_date")).between(y0, y1))
+          .select(col("coin_id"), col("fetch_date"),
+            (col("p") + lit(0.01) * lit(b)).as("price_usd"))
         val schema = mkBatch(1995, 1996, 0).schema
         val mor = graft.operators.MorTable(
           graft.operators.DeltaStore(s"$out/table", 16, manifest = true),
@@ -1305,12 +1296,10 @@ object PipelineQueries {
         val asof = rollup(mor.snapshotAsOf(s, schema, 2), "asof2")
           .localCheckpoint()
         mor.delete(
-          orders.where(year(col("o_orderdate")) === 1997)
-            .select(
-              col("o_custkey").cast("string").as("coin_id"),
-              col("o_orderdate").as("fetch_date"))
-            .distinct(),
+          base.where(year(col("fetch_date")) === 1997)
+            .select("coin_id", "fetch_date"),
           4, schema)
+        base.unpersist(false)
         mor.compact(s, schema)
         rollup(mor.snapshot(s, schema), "current")
           .unionByName(asof)
@@ -1371,20 +1360,21 @@ object PipelineQueries {
       "q107_mor_point_lookup",
       (s, dir) => {
         val out = scratch(s, "q107_mor", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
-        def mkBatch(y0: Int, y1: Int, b: Int) = orders
-          .where(year(col("o_orderdate")).between(y0, y1))
+        // ONE grouped pass over orders, cached (the q85/q92 move)
+        val base = orders
           .groupBy(
             col("o_custkey").cast("string").as("coin_id"),
             col("o_orderdate").as("fetch_date"))
-          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-            + lit(0.01) * lit(b)).as("price_usd"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
+        def mkBatch(y0: Int, y1: Int, b: Int) = base
+          .where(year(col("fetch_date")).between(y0, y1))
+          .select(col("coin_id"), col("fetch_date"),
+            (col("p") + lit(0.01) * lit(b)).as("price_usd"))
         val schema = mkBatch(1995, 1996, 0).schema
         val mor = graft.operators.MorTable(
           graft.operators.DeltaStore(s"$out/table", 16),
@@ -1392,6 +1382,7 @@ object PipelineQueries {
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           mor.upsert(mkBatch(y0, y1, b), b)
         }
+        base.unpersist(false)
         val probe = orders
           .where(col("o_custkey") % 997 === 3)
           .select(
@@ -1431,10 +1422,7 @@ object PipelineQueries {
       "q108_incremental_stats",
       (s, dir) => {
         val out = scratch(s, "q108_stats", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
@@ -1491,20 +1479,23 @@ object PipelineQueries {
       "q110_mor_change_feed",
       (s, dir) => {
         val out = scratch(s, "q110_mor", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
-        def mkBatch(y0: Int, y1: Int, b: Int) = orders
-          .where(year(col("o_orderdate")).between(y0, y1))
+        // ONE grouped pass over orders, cached (the q85/q92 move); the
+        // 1997 delete key set is the grouped frame filtered — its keys
+        // ARE the group keys, so the extra scan+distinct collapses too
+        val base = orders
           .groupBy(
             col("o_custkey").cast("string").as("coin_id"),
             col("o_orderdate").as("fetch_date"))
-          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-            + lit(0.01) * lit(b)).as("price_usd"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
+        def mkBatch(y0: Int, y1: Int, b: Int) = base
+          .where(year(col("fetch_date")).between(y0, y1))
+          .select(col("coin_id"), col("fetch_date"),
+            (col("p") + lit(0.01) * lit(b)).as("price_usd"))
         val schema = mkBatch(1995, 1996, 0).schema
         val mor = graft.operators.MorTable(
           graft.operators.DeltaStore(s"$out/table", 16),
@@ -1513,12 +1504,10 @@ object PipelineQueries {
           mor.upsert(mkBatch(y0, y1, b), b)
         }
         mor.delete(
-          orders.where(year(col("o_orderdate")) === 1997)
-            .select(
-              col("o_custkey").cast("string").as("coin_id"),
-              col("o_orderdate").as("fetch_date"))
-            .distinct(),
+          base.where(year(col("fetch_date")) === 1997)
+            .select("coin_id", "fetch_date"),
           4, schema)
+        base.unpersist(false)
         mor.changes(s, schema, from = 1, to = 4)
           .orderBy("coin_id", "fetch_date")
       },
@@ -1556,20 +1545,21 @@ object PipelineQueries {
       "q111_mor_bloom_lookup",
       (s, dir) => {
         val out = scratch(s, "q111_mor", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
-        def mkBatch(y0: Int, y1: Int, b: Int) = orders
-          .where(year(col("o_orderdate")).between(y0, y1))
+        // ONE grouped pass over orders, cached (the q85/q92 move)
+        val base = orders
           .groupBy(
             col("o_custkey").cast("string").as("coin_id"),
             col("o_orderdate").as("fetch_date"))
-          .agg((max(Q.dec2(col("o_totalprice"))).cast("double")
-            + lit(0.01) * lit(b)).as("price_usd"))
+          .agg(max(Q.dec2(col("o_totalprice"))).cast("double").as("p"))
+          .cache()
+        def mkBatch(y0: Int, y1: Int, b: Int) = base
+          .where(year(col("fetch_date")).between(y0, y1))
+          .select(col("coin_id"), col("fetch_date"),
+            (col("p") + lit(0.01) * lit(b)).as("price_usd"))
         val schema = mkBatch(1995, 1996, 0).schema
         val mor = graft.operators.MorTable(
           graft.operators.DeltaStore(s"$out/table", 16),
@@ -1578,6 +1568,7 @@ object PipelineQueries {
         windows.zipWithIndex.foreach { case ((y0, y1), b) =>
           mor.upsert(mkBatch(y0, y1, b), b)
         }
+        base.unpersist(false)
         val present = orders.where(col("o_custkey") % 997 === 3)
         val probe = present
           .select(
@@ -1623,10 +1614,7 @@ object PipelineQueries {
       "q112_incremental_view_from_feed",
       (s, dir) => {
         val out = scratch(s, "q112_ivm", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
@@ -1730,10 +1718,7 @@ object PipelineQueries {
       "q115_stream_cdc_view",
       (s, dir) => {
         val out = scratch(s, "q115_scdc", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val orders = Tables.orders(s, dir)
         val windows = Seq((1995, 1996), (1996, 1998), (1998, 2000), (2000, 2001))
@@ -1878,10 +1863,7 @@ object PipelineQueries {
       "q145_stream_dedup_replay",
       (s, dir) => {
         val out = scratch(s, "q145_sdedup", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
@@ -2184,10 +2166,7 @@ object PipelineQueries {
       "q170_stream_decontamination",
       (s, dir) => {
         val out = Q.scratch(s, "q170_streamdecon", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val docs = Tables.documents(s, dir)
         val evalTris = docs.where(col("doc_id") % 97 === 0)
@@ -2409,10 +2388,7 @@ object PipelineQueries {
       "q176_partition_pruned_scan",
       (s, dir) => {
         val out = Q.scratch(s, "q176_part", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         Tables.documents(s, dir)
           .write.partitionBy("lang").parquet(out)

@@ -304,10 +304,7 @@ object ProfileQueries {
       "q212_stream_integrity",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q212_streamintegrity", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val ev = Tables.df(s, dir, "events").selectExpr("event_id", "user_id")
         val parents = Tables.customer(s, dir)

@@ -1080,10 +1080,7 @@ object SimilarityQueries {
       "q219_dedup_components_incremental",
       (s, dir) => {
         val root = graft.Q.scratch(s, "q219_ccidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
         val names = blockedNames(s, dir)
         // land the pair derivation ONCE: each wave's fold evaluates its
@@ -1155,10 +1152,7 @@ object SimilarityQueries {
       "q221_stream_dedup_components",
       (s, dir) => {
         val out = graft.Q.scratch(s, "q221_streamcc", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val names = blockedNames(s, dir)
         // derived once, landed once (two wave writes filter it)
@@ -1563,10 +1557,7 @@ object SimilarityQueries {
       "q103_incremental_lsh_dedup",
       (s, dir) => {
         val out = Q.scratch(s, "q103_lshidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val docs = Tables.documents(s, dir)
         // each batch's emission is localCheckpoint-materialized by
@@ -1665,10 +1656,7 @@ object SimilarityQueries {
       "q104_incremental_embedding_neardup",
       (s, dir) => {
         val out = Q.scratch(s, "q104_embidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val r = adaptiveWidthLit(embCount(s, dir), 32)
         val vecs = Tables.embeddings(s, dir)
@@ -1727,10 +1715,7 @@ object SimilarityQueries {
       "q109_incremental_pq_codes",
       (s, dir) => {
         val out = Q.scratch(s, "q109_codeidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val emb = Tables.embeddings(s, dir)
         (0 to 3).foreach { k =>

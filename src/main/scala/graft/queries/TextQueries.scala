@@ -662,10 +662,7 @@ object TextQueries {
       (s, dir) => {
         import graft.operators.LmIndex
         val out = graft.Q.scratch(s, "q171_lmidx", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val docBi = docBigrams(s, dir)
         (0 to 3).foreach { k =>
@@ -745,10 +742,7 @@ object TextQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val out = Q.scratch(s, "q182_streamgate", dir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
+        def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val allStops = (stop("en") ++ stop("es") ++ stop("de") ++ stop("fr")).distinct
         val nToks = expr(s"size($toksExpr)").cast(DoubleType)

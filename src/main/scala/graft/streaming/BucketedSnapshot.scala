@@ -108,8 +108,5 @@ object BucketedSnapshot {
     delete(staging)
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
-  }
+  private def delete(f: java.io.File): Unit = { graft.Q.rmrf(f) }
 }

@@ -176,8 +176,5 @@ object ManifestTable {
       spark.read.parquet(chosen.sorted.map(p => s"$dir/$p"): _*)
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete()
-  }
+  private def delete(f: java.io.File): Unit = { graft.Q.rmrf(f) }
 }
