@@ -1128,10 +1128,13 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q226_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): all three wave filters consume
+        // this frame instead of re-scanning events per wave
         val ev = Tables.df(s, dir, "events")
           .where(col("event_type").isin(chi2Types: _*))
           .select(col("event_id"), col("event_type"),
             (col("value") >= 50.0).as("hi"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = ev.where(pmod(hash(col("event_id")), lit(3)) === i)
             .select("event_type", "hi")
@@ -1228,6 +1231,9 @@ object AssocQueries {
             (Q.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
           .selectExpr("l_orderkey", "l_linenumber", "x",
             "cents div 100000 AS y")
+          // derived ONCE (the q221 move): the three wave filters
+          // consume this frame instead of re-scanning lineitem
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = li.where(
               pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
@@ -1317,11 +1323,14 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q231_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): the three wave filters consume
+        // this frame instead of re-scanning orders per wave
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("is_a"),
           floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
             .select("is_a", "v")
@@ -1411,11 +1420,13 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q233_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move)
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("is_a"),
           floor(Q.dec2(col("o_totalprice"))).cast("long").as("v"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
             .select("is_a", "v")
@@ -1497,10 +1508,12 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q235_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move)
         val li = Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_linenumber"),
           Q.dec2(col("l_quantity")).cast("long").as("x"),
           floor(Q.dec2(col("l_extendedprice"))).cast("long").as("y"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = li.where(
               pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(3)) === i)
@@ -1574,11 +1587,13 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q237_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move)
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"),
           substring(
             (Q.dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
             1, 1).cast("int").as("digit"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
             .select("digit")
@@ -1656,9 +1671,11 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q239_cells", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move)
         val ev = Tables.df(s, dir, "events").select(
           col("event_id"), col("user_id"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = ev.where(pmod(hash(col("event_id")), lit(3)) === i)
             .select("user_id", "is_p")
@@ -1738,9 +1755,11 @@ object AssocQueries {
         val root = graft.Q.scratch(s, "q241_moments", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move)
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey").as("ck"),
           (Q.dec2(col("o_totalprice")) * 100).cast("long").as("rev_c"))
+          .localCheckpoint()
         (0 until 3).foreach { i =>
           val w = o.where(pmod(hash(col("o_orderkey")), lit(3)) === i)
             .select("ck", "rev_c")

@@ -323,10 +323,13 @@ object EventQueries {
         val root = graft.Q.scratch(s, "q209_scd2idx", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): the midpoint agg and both wave
+        // filters consume this frame — 3 scans of events become 1
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
             usCol.as("us"),
             floor(col("value") / lit(100.0)).cast("int").as("attr"))
+          .localCheckpoint()
         // per-key time-split waves from the global midpoint (usable
         // because us <= mid / us > mid splits EVERY key in time order)
         val mid = ev.agg(
@@ -839,10 +842,13 @@ object EventQueries {
         val out = graft.Q.scratch(s, "q216_streamscd2", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
+        // derived ONCE (the q221 move): the midpoint agg and both wave
+        // landing writes consume this frame — 3 scans of events become 1
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
             usCol.as("us"),
             floor(col("value") / lit(100.0)).cast("int").as("attr"))
+          .localCheckpoint()
         val mid = ev.agg(
           ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long"))
           .head().getLong(0)
@@ -944,10 +950,15 @@ object EventQueries {
         val root = graft.Q.scratch(s, "q222_scd2late", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): the midpoint agg, the three
+        // wave filters, and the repair's affected-key set consume this
+        // frame — without the cut each bronze+silver feed re-scanned
+        // events
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
             usCol.as("us"),
             floor(col("value") / lit(100.0)).cast("int").as("attr"))
+          .localCheckpoint()
         val mid = ev.agg(
           ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long"))
           .head().getLong(0)
@@ -1025,10 +1036,15 @@ object EventQueries {
         val root = graft.Q.scratch(s, "q230_scd2bf", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(root))
+        // derived ONCE (the q221 move): the threshold agg, the four
+        // wave filters, and the late key set each consumed this frame —
+        // without the cut that was ~9 scans of events per run (every
+        // wave feeds BOTH bronze and silver)
         val ev = Tables.events(s, dir)
           .select(col("user_id").as("k"), col("event_id").as("tie"),
             usCol.as("us"),
             floor(col("value") / lit(100.0)).cast("int").as("attr"))
+          .localCheckpoint()
         val b = ev.agg(
             ((min(col("us")) * 2 + max(col("us"))) / lit(3L)).cast("long"),
             ((min(col("us")) + max(col("us")) * 2) / lit(3L)).cast("long"))

@@ -1346,7 +1346,9 @@ object ExtraQueries {
         rm(new java.io.File(out))
         val cLit = SimilarityQueries.adaptiveWidthLit(
           SimilarityQueries.embCount(s, dir), 64)
-        val emb = Tables.embeddings(s, dir)
+        // derived ONCE (the q221 move): four batch filters + the final
+        // serve join consume the embeddings scan
+        val emb = Tables.embeddings(s, dir).localCheckpoint()
         (0 to 3).foreach { k =>
           graft.operators.CellIndex.appendBatch(
             s, emb.where(pmod(col("vec_id"), lit(4)) === k),
@@ -1493,7 +1495,9 @@ object ExtraQueries {
         val out = Q.scratch(s, "q181_sketchidx", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
-        val ev = Tables.events(s, dir)
+        // derived ONCE (the q221 move): four batch filters consume the
+        // events scan — materialize once, filter blocks
+        val ev = Tables.events(s, dir).localCheckpoint()
         (0 to 3).foreach { k =>
           SketchIndex.appendBatch(s, ev.where(col("event_id") % 4 === k), out, k)
           if (k == 1) SketchIndex.compact(s, out)

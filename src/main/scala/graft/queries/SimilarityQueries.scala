@@ -1559,7 +1559,9 @@ object SimilarityQueries {
         val out = Q.scratch(s, "q103_lshidx", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
-        val docs = Tables.documents(s, dir)
+        // scanned ONCE (the q221 move): four batch slices re-read the
+        // text table otherwise
+        val docs = Tables.documents(s, dir).localCheckpoint()
         // each batch's emission is localCheckpoint-materialized by
         // upsertBatch, so the frames stay valid across later upserts —
         // union them directly (the emit-parquet round trip was 5 extra
@@ -1659,7 +1661,9 @@ object SimilarityQueries {
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
         val r = adaptiveWidthLit(embCount(s, dir), 32)
-        val vecs = Tables.embeddings(s, dir)
+        // derived ONCE (the q221 move): four batch filters consume the
+        // embeddings scan
+        val vecs = Tables.embeddings(s, dir).localCheckpoint()
         (0 to 3).map { k =>
           graft.operators.EmbIndex.upsertBatch(
             s, vecs.where(col("vec_id") % 4 === k), s"$out/index",
@@ -1717,7 +1721,9 @@ object SimilarityQueries {
         val out = Q.scratch(s, "q109_codeidx", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
-        val emb = Tables.embeddings(s, dir)
+        // derived ONCE (the q221 move): four batch filters + the ADC
+        // search consume the embeddings scan
+        val emb = Tables.embeddings(s, dir).localCheckpoint()
         (0 to 3).foreach { k =>
           graft.operators.CodeIndex.appendBatch(
             s, emb.where(col("vec_id") % 4 === k), out, batchId = k)

@@ -638,7 +638,9 @@ object TextQueries {
     Q(
       "q169_bigram_fluency",
       (s, dir) => {
-        val docBi = docBigrams(s, dir)
+        // derived ONCE (the q221 move): both count aggregations and the
+        // scoring probe consume the tokenize + bigram explode
+        val docBi = docBigrams(s, dir).localCheckpoint()
         val biCounts = docBi.groupBy("bi").agg(count(lit(1)).as("c_bi"))
         val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c_uni"))
         scoreFluency(docBi, biCounts, uniCounts)
@@ -664,7 +666,10 @@ object TextQueries {
         val out = graft.Q.scratch(s, "q171_lmidx", dir)
         def rm(f: java.io.File): Unit = graft.Q.rmrf(f)
         rm(new java.io.File(out))
-        val docBi = docBigrams(s, dir)
+        // derived ONCE (the q221 move): the tokenize + bigram explode
+        // ran FIVE times per run (4 batch filters + the scoring probe)
+        // — materialize it once and filter blocks
+        val docBi = docBigrams(s, dir).localCheckpoint()
         (0 to 3).foreach { k =>
           LmIndex.appendBatch(s, docBi.where(col("doc_id") % 4 === k), out, k)
           if (k == 1) LmIndex.compact(s, out)
