@@ -15,15 +15,19 @@ object Explain {
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val df = fn(spark, sfDir)
-      // materialize once so AQE's final plan exists, then render it
-      df.write.format("noop").mode("overwrite").save()
-      val s = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/$name.txt"), s)
-      println(s"[explain] wrote $outDir/$name.txt (${s.length} chars)")
+      try {
+        val fn = SparkEntry.queries(name)
+        val df = fn(spark, sfDir)
+        // materialize once so AQE's final plan exists, then render it
+        df.write.format("noop").mode("overwrite").save()
+        val s = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/$name.txt"), s)
+        println(s"[explain] wrote $outDir/$name.txt (${s.length} chars)")
+      } catch {
+        case e: Throwable => System.err.println(s"[explain] $name FAILED: $e")
+      }
     }
     spark.stop()
   }
